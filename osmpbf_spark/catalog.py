@@ -1,0 +1,133 @@
+"""Query registry: every operator from SURVEY.md §2 registers here.
+
+Each query is a ``(spark, sf_dir) -> DataFrame`` callable plus, where the
+semantics are ANSI-SQL-expressible, an exact DuckDB oracle twin. The driver
+compares both at sf0.01 (row-count + schema + order-insensitive value-hash),
+so column names are aliased identically on both sides and float aggregates go
+through an exact-decimal path (see ``dsum``) to make the hash deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass
+class QueryDef:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL twin; None -> driver does rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator registering a query under ``name`` with its DuckDB twin."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QueryDef(name, fn, oracle, tags, fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-provided parquet table (TESTDATA.md).
+
+    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects; we read nanos as long (runtime conf, so it works under any
+    session) and rebuild a microsecond TimestampType column. The generated
+    data is micro-precision, so the truncation is lossless.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views for spark.sql-based queries."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# --- deterministic float-aggregation helpers -------------------------------
+#
+# Double-sum order differs between engines (and between runs, under AQE), so
+# any SUM(double) is hash-unstable. Both Spark and DuckDB have exact decimal
+# arithmetic; summing cast-to-decimal and casting the final result to double
+# is bitwise deterministic on both sides. Averages are computed as one IEEE
+# double division of two exact operands (also bitwise deterministic).
+
+
+def dsum(col: str, alias: str):
+    """Exact decimal sum of a 2-decimal money/quantity column, as double."""
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double").alias(alias)
+
+
+def davg(col: str, alias: str):
+    """Deterministic average: exact decimal sum / count, one double divide."""
+    return (
+        F.sum(F.col(col).cast("decimal(18,2)")).cast("double")
+        / F.count(F.col(col))
+    ).alias(alias)
+
+
+def sql_dsum(col: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(col: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({col}) AS {alias}"
+    )
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _import_all()
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _import_all()
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+
+
+def _import_all() -> None:
+    """Import every operator module so decorators run."""
+    from osmpbf_spark.operators import (  # noqa: F401
+        dedup,
+        grid,
+        multimodal,
+        relational,
+        similarity,
+        textstats,
+        udfs,
+    )
+    from osmpbf_spark.sources import pbf_queries  # noqa: F401
+    from osmpbf_spark.streaming import windows  # noqa: F401

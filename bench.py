@@ -1,0 +1,78 @@
+"""Benchmark harness — the driver's per-round BENCH entry point.
+
+Runs every registered query from ``__spark_entry__.queries()`` against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints exactly ONE JSON line:
+
+    {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Results are materialized with the ``noop`` sink (full computation, all
+columns, zero driver collection) so measured time is executor work, not
+driver transfer. Each query runs once after a warmup query that pays
+one-time costs (JVM/codegen warmup, parquet footer reads).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def materialize(df) -> None:
+    """Execute the full plan without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from osmpbf_spark.session import get_spark
+
+    spark = get_spark("osmpbf_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+
+    # Warmup: one cheap query pays JVM/codegen/parquet-footer startup costs.
+    try:
+        materialize(next(iter(qs.values()))(spark, sf_dir))
+    except Exception:
+        pass
+
+    times: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            materialize(fn(spark, sf_dir))
+            times[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # keep benching; a broken query reads as -1
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            times[name] = -1.0
+
+    total = round(sum(t for t in times.values() if t >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -55,19 +55,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-provided parquet table (TESTDATA.md).
 
     ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects; we read nanos as long (runtime conf, so it works under any
-    session) and rebuild a microsecond TimestampType column. The generated
-    data is micro-precision, so the truncation is lossless.
+    rejects; ``get_spark()`` sets ``spark.sql.legacy.parquet.nanosAsLong`` so
+    the column arrives as epoch-nanos bigint, and we rebuild a microsecond
+    TimestampType column here. Integer division (``ts div 1000``) — epoch
+    nanos ~1.6e18 exceed double's 2^53 exact range, so a float path would be
+    off by 1µs on a few % of rows. The generated data is micro-precision, so
+    the truncation is lossless.
     """
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -36,6 +36,10 @@ def get_spark(app_name: str = "osmpbf_spark", cpus: int | None = None) -> SparkS
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+        # rejects; read nanos as long session-wide (catalog.load rebuilds the
+        # TimestampType column). Global config belongs here, not per-read.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

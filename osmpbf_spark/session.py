@@ -45,4 +45,9 @@ def get_spark(app_name: str = "osmpbf_spark", cpus: int | None = None) -> SparkS
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Make `spark.read.format("osmpbf")` available on every session.
+    from osmpbf_spark.sources.pbf import register
+
+    register(spark)
+    return spark

@@ -1,0 +1,328 @@
+"""`spark.read.format("osmpbf")` — the splittable OSM PBF data source.
+
+Spark-native successor to the reference's Hadoop InputFormat
+(OsmPbfInputFormat.java:13-19 + OsmPbfRecordReader.java), built on the
+PySpark Python Data Source API (pyspark.sql.datasource, PySpark 4.x):
+
+- ``partitions()`` walks the BlobHeader chain driver-side and emits
+  block-aligned partitions (~``partition_target_bytes`` of compressed blob
+  each). Exact ranges supersede the reference's signature-resync protocol
+  (OsmPbfRecordReader.java:96-129): every block is decoded exactly once, and
+  a 100 TB corpus with B blocks plans in O(B) tiny reads with no data scan.
+- ``read()`` decodes each block columnar (numpy cumsum delta decode — see
+  decode.py) and yields one Arrow RecordBatch per block, so rows never
+  materialize as Python objects; Spark receives vectorized batches.
+- Type projection (the ``primitive`` option) mirrors parseType
+  (OsmPbfRecordReader.java:31-37, README.md:38-41): each read has one fixed
+  schema, like the Pig loader's per-type schemas (OSMPbfPigLoader.java:47-73).
+  Unlike the reference, ``relation`` is implemented (java:291 falls through).
+
+Options (SURVEY.md §7 Milestone 2):
+  path            file, directory, or glob of .pbf files
+  primitive       node (default) | way | relation
+  tags_as         map (default) | string — string is the reference's lossy
+                  legacy ``"k:v;"`` concatenation (OsmPbfRecordReader.java:
+                  194-204), provided for strict parity
+  with_meta       true -> add Info/DenseInfo provenance columns (the
+                  reference decodes-and-drops these, SURVEY §1.3)
+  with_pos        true -> add ``_pos`` = file byte offset of the record's
+                  block (the reference's record key, OsmPbfRecordReader.java:
+                  68-72, block-granular here)
+  partition_target_bytes   compressed bytes per partition (default 32 MiB)
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from osmpbf_spark.sources.pbf import decode
+
+PRIMITIVES = ("node", "way", "relation")
+_TS_SENTINEL = np.iinfo(np.int64).min
+
+
+def _resolve_paths(path: str) -> list[str]:
+    if os.path.isdir(path):
+        out = sorted(
+            globmod.glob(os.path.join(path, "*.pbf"))
+            + globmod.glob(os.path.join(path, "*.osm.pbf"))
+        )
+    elif any(c in path for c in "*?["):
+        out = sorted(globmod.glob(path))
+    else:
+        out = [path]
+    if not out:
+        raise FileNotFoundError(f"no PBF files at {path}")
+    return out
+
+
+def _bool_opt(options, key: str, default: bool = False) -> bool:
+    v = options.get(key)
+    if v is None:
+        return default
+    return str(v).lower() in ("true", "1", "yes")
+
+
+class OsmPbfPartition(InputPartition):
+    def __init__(self, path: str, ranges: list[tuple[int, int]]):
+        self.path = path
+        self.ranges = ranges  # [(data_offset, data_size), ...]
+
+
+class OsmPbfDataSource(DataSource):
+    """USING osmpbf — register via ``spark.dataSource.register``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "osmpbf"
+
+    def schema(self) -> StructType:
+        primitive = self.options.get("primitive", "node")
+        if primitive not in PRIMITIVES:
+            raise ValueError(
+                f"primitive must be one of {PRIMITIVES}, got {primitive!r}"
+            )
+        tags_as = self.options.get("tags_as", "map")
+        if tags_as not in ("map", "string"):
+            raise ValueError(f"tags_as must be map|string, got {tags_as!r}")
+        fields = [StructField("id", LongType(), False)]
+        if primitive == "node":
+            fields += [
+                StructField("lat", DoubleType(), False),
+                StructField("lon", DoubleType(), False),
+            ]
+        elif primitive == "way":
+            fields.append(StructField("refs", ArrayType(LongType(), False), False))
+        else:
+            member = StructType(
+                [
+                    StructField("role", StringType(), True),
+                    StructField("ref", LongType(), False),
+                    StructField("type", StringType(), False),
+                ]
+            )
+            fields.append(
+                StructField("members", ArrayType(member, False), False)
+            )
+        if tags_as == "map":
+            fields.append(
+                StructField("tags", MapType(StringType(), StringType()), False)
+            )
+        else:
+            fields.append(StructField("tags", StringType(), False))
+        if _bool_opt(self.options, "with_meta"):
+            fields.append(
+                StructField(
+                    "meta",
+                    StructType(
+                        [
+                            StructField("version", IntegerType(), True),
+                            StructField("timestamp", TimestampType(), True),
+                            StructField("changeset", LongType(), True),
+                            StructField("uid", LongType(), True),
+                            StructField("user", StringType(), True),
+                            StructField("visible", BooleanType(), True),
+                        ]
+                    ),
+                    True,
+                )
+            )
+        if _bool_opt(self.options, "with_pos"):
+            fields.append(StructField("_pos", LongType(), False))
+        return StructType(fields)
+
+    def reader(self, schema: StructType) -> "OsmPbfReader":
+        return OsmPbfReader(self.options, schema)
+
+
+class OsmPbfReader(DataSourceReader):
+    def __init__(self, options, schema: StructType):
+        self.options = options
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("osmpbf requires a path")
+        self.primitive = options.get("primitive", "node")
+        self.tags_as = options.get("tags_as", "map")
+        self.with_meta = _bool_opt(options, "with_meta")
+        self.with_pos = _bool_opt(options, "with_pos")
+        self.target = int(
+            options.get("partition_target_bytes", 32 * 1024 * 1024)
+        )
+
+    # ------------------------------------------------------------- planning
+    def partitions(self) -> list[OsmPbfPartition]:
+        """Block-aligned split planning (supersedes FileInputFormat.getSplits
+        + per-reader resync). Bin-packs consecutive blocks of each file until
+        ``partition_target_bytes`` of compressed payload; block order within
+        a partition is preserved so delta chains stay intact per block."""
+        parts: list[OsmPbfPartition] = []
+        for path in _resolve_paths(self.path):
+            ranges: list[tuple[int, int]] = []
+            acc = 0
+            for meta in decode.index_blocks(path):
+                if meta.block_type != "OSMData":
+                    continue
+                ranges.append((meta.data_offset, meta.data_size))
+                acc += meta.data_size
+                if acc >= self.target:
+                    parts.append(OsmPbfPartition(path, ranges))
+                    ranges, acc = [], 0
+            if ranges:
+                parts.append(OsmPbfPartition(path, ranges))
+        if not parts:  # empty file: one empty partition keeps schema flowing
+            parts.append(OsmPbfPartition(_resolve_paths(self.path)[0], []))
+        return parts
+
+    # -------------------------------------------------------------- reading
+    def read(self, partition: OsmPbfPartition):
+        with open(partition.path, "rb") as f:
+            for offset, size in partition.ranges:
+                payload = decode.read_block_payload(
+                    f, decode.BlockMeta("OSMData", offset, size)
+                )
+                bd = decode.BlockDecoder(payload)
+                # type projection: skip blocks with no group of our type
+                # (the Spark analog of OsmPbfRecordReader.java:283-290)
+                kinds = set(bd.group_types())
+                want = {
+                    "node": {decode.GROUP_NODES, decode.GROUP_DENSE},
+                    "way": {decode.GROUP_WAYS},
+                    "relation": {decode.GROUP_RELATIONS},
+                }[self.primitive]
+                if not kinds & want:
+                    continue
+                if self.primitive == "node":
+                    cols = bd.decode_nodes()
+                elif self.primitive == "way":
+                    cols = bd.decode_ways()
+                else:
+                    cols = bd.decode_relations()
+                n = len(cols["id"])
+                if n == 0:
+                    continue
+                yield self._to_batch(cols, n, offset)
+
+    def _to_batch(self, cols, n: int, block_offset: int) -> pa.RecordBatch:
+        arrays: list[pa.Array] = [pa.array(cols["id"], type=pa.int64())]
+        names = ["id"]
+        if self.primitive == "node":
+            arrays += [
+                pa.array(cols["lat"], type=pa.float64()),
+                pa.array(cols["lon"], type=pa.float64()),
+            ]
+            names += ["lat", "lon"]
+        elif self.primitive == "way":
+            arrays.append(
+                pa.ListArray.from_arrays(
+                    pa.array(cols["ref_offsets"], type=pa.int32()),
+                    pa.array(cols["ref_values"], type=pa.int64()),
+                )
+            )
+            names.append("refs")
+        else:
+            member = pa.StructArray.from_arrays(
+                [
+                    pa.array(cols["member_roles"], type=pa.string()),
+                    pa.array(cols["member_refs"], type=pa.int64()),
+                    pa.array(cols["member_types"], type=pa.string()),
+                ],
+                names=["role", "ref", "type"],
+            )
+            arrays.append(
+                pa.ListArray.from_arrays(
+                    pa.array(cols["member_offsets"], type=pa.int32()), member
+                )
+            )
+            names.append("members")
+        # tags: Arrow MapArray straight from the flattened decode layout —
+        # zero per-row work; or the legacy lossy string for parity.
+        if self.tags_as == "map":
+            arrays.append(
+                pa.MapArray.from_arrays(
+                    pa.array(cols["tag_offsets"], type=pa.int32()),
+                    pa.array(cols["tag_keys"], type=pa.string()),
+                    pa.array(cols["tag_vals"], type=pa.string()),
+                )
+            )
+        else:
+            offs = cols["tag_offsets"]
+            pairs = np.array(
+                [
+                    f"{k}:{v};"
+                    for k, v in zip(cols["tag_keys"], cols["tag_vals"])
+                ],
+                dtype=object,
+            )
+            strings = [
+                "".join(pairs[offs[i] : offs[i + 1]]) for i in range(n)
+            ]
+            arrays.append(pa.array(strings, type=pa.string()))
+        names.append("tags")
+        if self.with_meta:
+            ts_ms = cols["meta_timestamp_ms"]
+            ts_mask = ts_ms == _TS_SENTINEL
+            ts = np.where(ts_mask, 0, ts_ms) * 1000  # ms -> us, no overflow
+            num_mask = lambda a: pa.array(a, type=pa.int64(), mask=a == _TS_SENTINEL)  # noqa: E731
+            meta = pa.StructArray.from_arrays(
+                [
+                    pa.array(
+                        cols["meta_version"],
+                        type=pa.int32(),
+                        mask=cols["meta_version"] == -1,
+                    ),
+                    pa.array(ts, type=pa.timestamp("us"), mask=ts_mask),
+                    num_mask(cols["meta_changeset"]),
+                    num_mask(cols["meta_uid"]),
+                    pa.array(cols["meta_user"], type=pa.string()),
+                    pa.array(cols["meta_visible"], type=pa.bool_()),
+                ],
+                names=[
+                    "version",
+                    "timestamp",
+                    "changeset",
+                    "uid",
+                    "user",
+                    "visible",
+                ],
+            )
+            arrays.append(meta)
+            names.append("meta")
+        if self.with_pos:
+            arrays.append(
+                pa.array(np.full(n, block_offset, dtype=np.int64))
+            )
+            names.append("_pos")
+        return pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+def register(spark) -> None:
+    """Register the osmpbf format on a session (idempotent)."""
+    spark.dataSource.register(OsmPbfDataSource)
+
+
+def read_pbf(spark, path: str, primitive: str = "node", **options):
+    """Convenience: ``spark.read.format("osmpbf")`` with options."""
+    reader = spark.read.format("osmpbf").option("path", path).option(
+        "primitive", primitive
+    )
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.load()

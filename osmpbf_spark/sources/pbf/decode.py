@@ -1,0 +1,612 @@
+"""OSM PBF scan pipeline: block index, blob decode, columnar block decode.
+
+This is the engine-side replacement for the reference's scan pipeline
+(OsmPbfRecordReader.java:96-293), redesigned for Spark's execution model:
+
+- **Exact block index instead of signature resync.** The reference starts a
+  reader anywhere in the file and scans forward for the ASCII ``"OSMData"``
+  signature (OsmPbfRecordReader.java:96-129). We instead walk the BlobHeader
+  chain once (4-byte length + tiny header + seek past the payload — O(#blocks)
+  with ~20 bytes read per block) and hand each Spark partition an exact list
+  of block ranges. Every block is read exactly once by construction; no
+  resync, no read-past-split-end protocol (java:364-384) needed.
+- **Columnar decode.** DenseNodes already store id/lat/lon as packed delta
+  arrays (osmformat.proto "We represent these nodes columnwise"); we keep
+  them columnar — numpy cumsum for deltas, one vectorized pass per field —
+  instead of materializing per-record objects (java:225-268 decodes one node
+  per call). Output feeds Arrow RecordBatches straight into Spark.
+- **Correctness fixes over the reference** (SURVEY.md §1.4, treated as spec
+  decisions): coordinate offset applied once per absolute value, not re-added
+  per delta (java:239-240); no stale-tag carry-over (java:242-262); way/
+  relation groups decode fully with bounds respected (java:187-223); tags are
+  a real map, with the lossy legacy ``"k:v;"`` string available for parity.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+
+from osmpbf_spark.sources.pbf import wire
+
+# fileformat.proto field numbers
+BLOBHEADER_TYPE = 1
+BLOBHEADER_DATASIZE = 3
+BLOB_RAW = 1
+BLOB_RAW_SIZE = 2
+BLOB_ZLIB = 3
+
+# osmformat.proto field numbers
+PB_STRINGTABLE = 1
+PB_GROUP = 2
+PB_GRANULARITY = 17
+PB_DATE_GRANULARITY = 18
+PB_LAT_OFFSET = 19
+PB_LON_OFFSET = 20
+
+GROUP_NODES = 1
+GROUP_DENSE = 2
+GROUP_WAYS = 3
+GROUP_RELATIONS = 4
+
+DENSE_ID = 1
+DENSE_INFO = 5
+DENSE_LAT = 8
+DENSE_LON = 9
+DENSE_KEYS_VALS = 10
+
+NODE_ID = 1
+NODE_KEYS = 2
+NODE_VALS = 3
+NODE_INFO = 4
+NODE_LAT = 8
+NODE_LON = 9
+
+WAY_ID = 1
+WAY_KEYS = 2
+WAY_VALS = 3
+WAY_INFO = 4
+WAY_REFS = 8
+
+REL_ID = 1
+REL_KEYS = 2
+REL_VALS = 3
+REL_INFO = 4
+REL_ROLES_SID = 8
+REL_MEMIDS = 9
+REL_TYPES = 10
+
+INFO_VERSION = 1
+INFO_TIMESTAMP = 2
+INFO_CHANGESET = 3
+INFO_UID = 4
+INFO_USER_SID = 5
+INFO_VISIBLE = 6
+
+MEMBER_TYPES = np.array(["node", "way", "relation"], dtype=object)
+
+HEADER_REQUIRED_FEATURES = 4
+HEADER_OPTIONAL_FEATURES = 5
+HEADER_WRITINGPROGRAM = 16
+
+
+@dataclass(frozen=True)
+class BlockMeta:
+    """One FileBlock: where its Blob payload lives and what it is."""
+
+    block_type: str  # "OSMHeader" | "OSMData"
+    data_offset: int  # file offset of the Blob message
+    data_size: int  # length of the Blob message
+
+
+def index_blocks(path: str) -> list[BlockMeta]:
+    """Walk the BlobHeader chain and return the exact block index.
+
+    Driver-side split planning (supersedes FileInputFormat.getSplits +
+    signature resync, OsmPbfInputFormat.java:13-19 / OsmPbfRecordReader.java:
+    96-129). Cost: one ~20-byte read + one seek per block, so ~2k reads for a
+    32 GB planet file with 16 MB blocks — trivial even at 100 TB spread over
+    many files (index each file in parallel tasks if the file count is huge).
+    """
+    blocks: list[BlockMeta] = []
+    with open(path, "rb") as f:
+        while True:
+            lenbuf = f.read(4)
+            if len(lenbuf) < 4:
+                break
+            (header_len,) = struct.unpack(">i", lenbuf)
+            header = f.read(header_len)
+            btype = ""
+            datasize = 0
+            for field, _wt, v in wire.scan_fields(header):
+                if field == BLOBHEADER_TYPE:
+                    btype = v.decode("utf-8")
+                elif field == BLOBHEADER_DATASIZE:
+                    datasize = v
+            blocks.append(BlockMeta(btype, f.tell(), datasize))
+            f.seek(datasize, 1)
+    return blocks
+
+
+def read_block_payload(f, meta: BlockMeta) -> bytes:
+    """Read + decompress one Blob into its raw payload bytes.
+
+    Replaces OsmPbfRecordReader.java:153-185; we additionally accept raw
+    (uncompressed) blobs, which the reference rejects (§1.4.6).
+    """
+    f.seek(meta.data_offset)
+    blob = f.read(meta.data_size)
+    raw = None
+    raw_size = None
+    zlib_data = None
+    for field, _wt, v in wire.scan_fields(blob):
+        if field == BLOB_RAW:
+            raw = v
+        elif field == BLOB_RAW_SIZE:
+            raw_size = v
+        elif field == BLOB_ZLIB:
+            zlib_data = v
+        else:
+            raise ValueError(
+                f"unsupported blob compression (field {field}); "
+                "only raw and zlib are implemented"
+            )
+    if raw is not None:
+        return raw
+    if zlib_data is not None:
+        out = zlib.decompress(zlib_data)
+        if raw_size is not None and len(out) != raw_size:
+            raise ValueError(f"blob raw_size {raw_size} != inflated {len(out)}")
+        return out
+    raise ValueError("empty blob")
+
+
+def decode_header_block(payload: bytes) -> dict:
+    """HeaderBlock -> metadata dict (the reference reads it only to skip it,
+    OsmPbfRecordReader.java:131-147; we surface it via `osmpbf_header`)."""
+    required: list[str] = []
+    optional: list[str] = []
+    program = None
+    for field, _wt, v in wire.scan_fields(payload):
+        if field == HEADER_REQUIRED_FEATURES:
+            required.append(v.decode("utf-8"))
+        elif field == HEADER_OPTIONAL_FEATURES:
+            optional.append(v.decode("utf-8"))
+        elif field == HEADER_WRITINGPROGRAM:
+            program = v.decode("utf-8")
+    return {
+        "required_features": required,
+        "optional_features": optional,
+        "writingprogram": program,
+    }
+
+
+# ---------------------------------------------------------------------------
+# PrimitiveBlock decode
+# ---------------------------------------------------------------------------
+
+
+def _decode_string_table(buf: bytes) -> np.ndarray:
+    vals = [v for field, _wt, v in wire.scan_fields(buf) if field == 1]
+    return np.array([s.decode("utf-8", "replace") for s in vals], dtype=object)
+
+
+def _empty_tags(n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    return (
+        np.zeros(n + 1, dtype=np.int64),
+        np.empty(0, dtype=object),
+        np.empty(0, dtype=object),
+    )
+
+
+class BlockDecoder:
+    """Decode one PrimitiveBlock into columnar arrays for one primitive type.
+
+    Tags come out flattened as (offsets[n+1], keys[], vals[]) — exactly the
+    layout of an Arrow MapArray, so the data source builds map columns with
+    zero per-row work. ``with_meta`` adds Info/DenseInfo provenance columns
+    (version, timestamp_ms, changeset, uid, user, visible) that the reference
+    decodes but drops (SURVEY §1.3).
+    """
+
+    def __init__(self, payload: bytes):
+        self.granularity = 100
+        self.date_granularity = 1000
+        self.lat_offset = 0
+        self.lon_offset = 0
+        self.strings: np.ndarray = np.empty(0, dtype=object)
+        self.groups: list[bytes] = []
+        for field, _wt, v in wire.scan_fields(payload):
+            if field == PB_STRINGTABLE:
+                self.strings = _decode_string_table(v)
+            elif field == PB_GROUP:
+                self.groups.append(v)
+            elif field == PB_GRANULARITY:
+                self.granularity = v
+            elif field == PB_DATE_GRANULARITY:
+                self.date_granularity = v
+            elif field == PB_LAT_OFFSET:
+                self.lat_offset = wire.zigzag_decode(v) if v else 0
+            elif field == PB_LON_OFFSET:
+                self.lon_offset = wire.zigzag_decode(v) if v else 0
+
+    # -- coordinate scaling (offset applied once per absolute value; fixes
+    # the reference's per-delta re-add, OsmPbfRecordReader.java:239-240) ----
+    def _scale(self, raw: np.ndarray, offset: int) -> np.ndarray:
+        return 1e-9 * (offset + self.granularity * raw.astype(np.float64))
+
+    def group_types(self) -> list[int]:
+        """Which group kinds this block holds (for type-projection skipping,
+        the Spark analog of OsmPbfRecordReader.java:283-290)."""
+        kinds = []
+        for g in self.groups:
+            kind = 0
+            for field, _wt, _v in wire.scan_fields(g):
+                if field in (GROUP_NODES, GROUP_DENSE, GROUP_WAYS, GROUP_RELATIONS):
+                    kind = field
+                    break
+            kinds.append(kind)
+        return kinds
+
+    # ------------------------------------------------------------------ nodes
+    def decode_nodes(self) -> dict[str, np.ndarray]:
+        """All nodes in the block (dense + plain), columnar."""
+        parts = []
+        for g in self.groups:
+            dense = []
+            plain = []
+            for field, _wt, v in wire.scan_fields(g):
+                if field == GROUP_DENSE:
+                    dense.append(v)
+                elif field == GROUP_NODES:
+                    plain.append(v)
+            for d in dense:
+                parts.append(self._decode_dense(d))
+            if plain:
+                parts.append(self._decode_plain_nodes(plain))
+        return _concat_columns(parts, self._node_empty())
+
+    def _node_empty(self) -> dict[str, np.ndarray]:
+        off, k, v = _empty_tags(0)
+        return {
+            "id": np.empty(0, dtype=np.int64),
+            "lat": np.empty(0, dtype=np.float64),
+            "lon": np.empty(0, dtype=np.float64),
+            "tag_offsets": off,
+            "tag_keys": k,
+            "tag_vals": v,
+            **_empty_meta(0),
+        }
+
+    def _decode_dense(self, buf: bytes) -> dict[str, np.ndarray]:
+        ids = lats = lons = np.empty(0, dtype=np.int64)
+        keys_vals = np.empty(0, dtype=np.int64)
+        info_buf = None
+        for field, _wt, v in wire.scan_fields(buf):
+            if field == DENSE_ID:
+                ids = np.cumsum(wire.decode_packed_sint(v))
+            elif field == DENSE_LAT:
+                lats = np.cumsum(wire.decode_packed_sint(v))
+            elif field == DENSE_LON:
+                lons = np.cumsum(wire.decode_packed_sint(v))
+            elif field == DENSE_KEYS_VALS:
+                keys_vals = wire.decode_packed_int(v)
+            elif field == DENSE_INFO:
+                info_buf = v
+        n = len(ids)
+        off, keys, vals = self._dense_tags(keys_vals, n)
+        meta = (
+            self._decode_dense_info(info_buf, n)
+            if info_buf is not None
+            else _empty_meta(n, fill=True)
+        )
+        return {
+            "id": ids.astype(np.int64),
+            "lat": self._scale(lats, self.lat_offset),
+            "lon": self._scale(lons, self.lon_offset),
+            "tag_offsets": off,
+            "tag_keys": keys,
+            "tag_vals": vals,
+            **meta,
+        }
+
+    def _dense_tags(
+        self, kv: np.ndarray, n: int
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """keys_vals is ((k,v)* 0)* — zero-delimited per-node runs. Vectorized:
+        zero positions give per-node run lengths; everything else alternates
+        key/value string-table ids. No stale-tag carry-over (§1.4.2)."""
+        if len(kv) == 0:
+            return _empty_tags(n)
+        zero_pos = np.flatnonzero(kv == 0)
+        # pairs per node = (run length) / 2
+        run_start = np.empty_like(zero_pos)
+        run_start[0] = 0
+        run_start[1:] = zero_pos[:-1] + 1
+        pairs = (zero_pos - run_start) // 2
+        k = min(len(pairs), n)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(pairs[:k], out=offsets[1 : k + 1])
+        if k < n:  # trailing untagged nodes have no run at all
+            offsets[k + 1 :] = offsets[k]
+        nonzero = kv[kv != 0]
+        keys = self.strings[nonzero[0::2]]
+        vals = self.strings[nonzero[1::2]]
+        return offsets, keys, vals
+
+    def _decode_plain_nodes(self, bufs: list[bytes]) -> dict[str, np.ndarray]:
+        """Plain (non-dense) Node messages — the reference never parses these
+        (SURVEY §1.3); we do, for format completeness."""
+        ids, lats, lons = [], [], []
+        koffs = [0]
+        keys: list = []
+        vals: list = []
+        metas = []
+        for buf in bufs:
+            nid = lat = lon = 0
+            ksids = vsids = None
+            info = None
+            for field, _wt, v in wire.scan_fields(buf):
+                if field == NODE_ID:
+                    nid = wire.zigzag_decode(v)
+                elif field == NODE_LAT:
+                    lat = wire.zigzag_decode(v)
+                elif field == NODE_LON:
+                    lon = wire.zigzag_decode(v)
+                elif field == NODE_KEYS:
+                    ksids = wire.decode_packed_uint(v)
+                elif field == NODE_VALS:
+                    vsids = wire.decode_packed_uint(v)
+                elif field == NODE_INFO:
+                    info = v
+            ids.append(nid)
+            lats.append(lat)
+            lons.append(lon)
+            if ksids is not None and len(ksids):
+                keys.extend(self.strings[ksids.astype(np.int64)])
+                vals.extend(self.strings[vsids.astype(np.int64)])
+                koffs.append(koffs[-1] + len(ksids))
+            else:
+                koffs.append(koffs[-1])
+            metas.append(self._decode_info(info))
+        return {
+            "id": np.array(ids, dtype=np.int64),
+            "lat": self._scale(np.array(lats, dtype=np.int64), self.lat_offset),
+            "lon": self._scale(np.array(lons, dtype=np.int64), self.lon_offset),
+            "tag_offsets": np.array(koffs, dtype=np.int64),
+            "tag_keys": np.array(keys, dtype=object),
+            "tag_vals": np.array(vals, dtype=object),
+            **_stack_meta(metas),
+        }
+
+    # ------------------------------------------------------------------- ways
+    def decode_ways(self) -> dict[str, np.ndarray]:
+        ids = []
+        ref_arrays = []
+        koffs = [0]
+        keys: list = []
+        vals: list = []
+        metas = []
+        for g in self.groups:
+            for field, _wt, v in wire.scan_fields(g):
+                if field != GROUP_WAYS:
+                    continue
+                wid = 0
+                ksids = vsids = None
+                refs = np.empty(0, dtype=np.int64)
+                info = None
+                for f2, _w2, v2 in wire.scan_fields(v):
+                    if f2 == WAY_ID:
+                        wid = v2
+                    elif f2 == WAY_KEYS:
+                        ksids = wire.decode_packed_uint(v2)
+                    elif f2 == WAY_VALS:
+                        vsids = wire.decode_packed_uint(v2)
+                    elif f2 == WAY_REFS:
+                        refs = np.cumsum(wire.decode_packed_sint(v2))
+                    elif f2 == WAY_INFO:
+                        info = v2
+                ids.append(wid)
+                ref_arrays.append(refs.astype(np.int64))
+                if ksids is not None and len(ksids):
+                    keys.extend(self.strings[ksids.astype(np.int64)])
+                    vals.extend(self.strings[vsids.astype(np.int64)])
+                    koffs.append(koffs[-1] + len(ksids))
+                else:
+                    koffs.append(koffs[-1])
+                metas.append(self._decode_info(info))
+        ref_offsets = np.zeros(len(ids) + 1, dtype=np.int64)
+        if ref_arrays:
+            np.cumsum([len(r) for r in ref_arrays], out=ref_offsets[1:])
+        return {
+            "id": np.array(ids, dtype=np.int64),
+            "ref_offsets": ref_offsets,
+            "ref_values": (
+                np.concatenate(ref_arrays)
+                if ref_arrays
+                else np.empty(0, dtype=np.int64)
+            ),
+            "tag_offsets": np.array(koffs, dtype=np.int64),
+            "tag_keys": np.array(keys, dtype=object),
+            "tag_vals": np.array(vals, dtype=object),
+            **_stack_meta(metas),
+        }
+
+    # -------------------------------------------------------------- relations
+    def decode_relations(self) -> dict[str, np.ndarray]:
+        """Relations — declared-but-unimplemented in the reference
+        (README.md:4, OsmPbfRecordReader.java:291); implemented here."""
+        ids = []
+        moffs = [0]
+        roles: list = []
+        mrefs = []
+        mtypes: list = []
+        koffs = [0]
+        keys: list = []
+        vals: list = []
+        metas = []
+        for g in self.groups:
+            for field, _wt, v in wire.scan_fields(g):
+                if field != GROUP_RELATIONS:
+                    continue
+                rid = 0
+                ksids = vsids = None
+                role_sids = np.empty(0, dtype=np.int64)
+                memids = np.empty(0, dtype=np.int64)
+                types = np.empty(0, dtype=np.int64)
+                info = None
+                for f2, _w2, v2 in wire.scan_fields(v):
+                    if f2 == REL_ID:
+                        rid = v2
+                    elif f2 == REL_KEYS:
+                        ksids = wire.decode_packed_uint(v2)
+                    elif f2 == REL_VALS:
+                        vsids = wire.decode_packed_uint(v2)
+                    elif f2 == REL_ROLES_SID:
+                        role_sids = wire.decode_packed_int(v2)
+                    elif f2 == REL_MEMIDS:
+                        memids = np.cumsum(wire.decode_packed_sint(v2))
+                    elif f2 == REL_TYPES:
+                        types = wire.decode_packed_int(v2)
+                    elif f2 == REL_INFO:
+                        info = v2
+                ids.append(rid)
+                roles.extend(self.strings[role_sids])
+                mrefs.append(memids.astype(np.int64))
+                mtypes.extend(MEMBER_TYPES[types])
+                moffs.append(moffs[-1] + len(memids))
+                if ksids is not None and len(ksids):
+                    keys.extend(self.strings[ksids.astype(np.int64)])
+                    vals.extend(self.strings[vsids.astype(np.int64)])
+                    koffs.append(koffs[-1] + len(ksids))
+                else:
+                    koffs.append(koffs[-1])
+                metas.append(self._decode_info(info))
+        return {
+            "id": np.array(ids, dtype=np.int64),
+            "member_offsets": np.array(moffs, dtype=np.int64),
+            "member_roles": np.array(roles, dtype=object),
+            "member_refs": (
+                np.concatenate(mrefs) if mrefs else np.empty(0, dtype=np.int64)
+            ),
+            "member_types": np.array(mtypes, dtype=object),
+            "tag_offsets": np.array(koffs, dtype=np.int64),
+            "tag_keys": np.array(keys, dtype=object),
+            "tag_vals": np.array(vals, dtype=object),
+            **_stack_meta(metas),
+        }
+
+    # ------------------------------------------------------------------- meta
+    def _decode_info(self, buf: bytes | None) -> dict:
+        out = {
+            "version": -1,
+            "timestamp_ms": None,
+            "changeset": None,
+            "uid": None,
+            "user": None,
+            "visible": True,
+        }
+        if buf is None:
+            return out
+        for field, _wt, v in wire.scan_fields(buf):
+            if field == INFO_VERSION:
+                out["version"] = np.int64(v).astype(np.int32)
+            elif field == INFO_TIMESTAMP:
+                out["timestamp_ms"] = v * self.date_granularity
+            elif field == INFO_CHANGESET:
+                out["changeset"] = v
+            elif field == INFO_UID:
+                out["uid"] = v
+            elif field == INFO_USER_SID:
+                out["user"] = self.strings[v]
+            elif field == INFO_VISIBLE:
+                out["visible"] = bool(v)
+        return out
+
+    def _decode_dense_info(self, buf: bytes, n: int) -> dict[str, np.ndarray]:
+        version = np.full(n, -1, dtype=np.int32)
+        timestamp = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+        changeset = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+        uid = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+        user = np.full(n, None, dtype=object)
+        visible = np.ones(n, dtype=bool)
+        for field, _wt, v in wire.scan_fields(buf):
+            if field == 1:
+                version[: len(v)] = wire.decode_packed_int(v)[:n]
+            elif field == 2:
+                ts = np.cumsum(wire.decode_packed_sint(v))[:n]
+                timestamp[: len(ts)] = ts * self.date_granularity
+            elif field == 3:
+                cs = np.cumsum(wire.decode_packed_sint(v))[:n]
+                changeset[: len(cs)] = cs
+            elif field == 4:
+                u = np.cumsum(wire.decode_packed_sint(v))[:n]
+                uid[: len(u)] = u
+            elif field == 5:
+                us = np.cumsum(wire.decode_packed_sint(v))[:n]
+                user[: len(us)] = self.strings[us]
+            elif field == 6:
+                vis = wire.decode_packed_int(v)[:n]
+                visible[: len(vis)] = vis.astype(bool)
+        return {
+            "meta_version": version,
+            "meta_timestamp_ms": timestamp,
+            "meta_changeset": changeset,
+            "meta_uid": uid,
+            "meta_user": user,
+            "meta_visible": visible,
+        }
+
+
+def _empty_meta(n: int, fill: bool = False) -> dict[str, np.ndarray]:
+    return {
+        "meta_version": np.full(n, -1, dtype=np.int32),
+        "meta_timestamp_ms": np.full(n, np.iinfo(np.int64).min, dtype=np.int64),
+        "meta_changeset": np.full(n, np.iinfo(np.int64).min, dtype=np.int64),
+        "meta_uid": np.full(n, np.iinfo(np.int64).min, dtype=np.int64),
+        "meta_user": np.full(n, None, dtype=object),
+        "meta_visible": np.ones(n, dtype=bool),
+    }
+
+
+def _stack_meta(metas: list[dict]) -> dict[str, np.ndarray]:
+    n = len(metas)
+    out = _empty_meta(n)
+    sentinel = np.iinfo(np.int64).min
+    for i, m in enumerate(metas):
+        out["meta_version"][i] = m["version"]
+        out["meta_timestamp_ms"][i] = (
+            m["timestamp_ms"] if m["timestamp_ms"] is not None else sentinel
+        )
+        out["meta_changeset"][i] = (
+            m["changeset"] if m["changeset"] is not None else sentinel
+        )
+        out["meta_uid"][i] = m["uid"] if m["uid"] is not None else sentinel
+        out["meta_user"][i] = m["user"]
+        out["meta_visible"][i] = m["visible"]
+    return out
+
+
+def _concat_columns(
+    parts: list[dict[str, np.ndarray]], empty: dict[str, np.ndarray]
+) -> dict[str, np.ndarray]:
+    """Concatenate per-group columnar dicts, rebasing offset columns."""
+    if not parts:
+        return empty
+    if len(parts) == 1:
+        return parts[0]
+    out: dict[str, np.ndarray] = {}
+    for col in parts[0]:
+        if col.endswith("_offsets"):
+            base = 0
+            segs = [np.zeros(1, dtype=np.int64)]
+            for p in parts:
+                segs.append(p[col][1:] + base)
+                base += p[col][-1]
+            out[col] = np.concatenate(segs)
+        else:
+            out[col] = np.concatenate([p[col] for p in parts])
+    return out

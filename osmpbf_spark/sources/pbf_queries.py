@@ -1,1 +1,177 @@
-"""Placeholder — filled in by a later milestone."""
+"""SURVEY.md §2A — registered queries over the osmpbf data source.
+
+Each query reads the committed golden fixture (fixtures/fixture.osm.pbf,
+structurally identical to the reference's temp.dat — FIXTURES.md) through
+``spark.read.format("osmpbf")``, and its DuckDB oracle reads the parquet
+images of the *same decoded content* (fixtures/osm_*.parquet, produced by
+the engine's own decode pipeline at fixture-build time). A hash match
+therefore checks the entire encode -> block index -> partition -> vectorized
+decode -> Arrow -> Spark path row-by-row against an independent engine.
+
+The fixture is small, but every plan here is the 100 TB shape: the scan is
+block-partitioned, filters/projections sit directly on the scan, the
+way->node resolution join shuffles on the join key only after exploding
+per-partition, and the grid aggregation is the README's worked example
+(reference README.md:24-35) with shuffle volume bounded by 2048^2 tiles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osmpbf_spark.catalog import query
+from osmpbf_spark.sources.pbf.datasource import read_pbf
+from osmpbf_spark.sources.pbf.fixture import ensure_fixture
+
+_DIR = ensure_fixture()
+_PBF = f"{_DIR}/fixture.osm.pbf"
+
+# Legacy "k:v;" tag string (OsmPbfRecordReader.java:194-204) from the map.
+_TAGS_STR = (
+    "array_join(transform(map_entries(tags), e -> concat(e.key, ':', e.value, ';')), '')"
+)
+
+
+@query(
+    "q_pbf_scan_nodes",
+    oracle=f"""
+    SELECT id, lat, lon FROM read_parquet('{_DIR}/osm_nodes.parquet')
+    WHERE lat BETWEEN 10.3 AND 10.6
+    """,
+    tags=("pbf",),
+)
+def q_pbf_scan_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-node scan + projection + range filter. The scan itself is the
+    reference's whole job (OsmPbfRecordReader.java:225-268); here it is one
+    DataSource scan whose partitions are block-aligned byte ranges."""
+    nodes = read_pbf(spark, _PBF, "node")
+    return nodes.filter((F.col("lat") >= 10.3) & (F.col("lat") <= 10.6)).select(
+        "id", "lat", "lon"
+    )
+
+
+@query(
+    "q_pbf_node_tags",
+    oracle=f"""
+    SELECT id, tags_str, n_tags FROM read_parquet('{_DIR}/osm_nodes.parquet')
+    WHERE n_tags > 0
+    """,
+    tags=("pbf",),
+)
+def q_pbf_node_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag-map handling + the legacy lossy string duality (SURVEY §1.4.1):
+    tags decode to a real MapType; the reference's 'k:v;' concatenation is a
+    derived expression, checked byte-for-byte against the image."""
+    nodes = read_pbf(spark, _PBF, "node")
+    return (
+        nodes.select(
+            "id",
+            F.expr(_TAGS_STR).alias("tags_str"),
+            F.size(F.map_keys("tags")).alias("n_tags"),
+        )
+        .filter(F.col("n_tags") > 0)
+    )
+
+
+@query(
+    "q_pbf_ways_bag",
+    oracle=f"""
+    SELECT id, unnest(range(1, len(refs)+1)) AS pos, unnest(refs) AS nodeid
+    FROM read_parquet('{_DIR}/osm_ways.parquet')
+    """,
+    tags=("pbf",),
+)
+def q_pbf_ways_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pig way schema `(id, bag{(pos, nodeid)}, tags)` with 1-based pos
+    (OSMPbfPigLoader.java:58-67) as posexplode — on actual decoded PBF ways
+    this time, not a surrogate table. Runs inside codegen, no shuffle."""
+    ways = read_pbf(spark, _PBF, "way")
+    return ways.select(
+        "id", F.posexplode("refs").alias("pos0", "nodeid")
+    ).select("id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "nodeid")
+
+
+@query(
+    "q_pbf_grid_agg",
+    oracle=f"""
+    SELECT CAST(FLOOR((lat + 90) * 2048 / 180) * 2048
+              + FLOOR((lon + 180) * 2048 / 360) AS BIGINT) AS tile,
+           COUNT(*) AS cnt
+    FROM read_parquet('{_DIR}/osm_nodes.parquet')
+    GROUP BY tile
+    """,
+    tags=("pbf", "agg"),
+)
+def q_pbf_grid_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The README's own worked example (reference README.md:24-35): bin node
+    coords into a 2048x2048 grid, count per tile — on PBF-decoded nodes.
+    Partial agg map-side; shuffle bounded by #tiles, not #nodes."""
+    nodes = read_pbf(spark, _PBF, "node")
+    tile = (
+        F.floor((F.col("lat") + 90) * 2048 / 180) * 2048
+        + F.floor((F.col("lon") + 180) * 2048 / 360)
+    ).cast("bigint")
+    return nodes.groupBy(tile.alias("tile")).agg(F.count("*").alias("cnt"))
+
+
+@query(
+    "q_pbf_join_way_nodes",
+    oracle=f"""
+    SELECT w.id AS way_id,
+           COUNT(n.id) AS n_resolved,
+           MIN(n.lat) AS min_lat,
+           MAX(n.lon) AS max_lon
+    FROM (SELECT id, unnest(refs) AS nodeid
+          FROM read_parquet('{_DIR}/osm_ways.parquet')) w
+    LEFT JOIN read_parquet('{_DIR}/osm_nodes.parquet') n ON w.nodeid = n.id
+    GROUP BY w.id
+    """,
+    tags=("pbf", "join"),
+)
+def q_pbf_join_way_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve way refs back to node coordinates — the join the PBF format
+    exists to enable (way refs are node ids, osmformat.proto Way.refs; the
+    reference emits them precisely so a downstream MR join can do this).
+    ~5% of refs dangle (FIXTURES.md), hence LEFT join + COUNT(n.id).
+    At scale: explode is per-partition; the join shuffles both sides on
+    nodeid; min/max (not sum/avg) keep the result order-insensitive-exact."""
+    ways = read_pbf(spark, _PBF, "way")
+    nodes = read_pbf(spark, _PBF, "node")
+    exploded = ways.select(
+        F.col("id").alias("way_id"), F.explode("refs").alias("nodeid")
+    )
+    return (
+        exploded.join(nodes, exploded.nodeid == nodes.id, "left")
+        .groupBy("way_id")
+        .agg(
+            F.count(nodes.id).alias("n_resolved"),
+            F.min("lat").alias("min_lat"),
+            F.max("lon").alias("max_lon"),
+        )
+    )
+
+
+@query(
+    "q_pbf_relations",
+    oracle=f"""
+    SELECT rel_id, pos, role, ref, type
+    FROM read_parquet('{_DIR}/osm_rel_members.parquet')
+    """,
+    tags=("pbf",),
+)
+def q_pbf_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relations, which the reference declares but never implements
+    (reference README.md:4, OsmPbfRecordReader.java:291) — parity-plus.
+    Members explode to (rel_id, pos, role, ref, type) rows."""
+    rels = read_pbf(spark, _PBF, "relation")
+    return rels.select(
+        F.col("id").alias("rel_id"),
+        F.posexplode("members").alias("pos0", "m"),
+    ).select(
+        "rel_id",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.col("m.role").alias("role"),
+        F.col("m.ref").alias("ref"),
+        F.col("m.type").alias("type"),
+    )

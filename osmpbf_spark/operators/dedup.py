@@ -1,1 +1,292 @@
-"""Placeholder — filled in by a later milestone."""
+"""SURVEY.md §2C — deduplication operators over ``documents.text``.
+
+Four dedup families, each designed for the 100 TB training-data pipeline
+(BASELINE.json north_star), never all-pairs:
+
+- **q_dedup_exact** — content-hash dedup: one hash aggregation, shuffle
+  volume = #distinct documents. The canonical first pass at any scale.
+- **q_dedup_ngram** — deterministic near-dup: candidate blocking on a text
+  prefix + exact 3-gram-shingle Jaccard verification. Fully SQL-expressible,
+  so it carries the DuckDB oracle for the near-dup semantics.
+- **q_dedup_near** — MinHash + banded LSH: the probabilistic scale path.
+  Signatures via one Arrow-batched pandas UDF (numpy-vectorized), then
+  band-bucket self-join (cost ~ sum of bucket sizes squared, not N^2),
+  then exact shingle-Jaccard verification of candidates only.
+- **q_dedup_simhash** — 64-bit SimHash with 16-bit chunk blocking (any
+  near-identical pair shares >=1 of 4 chunks for hamming<=3 by pigeonhole),
+  hamming distance via xor + bit_count, all JVM-side after the signature.
+
+Shingle hashing uses crc32 (stdlib, deterministic across workers); MinHash
+permutations are (a*h + b) mod (2^61-1) with seeded coefficients drawn
+below 2^31 so products stay inside uint64.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from osmpbf_spark.catalog import load, query
+
+# ---------------------------------------------------------------------------
+# signature functions (Arrow-batched pandas UDFs — the only Python in the
+# pipeline; everything around them is built-in JVM expressions)
+# ---------------------------------------------------------------------------
+
+MINHASH_K = 64
+LSH_BANDS = 16
+LSH_ROWS = 4  # K = BANDS * ROWS
+_rng = np.random.RandomState(42)
+# one independent 64-bit seed per MinHash function; mixing is splitmix64
+# (an affine (a*h+b) mod p family with 31-bit coefficients is NOT a valid
+# permutation family here: an element with a small base hash stays small
+# under every function, correlating all K mins and destroying the
+# P(min-equal) = jaccard property)
+_SEEDS = _rng.randint(0, 1 << 62, size=MINHASH_K).astype(np.uint64)
+
+
+def _splitmix64(h: np.ndarray) -> np.ndarray:
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
+
+
+def _shingles(text: str) -> set[str]:
+    toks = text.lower().split()
+    if len(toks) < 3:
+        return set(toks) or {""}
+    return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+
+def _minhash(text: str) -> np.ndarray:
+    sh = _shingles(text)
+    h = np.fromiter(
+        (zlib.crc32(s.encode()) for s in sh), dtype=np.uint64, count=len(sh)
+    )
+    # (n,1) ^ (k,) -> (n,k) mixed values; min over shingles per function.
+    # uint64 multiply wraps mod 2^64 (intended, splitmix64 semantics).
+    with np.errstate(over="ignore"):
+        vals = _splitmix64(h[:, None] ^ _SEEDS)
+    return vals.min(axis=0).view(np.int64)
+
+
+@pandas_udf(ArrayType(LongType()))
+def minhash_sig(texts: pd.Series) -> pd.Series:
+    return texts.map(_minhash)
+
+
+def _simhash(text: str) -> int:
+    toks = set(text.lower().split())
+    if not toks:
+        return 0
+    lo = np.fromiter((zlib.crc32(t.encode()) for t in toks), dtype=np.uint64)
+    hi = np.fromiter(
+        (zlib.crc32(t[::-1].encode()) for t in toks), dtype=np.uint64
+    )
+    h64 = (hi << np.uint64(32)) | lo
+    bits = (h64[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+    votes = bits.sum(axis=0).astype(np.int64) * 2 - len(toks)
+    out = 0
+    for i in range(64):
+        if votes[i] > 0:
+            out |= 1 << i
+    return out - (1 << 64) if out >= 1 << 63 else out
+
+
+@pandas_udf(LongType())
+def simhash_sig(texts: pd.Series) -> pd.Series:
+    return texts.map(_simhash)
+
+
+# shared Spark-side shingle expression (JVM, no UDF): word 3-grams, distinct
+_SHINGLES_EXPR = """
+CASE WHEN size(w) >= 3
+     THEN array_distinct(transform(sequence(0, size(w) - 3),
+                                   i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
+     ELSE array_distinct(w) END
+"""
+
+
+def _with_shingles(df: DataFrame) -> DataFrame:
+    return df.withColumn("w", F.split(F.lower("text"), " ")).withColumn(
+        "sh", F.expr(_SHINGLES_EXPR)
+    )
+
+
+def _jaccard_pairs(cand: DataFrame, docs: DataFrame, threshold: float) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate (doc_a, doc_b) pairs.
+    Two joins on doc_id (shuffle bounded by #candidates) + JVM set ops."""
+    sh = _with_shingles(docs).select("doc_id", "sh")
+    a = sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a")
+    b = sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b")
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# registered queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY content_hash
+    """,
+    tags=("dedup",),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: sha2(text) -> keep lowest doc_id per content hash.
+    One hash aggregation; at 100 TB the map-side partial collapses every
+    local duplicate before the exchange, and the shuffle carries one row
+    per distinct hash. (dropDuplicates is the same plan without the
+    keep-which-row control, so we aggregate explicitly.)"""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(F.sha2("text", 256).alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+@query(
+    "q_dedup_ngram",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, 50) AS pfx,
+             string_split(lower(text), ' ') AS w
+      FROM documents
+    ), s AS (
+      SELECT doc_id, pfx,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(range(1, len(w) - 1),
+                         i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))
+                  ELSE list_distinct(w) END AS sh
+      FROM d
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM s a JOIN s b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+    """,
+    tags=("dedup",),
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic near-dup: block on a 50-char text prefix (equi-join —
+    cost ~ sum of block sizes squared), verify candidates with exact word-
+    3-gram Jaccard, all with JVM array built-ins. SQL-expressible end to
+    end, so this query carries the oracle for near-dup semantics."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.substring("text", 1, 50).alias("pfx")
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("pfx"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("pfx"))
+    cand = a.join(b, "pfx").filter(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b"
+    )
+    return _jaccard_pairs(cand, d, 0.7)
+
+
+@query("q_dedup_near", oracle=None, tags=("dedup", "udf"))
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup — the 100 TB path.
+
+    1. signatures: one pandas UDF pass (64 permutations, numpy-vectorized
+       per Arrow batch);
+    2. banding: explode into 16 bands, bucket key = hash of the band's
+       4-long signature slice; self-join per (band, key) bucket. A pair at
+       jaccard 0.9 lands in >=1 shared bucket with p ~= 1 - (1-0.9^4)^16
+       ~ 0.9998; cost is per-bucket, never N^2;
+    3. exact verification of surviving candidates (shingle Jaccard >= 0.7).
+
+    Rows-only oracle by design (LSH is probabilistic); pytest pins recall
+    against all-pairs ground truth at sf0.001."""
+    d = load(spark, sf_dir, "documents")
+    sig = d.select("doc_id", minhash_sig("text").alias("sig"))
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band"),
+        F.col("sig"),
+    ).select(
+        "doc_id",
+        "band",
+        F.hash(F.expr(f"slice(sig, band * {LSH_ROWS} + 1, {LSH_ROWS})")).alias(
+            "bkey"
+        ),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", "bkey"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band", "bkey"
+    )
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _jaccard_pairs(cand, d, 0.7)
+
+
+@query("q_dedup_simhash", oracle=None, tags=("dedup", "udf"))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit signature, blocked on 4 x 16-bit chunks
+    (pigeonhole: hamming <= 3 implies at least one identical chunk), then
+    hamming = bit_count(xor) <= 3 JVM-side. Output pairs + hamming."""
+    d = load(spark, sf_dir, "documents")
+    sig = d.select("doc_id", simhash_sig("text").alias("simhash"))
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk"),
+    ).withColumn("ckey", F.expr("(simhash >> (chunk * 16)) & 65535"))
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sim_a"),
+        "chunk",
+        "ckey",
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+        "chunk",
+        "ckey",
+    )
+    return (
+        a.join(b, ["chunk", "ckey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(
+                F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )

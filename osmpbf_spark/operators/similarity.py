@@ -1,1 +1,158 @@
-"""Placeholder — filled in by a later milestone."""
+"""SURVEY.md §2C — similarity search over ``embeddings.embedding``.
+
+Two paths, mirroring what a 100 TB vector corpus needs:
+
+- **q_sim_search** — exact brute-force top-k cosine for a small query set:
+  broadcast the queries (BroadcastNestedLoopJoin — the big side streams,
+  never shuffles), JVM-side dot product, per-query top-k via a rank window
+  (WindowGroupLimit pushes the limit below the sort). This is the baseline
+  and the oracle-checked query: both engines compute the dot product as the
+  same left-to-right double-precision chain, so cosines are bit-identical
+  and the result hash-matches with no rounding.
+- **q_sim_search_lsh** — the scale path: random-hyperplane LSH. One pandas
+  UDF assigns each vector a signature-bit bucket; queries probe their own
+  bucket plus all hamming-1 neighbors (multiprobe); candidates are verified
+  with the exact cosine and top-k'd. Candidate count ~ (probes/2^bits) * N
+  instead of N per query; at 100 TB the bucket column is a partition/cluster
+  key so a probe touches only its buckets' files.
+
+Embeddings in the test data are unit-norm (verified in tests), so cosine ==
+dot product; the score expression computes the plain dot. DIM is fixed 64
+(the table's embedding width).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import IntegerType
+
+from osmpbf_spark.catalog import load, query
+
+DIM = 64
+N_QUERIES = 5
+TOP_K = 10
+LSH_BITS = 6  # 64 buckets
+LSH_TOP_K = 3
+
+# Spark-side dot product: explicit left-to-right double chain (bit-identical
+# to the oracle's unrolled SUM; aggregate's fold is (((0+t1)+t2)+...)).
+_DOT = (
+    "aggregate(zip_with(qe, embedding, (x, y) -> double(x) * double(y)), "
+    "0D, (acc, v) -> acc + v)"
+)
+
+
+def _oracle_dot(a: str, b: str) -> str:
+    """Unrolled 1-based dot product with every term cast to DOUBLE; explicit
+    + chain keeps DuckDB's addition order identical to Spark's fold."""
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, DIM + 1)
+    )
+
+
+@query(
+    "q_sim_search",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+         s AS (SELECT q.qid, c.vec_id, {_oracle_dot('q.qe', 'c.embedding')} AS cos
+               FROM q, embeddings c WHERE q.qid <> c.vec_id)
+    SELECT qid, vec_id, cos, rk FROM (
+      SELECT qid, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, vec_id) AS rk
+      FROM s)
+    WHERE rk <= {TOP_K}
+    """,
+    tags=("sim",),
+)
+def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k cosine (the exact baseline). Plan: broadcast the
+    {N_QUERIES}-row query side under a nested-loop join — the corpus side
+    streams through codegen with zero shuffle — then one rank window
+    partitioned by query id. Shuffle volume = candidates per query window,
+    and WindowGroupLimit prunes to top-k before the exchange."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    pairs = emb.join(F.broadcast(q), F.col("qid") != F.col("vec_id"))
+    scored = pairs.select("qid", "vec_id", F.expr(_DOT).alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("qid", "vec_id", "cos", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH path
+# ---------------------------------------------------------------------------
+
+_HYPERPLANES = np.random.RandomState(7).standard_normal((LSH_BITS, DIM))
+
+
+@pandas_udf(IntegerType())
+def lsh_bucket(emb: pd.Series) -> pd.Series:
+    """Random-hyperplane signature: bit i = sign(v . h_i). One matmul per
+    Arrow batch."""
+    m = np.stack(emb.to_numpy())  # (batch, DIM)
+    bits = (m @ _HYPERPLANES.T) > 0  # (batch, LSH_BITS)
+    vals = (bits << np.arange(LSH_BITS)).sum(axis=1)
+    return pd.Series(vals.astype(np.int32))
+
+
+@query("q_sim_search_lsh", oracle=None, tags=("sim", "udf"))
+def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH with hamming-1 multiprobe.
+
+    Candidates per query are the probed buckets' members instead of the
+    whole corpus; the verification cosine is the same exact double chain as
+    q_sim_search, so every returned score is exact — only recall is
+    approximate (pytest pins it against the brute-force oracle).
+    Rows-only check by design."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "bucket", lsh_bucket("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    # multiprobe: own bucket + all hamming-1 and hamming-2 neighbors
+    # (JVM-side bit flips; 22 of 64 buckets -> ~1/3 of the corpus scanned,
+    # measured recall@1 = 4/5 on near-orthogonal test vectors. Real
+    # embedding corpora have much closer neighbors, where fewer probes
+    # suffice; the probe set is the recall/cost dial.)
+    flips = [0] + [1 << i for i in range(LSH_BITS)]
+    flips += [
+        (1 << i) | (1 << j)
+        for i in range(LSH_BITS)
+        for j in range(i + 1, LSH_BITS)
+    ]
+    probes = q.select(
+        "qid",
+        "qe",
+        F.explode(
+            F.array(*[F.col("qbucket").bitwiseXOR(F.lit(m)) for m in flips])
+        ).alias("bucket"),
+    )
+    cand = probes.join(F.broadcast(emb.select("vec_id", "bucket")), "bucket")
+    cand = cand.filter(F.col("qid") != F.col("vec_id")).drop("bucket").distinct()
+    scored = (
+        cand.join(emb.select("vec_id", "embedding"), "vec_id")
+        .select("qid", "vec_id", F.expr(_DOT).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= LSH_TOP_K)
+        .select("qid", "vec_id", "cos", "rk")
+    )

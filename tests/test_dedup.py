@@ -1,0 +1,74 @@
+"""Dedup operator tests: oracle parity for the SQL-expressible queries and
+recall/precision invariants against all-pairs ground truth for the
+probabilistic ones (VERDICT.md round-1 item 4)."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from osmpbf_spark.catalog import REGISTRY, all_queries
+from osmpbf_spark.operators.dedup import _shingles
+from tests.conftest import SF_DIR
+from tests.parity import check_query
+
+all_queries()
+
+
+@pytest.fixture(scope="module")
+def truth(duck):
+    """All-pairs 3-gram-shingle Jaccard at sf0.001 (500 docs, driver-side —
+    fine for a test, exactly what the distributed path must avoid)."""
+    rows = duck.sql("SELECT doc_id, text FROM documents").fetchall()
+    sh = {d: _shingles(t) for d, t in rows}
+    out = {}
+    for (da, sa), (db, sb) in itertools.combinations(sh.items(), 2):
+        inter = len(sa & sb)
+        if inter:
+            out[(da, db)] = inter / len(sa | sb)
+    return out
+
+
+def test_dedup_exact_parity(spark, duck):
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_dedup_exact")
+    assert len(pdf) > 0
+    # no exact duplicates planted in the driver data: every hash is unique
+    assert (pdf["n_copies"] == 1).all()
+
+
+def test_dedup_ngram_parity(spark, duck):
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_dedup_ngram")
+    assert len(pdf) > 0  # the planted near-dups share prefixes
+
+
+def test_dedup_near_recall_precision(spark, duck, truth):
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_dedup_near")
+    found = {(int(a), int(b)) for a, b in zip(pdf["doc_a"], pdf["doc_b"])}
+    strong = {p for p, j in truth.items() if j >= 0.8}
+    weak = {p for p, j in truth.items() if j >= 0.7}
+    assert strong, "fixture should contain planted near-duplicates"
+    # recall: every strong pair must be found (LSH miss prob ~2e-4/pair,
+    # deterministic given the seeded permutations)
+    assert strong <= found, f"missed planted pairs: {strong - found}"
+    # precision: exact verification step guarantees jaccard >= 0.7
+    assert found <= weak, f"false positives: {found - weak}"
+
+
+def test_dedup_simhash_sanity(spark, duck):
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_dedup_simhash")
+    assert len(pdf) > 0
+    found = {(int(a), int(b)) for a, b in zip(pdf["doc_a"], pdf["doc_b"])}
+    # simhash here is built over word SETS, so the right sanity measure is
+    # word-set jaccard (not shingle jaccard): hamming<=3 hits must be
+    # genuinely word-similar documents
+    rows = duck.sql("SELECT doc_id, text FROM documents").fetchall()
+    words = {d: set(t.lower().split()) for d, t in rows}
+    for a, b in found:
+        j = len(words[a] & words[b]) / len(words[a] | words[b])
+        assert j >= 0.5, f"simhash false positive {(a, b)}: word jaccard {j:.3f}"
+
+
+def test_registry_tags():
+    for name in ("q_dedup_exact", "q_dedup_ngram", "q_dedup_near", "q_dedup_simhash"):
+        assert name in REGISTRY

@@ -1,0 +1,66 @@
+"""Similarity search tests: bit-exact oracle parity for the brute-force
+path, recall + score-exactness invariants for the LSH path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from osmpbf_spark.catalog import all_queries
+from osmpbf_spark.operators.similarity import N_QUERIES, TOP_K
+from tests.conftest import SF_DIR
+from tests.parity import check_query
+
+all_queries()
+
+
+@pytest.fixture(scope="module")
+def brute(duck):
+    """Ground-truth cosine matrix (numpy float64) for the query set."""
+    rows = duck.sql(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    assert np.allclose(np.linalg.norm(V, axis=1), 1.0, atol=1e-5)
+    return ids, V
+
+
+def test_sim_search_parity(spark, duck):
+    """Oracle parity — both engines compute the identical double chain, so
+    this matches without rounding (see similarity.py)."""
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_sim_search")
+    assert len(pdf) == N_QUERIES * TOP_K
+
+
+def test_sim_search_matches_numpy(spark, duck, brute):
+    ids, V = brute
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_sim_search")
+    S = V @ V.T
+    for qid in range(N_QUERIES):
+        got = pdf[pdf.qid == qid].sort_values("rk")["vec_id"].tolist()
+        sims = S[qid].copy()
+        sims[qid] = -np.inf
+        want = list(np.lexsort((ids, -sims))[:TOP_K])
+        assert got == want, f"query {qid}: {got} != {want}"
+
+
+def test_sim_lsh_recall_and_exactness(spark, duck, brute):
+    ids, V = brute
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_sim_search_lsh")
+    S = V @ V.T
+    # scores must be exact cosines (verification step is exact)
+    for _, r in pdf.iterrows():
+        assert abs(r.cos - S[int(r.qid), int(r.vec_id)]) < 1e-9
+    # every query returns results; recall@1 against brute-force top-1
+    hits = 0
+    for qid in range(N_QUERIES):
+        got = pdf[pdf.qid == qid].sort_values("rk")["vec_id"].tolist()
+        assert got, f"query {qid} returned nothing"
+        sims = S[qid].copy()
+        sims[qid] = -np.inf
+        if got[0] == int(np.lexsort((ids, -sims))[0]):
+            hits += 1
+    # deterministic given seeded hyperplanes; with 6-bit buckets +
+    # hamming<=2 multiprobe, measured recall@1 is 4/5 on this data
+    assert hits >= 3, f"LSH recall@1 too low: {hits}/{N_QUERIES}"

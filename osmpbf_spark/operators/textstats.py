@@ -1,1 +1,205 @@
-"""Placeholder — filled in by a later milestone."""
+"""SURVEY.md §2C — text analysis over ``documents``: token counting,
+language-ID heuristic, quality scoring, document fingerprinting.
+
+Everything here is built-in JVM expressions (split/regexp/aggregate — zero
+Python UDFs), so every query carries a full DuckDB oracle and the plans are
+single-pass projections or one bounded-key aggregation: at 100 TB these are
+scan-dominated map-only jobs (or shuffle-by-#groups), the cheapest shape
+Spark has.
+
+The language-ID heuristic scores stopword-profile overlap per language and
+argmaxes. On the driver's synthetic corpus every document draws from the
+same English-ish vocabulary regardless of its ``lang`` label, so predictions
+are uniform — the oracle checks the scoring machinery deterministically, not
+real-world accuracy (which this corpus cannot measure).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osmpbf_spark.catalog import load, query
+
+# stopword profiles for the n-gram/stopword language heuristic
+_PROFILES = {
+    "en": ("the", "a", "of", "and", "is"),
+    "fr": ("le", "la", "et", "un", "est"),
+    "es": ("el", "la", "de", "y", "es"),
+    "de": ("der", "die", "und", "ein", "ist"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),  # romanized placeholders
+}
+_LANGS = sorted(_PROFILES)  # deterministic argmax tie-break order
+
+
+def _score_exprs_spark():
+    return [
+        F.size(
+            F.array_intersect(
+                "w", F.array(*[F.lit(s) for s in _PROFILES[lang]])
+            )
+        ).alias(f"score_{lang}")
+        for lang in _LANGS
+    ]
+
+
+def _argmax_spark():
+    """greatest-score language with alphabetical tie-break: fold over the
+    sorted language list keeping the first strict maximum."""
+    expr = F.lit(_LANGS[0])
+    best = F.col(f"score_{_LANGS[0]}")
+    for lang in _LANGS[1:]:
+        cond = F.col(f"score_{lang}") > best
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+        best = F.when(cond, F.col(f"score_{lang}")).otherwise(best)
+    return expr
+
+
+def _sql_scores(alias: str) -> str:
+    return ", ".join(
+        f"len(list_intersect({alias}.w, {list(_PROFILES[lang])!r})) AS score_{lang}"
+        for lang in _LANGS
+    )
+
+
+def _sql_argmax() -> str:
+    expr = f"'{_LANGS[0]}'"
+    best = f"score_{_LANGS[0]}"
+    for lang in _LANGS[1:]:
+        expr = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {expr} END"
+        best = f"greatest(score_{lang}, {best})"
+    return expr
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+')) AS n_alpha_tokens,
+           length(text) AS n_chars,
+           len(list_distinct(string_split(lower(text), ' '))) AS n_uniq,
+           ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS avg_token_len
+    FROM documents
+    """,
+    tags=("text",),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + alphabetic-regex), char counts, distinct
+    ratio. Map-only projection: at 100 TB this is one scan, no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias(
+            "n_alpha_tokens"
+        ),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(F.array_distinct(F.split(F.lower("text"), " "))).alias("n_uniq"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+                "double"
+            )
+            / F.size(w),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "q_text_lang",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+               FROM documents),
+         s AS (SELECT doc_id, lang, {_sql_scores('d')} FROM d)
+    SELECT lang, {_sql_argmax()} AS predicted, COUNT(*) AS n_docs
+    FROM s GROUP BY lang, predicted
+    """,
+    tags=("text",),
+)
+def q_text_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID: score overlap with each language's
+    stopword set, argmax with deterministic tie-break, then the (label x
+    prediction) agreement matrix. Aggregation keys bounded by 25 lang
+    pairs — shuffle volume is constant regardless of corpus size."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "w", F.split(F.lower("text"), " ")
+    )
+    scored = d.select("doc_id", "lang", *_score_exprs_spark())
+    return (
+        scored.withColumn("predicted", _argmax_spark())
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(len(list_intersect(string_split(lower(text), ' '),
+                                     ['the', 'a', 'of', 'and', 'is'])) AS DOUBLE)
+               / len(list_distinct(string_split(lower(text), ' '))) AS stop_ratio,
+             CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS uniq_ratio
+      FROM documents)
+    SELECT doc_id,
+           ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.4
+                 + LEAST(stop_ratio * 5, 1.0) * 0.2
+                 + uniq_ratio * 0.4, 6) AS quality,
+           CASE WHEN ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.4
+                 + LEAST(stop_ratio * 5, 1.0) * 0.2
+                 + uniq_ratio * 0.4, 6) >= 0.5 THEN 'keep' ELSE 'drop' END AS verdict
+    FROM s
+    """,
+    tags=("text",),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (length + stopword presence + lexical
+    diversity) with a keep/drop verdict — the filter stage of a training-
+    data pipeline. Map-only; ratios rounded so the hash is stable."""
+    d = load(spark, sf_dir, "documents")
+    wl = F.split(F.lower("text"), " ")
+    n_tokens = F.size(F.split("text", " "))
+    n_uniq = F.size(F.array_distinct(wl))
+    stop = F.size(
+        F.array_intersect(wl, F.array(*[F.lit(s) for s in _PROFILES["en"]]))
+    )
+    quality = F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop.cast("double") / n_uniq * 5, F.lit(1.0)) * 0.2
+        + n_uniq.cast("double") / n_tokens * 0.4,
+        6,
+    )
+    return d.select(
+        "doc_id",
+        quality.alias("quality"),
+        F.when(quality >= 0.5, "keep").otherwise("drop").alias("verdict"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           sha256(lower(trim(text))) AS fingerprint,
+           substr(sha256(lower(trim(text))), 1, 16) AS fp16
+    FROM documents
+    """,
+    tags=("text",),
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint (lower+trim then sha256) plus a 16-hex
+    shard-key prefix — the join/partition key for cross-corpus dedup at
+    100 TB (fingerprint equality is exact-dup; fp16 is the bucketing key)."""
+    d = load(spark, sf_dir, "documents")
+    fp = F.sha2(F.lower(F.trim("text")), 256)
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 16).alias("fp16"),
+    )

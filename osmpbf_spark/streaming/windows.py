@@ -1,1 +1,243 @@
-"""Placeholder — filled in by a later milestone."""
+"""SURVEY.md §2C — Structured Streaming surface over ``events``.
+
+Each registered ``s_*`` query is the deterministic BATCH TWIN of a streaming
+computation: the window expressions are byte-identical to what the streaming
+path uses (``F.window`` / ``F.session_window`` work in both modes), so the
+DuckDB oracle checks the windowing semantics, and the real streaming path —
+file source, watermarks, availableNow triggers, ``applyInPandasWithState`` —
+is exercised in tests/test_streaming.py against these same twins.
+
+Scale posture: streaming state is keyed by (window x group); watermarks
+bound it. The tumbling/sliding aggregations carry map-side partial
+aggregation exactly like their batch twins; session windows shuffle by
+user key before merging — at 100 TB the user-key shuffle is the cost, and
+skewed users are what AQE's skew-join handling and state-store partitioning
+absorb.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osmpbf_spark.catalog import dsum, load, query, sql_dsum
+
+GAP = "10 minutes"
+TUMBLE = "5 minutes"
+SLIDE_WIN = "10 minutes"
+SLIDE_STEP = "5 minutes"
+LATENESS = "30 minutes"
+
+_US_5M = 5 * 60 * 1_000_000
+_US_10M = 10 * 60 * 1_000_000
+_US_30M = 30 * 60 * 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# aggregation builders shared by batch twins and the streaming tests
+# ---------------------------------------------------------------------------
+
+
+def tumbling_agg(events: DataFrame) -> DataFrame:
+    """5-minute tumbling windows per event_type (works batch or stream)."""
+    return (
+        events.groupBy(F.window("ts", TUMBLE).alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(events: DataFrame) -> DataFrame:
+    """10-minute windows sliding every 5 (each event lands in 2 windows)."""
+    return (
+        events.groupBy(F.window("ts", SLIDE_WIN, SLIDE_STEP).alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "cnt",
+        )
+    )
+
+
+def session_agg(events: DataFrame) -> DataFrame:
+    """Gap-based session windows per user (10-minute inactivity gap)."""
+    return (
+        events.groupBy(
+            F.session_window("ts", GAP).alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "s_tumble",
+    oracle=f"""
+    SELECT make_timestamp(epoch_us(ts) // {_US_5M} * {_US_5M}) AS window_start,
+           make_timestamp(epoch_us(ts) // {_US_5M} * {_US_5M} + {_US_5M}) AS window_end,
+           event_type,
+           COUNT(*) AS cnt,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("stream",),
+)
+def s_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts/sums. Epoch-aligned 5-minute buckets, same
+    alignment Spark's window() uses, recomputed arithmetically in DuckDB."""
+    return tumbling_agg(load(spark, sf_dir, "events"))
+
+
+@query(
+    "s_slide",
+    oracle=f"""
+    WITH hits AS (
+      SELECT unnest([epoch_us(ts) // {_US_5M} * {_US_5M},
+                     epoch_us(ts) // {_US_5M} * {_US_5M} - {_US_5M}]) AS ws,
+             epoch_us(ts) AS tus
+      FROM events)
+    SELECT make_timestamp(ws) AS window_start,
+           make_timestamp(ws + {_US_10M}) AS window_end,
+           COUNT(*) AS cnt
+    FROM hits
+    WHERE tus >= ws AND tus < ws + {_US_10M}
+    GROUP BY ws
+    """,
+    tags=("stream",),
+)
+def s_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min every 5): each event contributes to exactly
+    the two step-aligned windows covering it; the oracle enumerates both
+    candidate starts per event and filters by containment."""
+    return sliding_agg(load(spark, sf_dir, "events"))
+
+
+@query(
+    "s_session",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_US_10M}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL {GAP} AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("stream",),
+)
+def s_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows: Spark's session_window merges events within a
+    10-minute inactivity gap per user; the oracle is the classic gaps-and-
+    islands rewrite (lag -> new-session flag -> running sum -> group), with
+    session_end = last event + gap to match Spark's semantics."""
+    return session_agg(load(spark, sf_dir, "events"))
+
+
+@query(
+    "s_late",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) FILTER (WHERE epoch_us(ts) <
+             (SELECT MAX(epoch_us(ts)) FROM events) - {_US_30M}) AS n_late,
+           COUNT(*) FILTER (WHERE epoch_us(ts) >=
+             (SELECT MAX(epoch_us(ts)) FROM events) - {_US_30M}) AS n_ontime
+    FROM events GROUP BY event_type
+    """,
+    tags=("stream",),
+)
+def s_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data model, batch twin: events older than
+    (max event time - 30 min) are what a 30-minute watermark would drop
+    at end of stream. The real drop behavior (mid-stream watermark
+    advancement) is asserted in test_streaming.py with a two-batch file
+    stream."""
+    e = load(spark, sf_dir, "events")
+    max_ts = e.agg(F.max(F.unix_micros("ts")).alias("m"))
+    return (
+        e.crossJoin(F.broadcast(max_ts))
+        .withColumn("late", F.unix_micros("ts") < F.col("m") - _US_30M)
+        .groupBy("event_type")
+        .agg(
+            F.count_if("late").alias("n_late"),
+            F.count_if(~F.col("late")).alias("n_ontime"),
+        )
+    )
+
+
+@query(
+    "s_stateful",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             epoch_us(ts) - epoch_us(lag(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      FROM events)
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           MAX(gap_us) AS max_gap_us
+    FROM g GROUP BY user_id
+    """,
+    tags=("stream", "udf"),
+)
+def s_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-key stateful computation, batch twin via applyInPandas
+    (grouped-map over Arrow batches — the same per-key pandas computation
+    the streaming path runs inside applyInPandasWithState, tested in
+    test_streaming.py). Shuffles once on user_id; per-key work is
+    vectorized pandas."""
+    import pandas as pd
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        # exact integral microsecond gaps (unit-independent); emitted as
+        # int64 so no float rounding can diverge from the oracle
+        gaps_us = pdf["ts"].diff() / pd.Timedelta(microseconds=1)
+        max_gap = int(gaps_us.max()) if len(pdf) > 1 else None
+        total = float(
+            (pdf["value"] * 100).round().astype("int64").sum()
+        ) / 100.0
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "first_ts": [pdf["ts"].min()],
+                "last_ts": [pdf["ts"].max()],
+                "total_value": [total],
+                "max_gap_us": [max_gap],
+            }
+        )
+
+    e = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return e.groupBy("user_id").applyInPandas(
+        per_user,
+        schema=(
+            "user_id long, n_events long, first_ts timestamp, "
+            "last_ts timestamp, total_value double, max_gap_us long"
+        ),
+    )

@@ -43,11 +43,14 @@ def main() -> None:
 
     qs = e.queries()
 
-    # Warmup: one cheap query pays JVM/codegen/parquet-footer startup costs.
-    try:
-        materialize(next(iter(qs.values()))(spark, sf_dir))
-    except Exception:
-        pass
+    # Warmup: pay one-time costs before timing — JVM/codegen startup on a
+    # cheap relational query, plus Python DataSource worker startup on a
+    # PBF query (its first use spins up the Python planning/read workers).
+    for warm in ("q_scan_project", "q_pbf_scan_nodes"):
+        try:
+            materialize(qs[warm](spark, sf_dir))
+        except Exception:
+            pass
 
     times: dict[str, float] = {}
     for name, fn in qs.items():

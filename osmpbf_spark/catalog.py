@@ -68,9 +68,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register all tables as temp views for spark.sql-based queries."""
-    for t in TABLES:
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> None:
+    """Register tables as temp views for spark.sql-based queries. Pass the
+    subset a query actually reads — registering all ten re-reads ten parquet
+    footers per call, pure overhead for a two-table query."""
+    for t in tables:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
 
 

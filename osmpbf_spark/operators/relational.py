@@ -168,7 +168,7 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS via SQL surface."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("lineitem",))
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
@@ -195,26 +195,38 @@ def q_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The approx value itself can't hash-match another engine's HLL, so the
     checkable surface is: exact counts (hash-compared) plus booleans asserting
-    the HLL estimate landed within 5x the requested 1% rsd. A wildly-off
+    the HLL estimate landed within 5% (2.5x the requested rsd). A wildly-off
     estimator fails the oracle, not just a pytest bound."""
     li = load(spark, sf_dir, "lineitem")
+    # Two separate single-row aggregations joined at the end. Mixing
+    # countDistinct with approx_count_distinct in ONE agg makes Catalyst's
+    # distinct-expand rewrite compute a partial HLL sketch per distinct-key
+    # group (one sketch per distinct value — measured 27s at sf0.1 vs 0.6s
+    # for this shape); separated, each is a plain two-phase aggregation.
+    exact = li.agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    # rsd 0.02: HLL register count grows ~1/rsd^2, and rsd 0.01 measured 4x
+    # slower (3.1s vs 0.8s at sf0.1) for accuracy we don't need — the oracle
+    # bound is 5%.
+    approx = li.agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("a_ord"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("a_prt"),
+    )
 
-    def within(approx, exact):
+    def within(approx_col, exact_col):
         return (
-            F.abs(approx.cast("double") - exact.cast("double"))
-            / exact.cast("double")
+            F.abs(F.col(approx_col).cast("double") - F.col(exact_col).cast("double"))
+            / F.col(exact_col).cast("double")
             < 0.05
         )
 
-    a_ord = F.approx_count_distinct("l_orderkey", 0.01)
-    a_prt = F.approx_count_distinct("l_partkey", 0.01)
-    e_ord = F.countDistinct("l_orderkey")
-    e_prt = F.countDistinct("l_partkey")
-    return li.agg(
-        e_ord.alias("exact_orders"),
-        e_prt.alias("exact_parts"),
-        within(a_ord, e_ord).alias("orders_within_rsd"),
-        within(a_prt, e_prt).alias("parts_within_rsd"),
+    return exact.crossJoin(F.broadcast(approx)).select(
+        "exact_orders",
+        "exact_parts",
+        within("a_ord", "exact_orders").alias("orders_within_rsd"),
+        within("a_prt", "exact_parts").alias("parts_within_rsd"),
     )
 
 
@@ -748,7 +760,7 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery in WHERE (MAX is order-insensitive-exact, so the
     threshold is bit-identical in both engines)."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("customer", "supplier"))
     return spark.sql(
         """
         SELECT c_custkey, c_acctbal FROM customer
@@ -768,7 +780,7 @@ def q_subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_subq_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN subquery — Catalyst rewrites to a left-semi join."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("orders", "customer"))
     return spark.sql(
         """
         SELECT o_orderstatus, COUNT(*) AS cnt FROM orders

@@ -211,23 +211,27 @@ def s_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming path runs inside applyInPandasWithState, tested in
     test_streaming.py). Shuffles once on user_id; per-key work is
     vectorized pandas."""
+    import numpy as np
     import pandas as pd
 
     def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        # exact integral microsecond gaps (unit-independent); emitted as
-        # int64 so no float rounding can diverge from the oracle
-        gaps_us = pdf["ts"].diff() / pd.Timedelta(microseconds=1)
-        max_gap = int(gaps_us.max()) if len(pdf) > 1 else None
-        total = float(
-            (pdf["value"] * 100).round().astype("int64").sum()
-        ) / 100.0
+        # numpy throughout: ~5ms/group instead of ~40ms for the pandas
+        # sort+diff path (at 150 groups that is seconds of wall at sf0.1)
+        ts = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        ts_sorted = np.sort(ts)
+        # exact integral microsecond gaps, emitted as int64 so no float
+        # rounding can diverge from the oracle
+        max_gap = int(np.diff(ts_sorted).max()) if len(ts) > 1 else None
+        total = (
+            float(np.rint(pdf["value"].to_numpy() * 100).astype("int64").sum())
+            / 100.0
+        )
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],
-                "n_events": [len(pdf)],
-                "first_ts": [pdf["ts"].min()],
-                "last_ts": [pdf["ts"].max()],
+                "n_events": [len(ts)],
+                "first_ts": [pd.Timestamp(ts_sorted[0], unit="us")],
+                "last_ts": [pd.Timestamp(ts_sorted[-1], unit="us")],
                 "total_value": [total],
                 "max_gap_us": [max_gap],
             }

@@ -109,6 +109,106 @@ def lsh_bucket(emb: pd.Series) -> pd.Series:
     return pd.Series(vals.astype(np.int32))
 
 
+_Q30 = 1 << 30  # fixed-point scale for exact centroid arithmetic
+
+
+@query(
+    "q_vec_centroid",
+    oracle=f"""
+    WITH e AS (SELECT label,
+                      unnest(range(1, len(embedding)+1)) AS pos,
+                      unnest(embedding) AS val
+               FROM embeddings)
+    SELECT label, CAST(pos AS INTEGER) AS pos,
+           SUM(CAST(ROUND(CAST(val AS DOUBLE) * {_Q30}) AS BIGINT))
+             / (COUNT(*) * {_Q30}.0) AS centroid
+    FROM e GROUP BY label, pos
+    """,
+    tags=("sim",),
+)
+def q_vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors in exploded (label, pos, value) form —
+    the coarse-quantizer build step of an IVF index. Floats are quantized
+    to 2^-30 fixed point so the cross-engine sum is exact integers and the
+    single final division is bit-deterministic (a raw double sum would be
+    summation-order-dependent). Shuffle volume = labels x dims = 640 rows
+    regardless of corpus size."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode("embedding").alias("pos0", "val")
+        )
+        .select(
+            "label",
+            (F.col("pos0") + 1).cast("int").alias("pos"),
+            F.round(F.col("val").cast("double") * _Q30)
+            .cast("bigint")
+            .alias("valq"),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            (F.sum("valq") / (F.count("*") * F.lit(float(_Q30)))).alias(
+                "centroid"
+            )
+        )
+    )
+
+
+@query("q_sim_search_ivf", oracle=None, tags=("sim",))
+def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style pruned search: build per-label centroids (the coarse
+    quantizer — labels stand in for k-means cells on this data), assign
+    each query to its nprobe=3 nearest centroids, and score only vectors
+    in those cells. At scale the corpus is partitioned/clustered by cell
+    id, so a query touches nprobe/N_cells of the data; all small sides
+    (queries, centroids, probe lists) broadcast — the corpus never
+    shuffles. Scores are the same exact double chain as q_sim_search.
+    Rows-only check; pytest pins results against brute force within the
+    probed cells."""
+    emb = load(spark, sf_dir, "embeddings")
+    # centroids as arrays: re-assemble the exploded form, ordered by pos
+    cent = (
+        q_vec_centroid(spark, sf_dir)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+                lambda s: s["centroid"],
+            ).alias("ce")
+        )
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    # assign each query to its 3 nearest centroids (10 centroids broadcast)
+    qc = q.crossJoin(F.broadcast(cent)).select(
+        "qid",
+        "qe",
+        "label",
+        F.expr(
+            "aggregate(zip_with(qe, ce, (x, y) -> double(x) * y), "
+            "0D, (acc, v) -> acc + v)"
+        ).alias("ccos"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("ccos"), F.asc("label"))
+    probes = (
+        qc.withColumn("crk", F.row_number().over(wq))
+        .filter(F.col("crk") <= 3)
+        .select("qid", "qe", "label")
+    )
+    # broadcast the tiny probe list; the corpus side streams unshuffled
+    cand = emb.join(F.broadcast(probes), ["label"]).filter(
+        F.col("qid") != F.col("vec_id")
+    )
+    scored = cand.select("qid", "vec_id", F.expr(_DOT).alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= LSH_TOP_K)
+        .select("qid", "vec_id", "cos", "rk")
+    )
+
+
 @query("q_sim_search_lsh", oracle=None, tags=("sim", "udf"))
 def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH with hamming-1 multiprobe.

@@ -183,6 +183,42 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_text_token_freq",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+                 FROM documents),
+         cnt AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token)
+    SELECT token, cnt, rk FROM (
+      SELECT token, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rk
+      FROM cnt)
+    WHERE rk <= 20
+    """,
+    tags=("text",),
+)
+def q_text_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency, top-20: explode -> count -> rank. The
+    explode runs per-partition inside codegen; the aggregation shuffles one
+    row per distinct token (vocabulary-bounded, not corpus-bounded); the
+    final top-k is a WindowGroupLimit over the token counts. This is the
+    vocabulary-building primitive of a tokenizer-training pipeline."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 20)
+        .select("token", "cnt", "rk")
+    )
+
+
+@query(
     "q_text_fingerprint",
     oracle="""
     SELECT doc_id,

@@ -182,3 +182,79 @@ def test_mid_stream_type_switch_equiv(spark, fixture_dir):
 def test_pbf_oracle_parity(spark, duck, name):
     spark_pdf, _ = check_query(spark, duck, SF_DIR, name)
     assert len(spark_pdf) > 0, f"{name}: empty result"
+
+
+# ---------------------------------------------------------------------------
+# writer (df.write.format("osmpbf")) + header helper
+# ---------------------------------------------------------------------------
+
+
+def test_header_helper(fixture_dir):
+    from osmpbf_spark.sources.pbf.datasource import osmpbf_header
+
+    hdr = osmpbf_header(f"{fixture_dir}/fixture.osm.pbf")
+    assert hdr["required_features"] == ["OsmSchema-V0.6", "DenseNodes"]
+
+
+def test_writer_roundtrip_nodes(spark, fixture_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from osmpbf_spark.sources.pbf.datasource import read_pbf
+
+    out = str(tmp_path / "w_nodes")
+    nodes = read_pbf(spark, f"{fixture_dir}/fixture.osm.pbf", "node")
+    nodes.repartition(3).write.format("osmpbf").option("path", out).option(
+        "primitive", "node"
+    ).mode("append").save()
+    back = read_pbf(spark, out, "node")
+
+    def norm(df):
+        return (
+            df.select("id", "lat", "lon", F.to_json("tags").alias("t"))
+            .toPandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(norm(nodes), norm(back))
+
+
+def test_writer_roundtrip_ways(spark, fixture_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from osmpbf_spark.sources.pbf.datasource import read_pbf
+
+    out = str(tmp_path / "w_ways")
+    ways = read_pbf(spark, f"{fixture_dir}/fixture.osm.pbf", "way")
+    ways.write.format("osmpbf").option("path", out).option(
+        "primitive", "way"
+    ).mode("append").save()
+    back = read_pbf(spark, out, "way")
+
+    def norm(df):
+        return (
+            df.select(
+                "id", F.to_json("refs").alias("r"), F.to_json("tags").alias("t")
+            )
+            .toPandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(norm(ways), norm(back))
+
+
+def test_writer_rejects_bad_schema(spark, fixture_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from osmpbf_spark.sources.pbf.datasource import read_pbf
+
+    nodes = read_pbf(spark, f"{fixture_dir}/fixture.osm.pbf", "node")
+    with pytest.raises(Exception, match="needs columns"):
+        nodes.drop("lat").write.format("osmpbf").option(
+            "path", str(tmp_path / "bad")
+        ).option("primitive", "node").mode("append").save()

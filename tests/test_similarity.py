@@ -45,6 +45,37 @@ def test_sim_search_matches_numpy(spark, duck, brute):
         assert got == want, f"query {qid}: {got} != {want}"
 
 
+def test_vec_centroid_parity(spark, duck):
+    """Fixed-point centroid build is bit-exact across engines."""
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_vec_centroid")
+    assert len(pdf) == 10 * 64  # labels x dims
+
+
+def test_sim_ivf_matches_brute_within_probes(spark, duck, brute):
+    """IVF results must equal brute force restricted to the probed cells
+    (the pruning is the approximation; scoring is exact)."""
+    ids, V = brute
+    rows = duck.sql("SELECT vec_id, label FROM embeddings ORDER BY vec_id").fetchall()
+    L = np.array([r[1] for r in rows])
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_sim_search_ivf")
+    cent = np.stack(
+        [
+            np.rint(V[L == lab] * 2**30).sum(0) / ((L == lab).sum() * 2**30)
+            for lab in range(10)
+        ]
+    )
+    for qid in range(N_QUERIES):
+        ccos = cent @ V[qid]
+        probe = np.lexsort((np.arange(10), -ccos))[:3]
+        mask = np.isin(L, probe)
+        mask[qid] = False
+        sims = V @ V[qid]
+        idx = np.where(mask)[0]
+        want = idx[np.lexsort((idx, -sims[idx]))][:3].tolist()
+        got = pdf[pdf.qid == qid].sort_values("rk")["vec_id"].astype(int).tolist()
+        assert got == want, f"query {qid}: {got} != {want}"
+
+
 def test_sim_lsh_recall_and_exactness(spark, duck, brute):
     ids, V = brute
     pdf, _ = check_query(spark, duck, SF_DIR, "q_sim_search_lsh")

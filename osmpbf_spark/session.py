@@ -36,6 +36,9 @@ def get_spark(app_name: str = "osmpbf_spark", cpus: int | None = None) -> SparkS
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # let the osmpbf Python DataSource receive pushed filters (it prunes
+        # whole blocks via BlobHeader.indexdata stats at planning time)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
         # rejects; read nanos as long session-wide (catalog.load rebuilds the
         # TimestampType column). Global config belongs here, not per-read.

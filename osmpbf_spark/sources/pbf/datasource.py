@@ -29,6 +29,11 @@ Options (SURVEY.md §7 Milestone 2):
                   block (the reference's record key, OsmPbfRecordReader.java:
                   68-72, block-granular here)
   partition_target_bytes   compressed bytes per partition (default 32 MiB)
+  filter_pushdown true -> prune whole blocks at planning time against
+                  pushed id/lat/lon range filters using the per-block
+                  stats our encoder stores in BlobHeader.indexdata (the
+                  field the PBF spec reserves for block metadata). OPT-IN:
+                  see OsmPbfReader.pushFilters for why the default is off.
 """
 
 from __future__ import annotations
@@ -45,7 +50,12 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceWriter,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     WriterCommitMessage,
 )
 from pyspark.sql.types import (
@@ -177,6 +187,71 @@ class OsmPbfReader(DataSourceReader):
         self.target = int(
             options.get("partition_target_bytes", 32 * 1024 * 1024)
         )
+        # column -> [lo, hi] bounds accumulated by pushFilters (block-stat
+        # units: id raw, lat/lon in nanodegrees)
+        self.bounds: dict[str, list[float]] = {}
+        self.pushdown = _bool_opt(options, "filter_pushdown", False)
+
+    # ---------------------------------------------------------- pushdown
+    _KIND_BIT = {"node": 1, "way": 2, "relation": 4}
+
+    def pushFilters(self, filters):
+        """Record range predicates on id/lat/lon for block pruning.
+
+        Pruning only — every filter is returned as still-to-be-evaluated,
+        so Spark re-applies them post-scan for the query that pushed them.
+        Blocks written by producers without indexdata stats are never
+        pruned.
+
+        OPT-IN via option filter_pushdown=true, default OFF: Spark caches
+        the post-pushFilters reader state on the relation, so a LATER
+        FILTERLESS query on the same load() DataFrame replans partitions
+        with the stale bounds and silently loses rows (measured: 9720-row
+        scan returned 1720 after a filtered query on the same DataFrame).
+        With the option on, use one load() per filter shape (the normal
+        ETL pattern); default off is always correct.
+        """
+        if not self.pushdown:
+            return filters
+        self.bounds = {}
+        for f in filters:
+            col = f.attribute[0] if hasattr(f, "attribute") else None
+            lo, hi = None, None
+            if isinstance(f, EqualTo):
+                lo = hi = f.value
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                lo = f.value
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                hi = f.value
+            if col in ("id", "lat", "lon") and (lo is not None or hi is not None):
+                scale = 1e9 if col in ("lat", "lon") else 1
+                b = self.bounds.setdefault(col, [-np.inf, np.inf])
+                if lo is not None:
+                    b[0] = max(b[0], float(lo) * scale)
+                if hi is not None:
+                    b[1] = min(b[1], float(hi) * scale)
+        return filters  # all filters re-evaluated by Spark (prune-only)
+
+    def _block_prunable(self, stats: dict | None) -> bool:
+        """True if stats prove the block holds no matching rows."""
+        if stats is None:
+            return False
+        kinds = stats.get("kinds")
+        if kinds is not None and not kinds & self._KIND_BIT[self.primitive]:
+            return True  # no group of the requested primitive type at all
+        for col, (smin, smax) in (
+            ("id", ("min_id", "max_id")),
+            ("lat", ("min_lat_nano", "max_lat_nano")),
+            ("lon", ("min_lon_nano", "max_lon_nano")),
+        ):
+            b = self.bounds.get(col)
+            if b is None or stats.get(smin) is None or stats.get(smax) is None:
+                continue
+            # id bounds cover ways/relations too; lat/lon only exist for
+            # node blocks, and only node reads push lat/lon filters
+            if stats[smax] < b[0] or stats[smin] > b[1]:
+                return True
+        return False
 
     # ------------------------------------------------------------- planning
     def partitions(self) -> list[OsmPbfPartition]:
@@ -191,6 +266,8 @@ class OsmPbfReader(DataSourceReader):
             for meta in decode.index_blocks(path):
                 if meta.block_type != "OSMData":
                     continue
+                if self._block_prunable(meta.stats):
+                    continue
                 ranges.append((meta.data_offset, meta.data_size))
                 acc += meta.data_size
                 if acc >= self.target:
@@ -198,8 +275,9 @@ class OsmPbfReader(DataSourceReader):
                     ranges, acc = [], 0
             if ranges:
                 parts.append(OsmPbfPartition(path, ranges))
-        if not parts:  # empty file: one empty partition keeps schema flowing
+        if not parts:  # all pruned / empty file: one empty partition keeps
             parts.append(OsmPbfPartition(_resolve_paths(self.path)[0], []))
+        self.bounds = {}  # see pushFilters: avoid leaking into the next plan
         return parts
 
     # -------------------------------------------------------------- reading

@@ -34,6 +34,7 @@ from osmpbf_spark.sources.pbf import wire
 
 # fileformat.proto field numbers
 BLOBHEADER_TYPE = 1
+BLOBHEADER_INDEXDATA = 2
 BLOBHEADER_DATASIZE = 3
 BLOB_RAW = 1
 BLOB_RAW_SIZE = 2
@@ -95,11 +96,44 @@ HEADER_WRITINGPROGRAM = 16
 
 @dataclass(frozen=True)
 class BlockMeta:
-    """One FileBlock: where its Blob payload lives and what it is."""
+    """One FileBlock: where its Blob payload lives and what it is.
+
+    ``stats`` is parsed from BlobHeader.indexdata when present (written by
+    our encoder; other producers leave it empty): dict with ``kinds``
+    bitmask (1 nodes / 2 ways / 4 relations) and optional ``min_id`` /
+    ``max_id`` / ``min_lat_nano`` / ... bounds — enough for split planning
+    to prune blocks against pushed-down filters WITHOUT reading any blob.
+    """
 
     block_type: str  # "OSMHeader" | "OSMData"
     data_offset: int  # file offset of the Blob message
     data_size: int  # length of the Blob message
+    stats: dict | None = None
+
+
+_STATS_FIELDS = {
+    1: ("kinds", False),
+    2: ("min_id", True),
+    3: ("max_id", True),
+    4: ("min_lat_nano", True),
+    5: ("max_lat_nano", True),
+    6: ("min_lon_nano", True),
+    7: ("max_lon_nano", True),
+}
+
+
+def _parse_block_stats(buf: bytes) -> dict | None:
+    try:
+        out = {}
+        for field, _wt, v in wire.scan_fields(buf):
+            spec = _STATS_FIELDS.get(field)
+            if spec is None:
+                continue
+            name, zz = spec
+            out[name] = wire.zigzag_decode(v) if zz else v
+        return out or None
+    except Exception:  # foreign indexdata layout: ignore, never fail a scan
+        return None
 
 
 def index_blocks(path: str) -> list[BlockMeta]:
@@ -121,12 +155,15 @@ def index_blocks(path: str) -> list[BlockMeta]:
             header = f.read(header_len)
             btype = ""
             datasize = 0
+            stats = None
             for field, _wt, v in wire.scan_fields(header):
                 if field == BLOBHEADER_TYPE:
                     btype = v.decode("utf-8")
                 elif field == BLOBHEADER_DATASIZE:
                     datasize = v
-            blocks.append(BlockMeta(btype, f.tell(), datasize))
+                elif field == BLOBHEADER_INDEXDATA:
+                    stats = _parse_block_stats(v)
+            blocks.append(BlockMeta(btype, f.tell(), datasize, stats))
             f.seek(datasize, 1)
     return blocks
 

@@ -103,13 +103,61 @@ def _encode_relation(rid: int, members, tags, st: _StringTable) -> bytes:
     return field_len(4, body)  # PrimitiveGroup.relations entry = field 4
 
 
-def _file_block(block_type: str, payload: bytes, compress: bool) -> bytes:
+def _file_block(
+    block_type: str, payload: bytes, compress: bool, indexdata: bytes = b""
+) -> bytes:
     if compress:
         blob = field_varint(2, len(payload)) + field_len(3, zlib.compress(payload))
     else:
         blob = field_len(1, payload)
-    header = field_len(1, block_type.encode("utf-8")) + field_varint(3, len(blob))
+    header = field_len(1, block_type.encode("utf-8"))
+    if indexdata:
+        # BlobHeader.indexdata (field 2) — reserved by the format for
+        # exactly this: per-block metadata readable without decompressing
+        # the blob. We store min/max id + bbox stats (see encode_block_stats)
+        # so split planning can prune blocks against pushed-down filters.
+        header += field_len(2, indexdata)
+    header += field_varint(3, len(blob))
     return struct.pack(">i", len(header)) + header + blob
+
+
+# block-stats message layout inside indexdata (our own schema; readers that
+# don't understand indexdata ignore it, per the PBF spec)
+STATS_KINDS = 1  # varint bitmask: 1 nodes, 2 ways, 4 relations
+STATS_MIN_ID = 2  # sint
+STATS_MAX_ID = 3  # sint
+STATS_MIN_LAT = 4  # sint nanodegrees
+STATS_MAX_LAT = 5  # sint nanodegrees
+STATS_MIN_LON = 6  # sint nanodegrees
+STATS_MAX_LON = 7  # sint nanodegrees
+
+
+def encode_block_stats(blk: dict) -> bytes:
+    """Compute the per-block stats message for one write_pbf block dict."""
+    kinds = 0
+    ids: list[int] = []
+    out = b""
+    nodes = blk.get("nodes")
+    if nodes is not None and len(nodes["id"]):
+        kinds |= 1
+        ids += [int(min(nodes["id"])), int(max(nodes["id"]))]
+        lat = np.asarray(nodes["lat_nano"], dtype=np.int64)
+        lon = np.asarray(nodes["lon_nano"], dtype=np.int64)
+        out += field_varint(STATS_MIN_LAT, wire.zigzag_encode(int(lat.min())))
+        out += field_varint(STATS_MAX_LAT, wire.zigzag_encode(int(lat.max())))
+        out += field_varint(STATS_MIN_LON, wire.zigzag_encode(int(lon.min())))
+        out += field_varint(STATS_MAX_LON, wire.zigzag_encode(int(lon.max())))
+    if blk.get("ways"):
+        kinds |= 2
+        ids += [w["id"] for w in blk["ways"]]
+    if blk.get("relations"):
+        kinds |= 4
+        ids += [r["id"] for r in blk["relations"]]
+    out = field_varint(STATS_KINDS, kinds) + out
+    if ids:
+        out += field_varint(STATS_MIN_ID, wire.zigzag_encode(min(ids)))
+        out += field_varint(STATS_MAX_ID, wire.zigzag_encode(max(ids)))
+    return out
 
 
 def encode_header_block(
@@ -170,6 +218,10 @@ def write_pbf(
         # PrimitiveBlock.primitivegroup = field 2, one per homogeneous group
         payload += b"".join(field_len(2, g) for g in groups)
         payload += field_varint(17, granularity)
-        out.append(_file_block("OSMData", payload, compress))
+        out.append(
+            _file_block(
+                "OSMData", payload, compress, indexdata=encode_block_stats(blk)
+            )
+        )
     with open(path, "wb") as f:
         f.write(b"".join(out))

@@ -248,6 +248,71 @@ def test_writer_roundtrip_ways(spark, fixture_dir, tmp_path):
     pd.testing.assert_frame_equal(norm(ways), norm(back))
 
 
+def test_block_stats_in_index(fixture_dir):
+    """The encoder stores min/max id + bbox stats in BlobHeader.indexdata;
+    the block index parses them without touching any blob."""
+    idx = decode.index_blocks(f"{fixture_dir}/fixture.osm.pbf")
+    data = [b for b in idx if b.block_type == "OSMData"]
+    assert data[0].stats["kinds"] == 1  # nodes only
+    assert data[1].stats["kinds"] == 7  # nodes + ways + relations
+    assert data[0].stats["min_id"] == fixture.FIRST_NODE_ID
+    assert data[0].stats["min_lat_nano"] <= 10.4769503 * 1e9 <= data[0].stats["max_lat_nano"]
+
+
+def test_pushdown_prunes_blocks(fixture_dir):
+    from pyspark.sql.datasource import GreaterThan, LessThan
+
+    from osmpbf_spark.sources.pbf.datasource import OsmPbfReader
+
+    opts = {
+        "path": f"{fixture_dir}/fixture.osm.pbf",
+        "primitive": "node",
+        "partition_target_bytes": "1",
+        "filter_pushdown": "true",
+    }
+    r = OsmPbfReader(opts, None)
+    assert len(r.partitions()) == 2  # no filters: both blocks
+    r.pushFilters([GreaterThan(("id",), 440090000)])
+    assert len(r.partitions()) == 1  # block 0 (max_id 440080261) pruned
+    r2 = OsmPbfReader(opts, None)
+    r2.pushFilters([LessThan(("lat",), 10.2)])  # below both blocks' min lat
+    parts = r2.partitions()
+    assert len(parts) == 1 and parts[0].ranges == []
+    # relation read: block 0 (kinds=nodes-only) pruned at planning
+    r3 = OsmPbfReader({**opts, "primitive": "relation"}, None)
+    assert len(r3.partitions()) == 1
+
+
+def test_pushdown_off_by_default_no_leak(spark, fixture_dir):
+    """Regression: without opt-in, a filtered query on a shared DataFrame
+    must not poison later filterless queries (Spark caches post-pushdown
+    reader state on the relation)."""
+    from pyspark.sql import functions as F
+
+    from osmpbf_spark.sources.pbf.datasource import read_pbf
+
+    nodes = read_pbf(
+        spark, f"{fixture_dir}/fixture.osm.pbf", "node", partition_target_bytes=1
+    )
+    assert nodes.filter(F.col("id") > 440090000).count() == 726
+    assert nodes.count() == 9720  # was 1720 with unconditional pushdown
+
+
+def test_pushdown_end_to_end_correct(spark, fixture_dir):
+    from pyspark.sql import functions as F
+
+    from osmpbf_spark.sources.pbf.datasource import read_pbf
+
+    fresh = read_pbf(
+        spark,
+        f"{fixture_dir}/fixture.osm.pbf",
+        "node",
+        partition_target_bytes=1,
+        filter_pushdown=True,
+    )
+    assert fresh.filter(F.col("id") > 440090000).count() == 726
+
+
 def test_writer_rejects_bad_schema(spark, fixture_dir, tmp_path):
     from pyspark.sql import functions as F
 

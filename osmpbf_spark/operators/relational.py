@@ -408,6 +408,42 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_join_skew_salt",
+    oracle=f"""
+    SELECT c.c_mktsegment, COUNT(*) AS cnt,
+           {sql_dsum('o.o_totalprice', 'sum_total')}
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("join", "skew"),
+)
+def q_join_skew_salt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join — the manual skew weapon (AQE's skew-join split is
+    the automatic one; salting is what you reach for when one key carries
+    a double-digit percentage of the fact table and even split partitions
+    blow memory). Probe side gets salt = hash(row) % S; build side is
+    replicated S ways with explode (no join, stays in codegen); the join
+    shuffles on (key, salt) so a hot key spreads over S reducers. The
+    salt is invisible in the result, so the oracle is the PLAIN join —
+    proving salting is a pure physical rewrite."""
+    S = 8
+    o = load(spark, sf_dir, "orders").withColumn(
+        "salt", F.pmod(F.hash("o_orderkey"), F.lit(S)).cast("int")
+    )
+    c = (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1))))
+        .withColumn("salt", F.col("salt").cast("int"))
+    )
+    return (
+        o.join(c, (o.o_custkey == c.c_custkey) & (o.salt == c.salt))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("cnt"), dsum("o_totalprice", "sum_total"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # sort / limit / set ops
 # ---------------------------------------------------------------------------

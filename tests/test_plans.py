@@ -1,0 +1,75 @@
+"""Physical-plan audits: the scale claims in operator docstrings must be
+visible in the executed plans — pushed filters, pruned scans, broadcast
+joins, window-limit pushdown, no cartesian products. These tests freeze the
+plan *shape*, so a regression that silently degrades a plan (e.g. a lost
+broadcast hint turning into a sort-merge join of a 5-row table) fails CI
+even though results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from osmpbf_spark.catalog import REGISTRY, all_queries
+from tests.conftest import SF_DIR
+
+all_queries()
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    p = plan_of(spark, "q_filter_pred")
+    assert "PushedFilters: [" in p
+    assert "l_quantity" in p.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_reaches_scan(spark):
+    p = plan_of(spark, "q_scan_project")
+    rs = p.split("ReadSchema")[1][:200]
+    assert "c_custkey" in rs and "c_comment" not in rs
+
+
+def test_broadcast_join_is_broadcast(spark):
+    p = plan_of(spark, "q_join_broadcast")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_range_join_is_bnlj_over_broadcast(spark):
+    p = plan_of(spark, "q_join_range")
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_window_rank_has_group_limit(spark):
+    p = plan_of(spark, "q_window_rank")
+    assert "WindowGroupLimit" in p
+
+
+def test_sort_limit_is_take_ordered(spark):
+    p = plan_of(spark, "q_sort_limit")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_grid_agg_has_partial_aggregation(spark):
+    p = plan_of(spark, "q_grid_agg")
+    # two HashAggregates around one exchange = map-side combine
+    assert p.count("HashAggregate") >= 2 and "Exchange" in p
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        n
+        for n, q in REGISTRY.items()
+        if not set(q.tags) & {"stream"}  # batch plans only; cheap to build
+    ),
+)
+def test_no_cartesian_product(spark, name):
+    """No query may degrade to CartesianProduct — the one join shape that
+    cannot survive any scale-up. (BroadcastNestedLoopJoin over an
+    explicitly broadcast small side is fine and asserted separately.)"""
+    p = plan_of(spark, name)
+    assert "CartesianProduct" not in p, f"{name} plans a cartesian product"

@@ -63,18 +63,62 @@ def main() -> None:
             times[name] = -1.0
 
     total = round(sum(t for t in times.values() if t >= 0), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+
+    # PBF scan throughput vs the BASELINE.md engineering target
+    # (>= 1M primitives/s/core): distributed scan of a synthetic 2M-node
+    # file (generated once, cached in /tmp).
+    try:
+        result["pbf_scan"] = _pbf_scan_throughput(spark)
+    except Exception as exc:
+        print(f"bench: pbf throughput FAILED: {exc}", file=sys.stderr)
+
+    print(json.dumps(result))
     spark.stop()
+
+
+def _pbf_scan_throughput(spark) -> dict:
+    import numpy as np
+
+    from osmpbf_spark.sources.pbf import encode
+    from osmpbf_spark.sources.pbf.datasource import read_pbf
+
+    path = "/tmp/osmpbf_bench_2m.pbf"
+    n = 2_000_000
+    if not os.path.exists(path):
+        rng = np.random.RandomState(1)
+        ids = np.cumsum(rng.randint(1, 5, n)) + 1_000_000
+        lat7 = rng.randint(-900_000_000, 900_000_000, n)
+        lon7 = rng.randint(-1_800_000_000, 1_800_000_000, n)
+        blocks = [
+            {
+                "nodes": {
+                    "id": ids[i : i + 8000],
+                    "lat_nano": lat7[i : i + 8000] * 100,
+                    "lon_nano": lon7[i : i + 8000] * 100,
+                    "tags": [None] * len(ids[i : i + 8000]),
+                }
+            }
+            for i in range(0, n, 8000)
+        ]
+        encode.write_pbf(path, blocks)
+    df = read_pbf(spark, path, "node", partition_target_bytes=2 * 1024 * 1024)
+    df.count()  # warm (footer/index cache, workers)
+    t0 = time.perf_counter()
+    assert df.count() == n
+    dt = time.perf_counter() - t0
+    return {
+        "nodes": n,
+        "wall_sec": round(dt, 4),
+        "mnodes_per_sec": round(n / dt / 1e6, 2),
+        "partitions": df.rdd.getNumPartitions(),
+    }
 
 
 if __name__ == "__main__":

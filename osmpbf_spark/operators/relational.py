@@ -444,6 +444,187 @@ def q_join_skew_salt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "pivot"),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: status columns per priority row. With the pivot values listed
+    explicitly, Spark compiles this to ONE aggregation pass with filtered
+    counts (no extra job to discover values, no second shuffle) — the same
+    plan as the oracle's FILTER clauses."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@query(
+    "q_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           median(l_quantity) AS med_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median/percentile per group. Both engines use the same linear-
+    interpolation definition over sorted values, and quantities are small
+    integers, so the doubles agree exactly. Exact percentiles need the
+    group's values materialized (sort-based agg) — at 100 TB you'd switch
+    to approx_percentile's sketch; this query is the exact reference."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@query(
+    "q_array_hof",
+    oracle="""
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           list_sum(list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1073741824) AS BIGINT))) AS sum_q30,
+           CAST(list_max(embedding) AS DOUBLE) AS max_val
+    FROM embeddings
+    """,
+    tags=("scalar", "array"),
+)
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (filter / transform / aggregate) —
+    all inside whole-stage codegen, no explode, no shuffle. The float sum
+    goes through 2^-30 fixed point so the fold is exact integers and the
+    cross-engine hash matches bit-for-bit."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.aggregate(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1073741824).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("sum_q30"),
+        F.array_max("embedding").cast("double").alias("max_val"),
+    )
+
+
+@query(
+    "q_pipeline_e2e",
+    oracle="""
+    WITH quality AS (
+      SELECT doc_id, lang, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS uniq_ratio
+      FROM documents
+    ), kept AS (
+      SELECT * FROM quality
+      WHERE LEAST(n_tokens / 100.0, 1.0) * 0.4
+            + LEAST(CAST(len(list_intersect(string_split(lower(text), ' '),
+                    ['the','a','of','and','is'])) AS DOUBLE)
+                    / len(list_distinct(string_split(lower(text), ' '))) * 5, 1.0) * 0.2
+            + uniq_ratio * 0.4 >= 0.5
+    ), s AS (
+      SELECT doc_id, lang, n_tokens, substr(text, 1, 50) AS pfx,
+             CASE WHEN len(string_split(lower(text),' ')) >= 3
+                  THEN list_distinct(list_transform(
+                         range(1, len(string_split(lower(text),' ')) - 1),
+                         i -> concat(string_split(lower(text),' ')[i], ' ',
+                                     string_split(lower(text),' ')[i+1], ' ',
+                                     string_split(lower(text),' ')[i+2])))
+                  ELSE list_distinct(string_split(lower(text),' ')) END AS sh
+      FROM kept
+    ), dupes AS (
+      SELECT DISTINCT b.doc_id
+      FROM s a JOIN s b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens
+    FROM s WHERE doc_id NOT IN (SELECT doc_id FROM dupes)
+    GROUP BY lang
+    """,
+    tags=("pipeline",),
+)
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline: quality-filter -> near-dup
+    removal (keep the lowest doc_id of each duplicate pair) -> per-language
+    corpus stats. Every stage is the deterministic variant of an operator
+    registered individually, so the whole composition carries a SQL oracle.
+    Plan shape at scale: one scan feeds the filter (map-only), the dedup
+    self-join is prefix-blocked, and the final agg shuffles 5 language
+    keys. This is the query a data-curation team actually ships."""
+    d = load(spark, sf_dir, "documents")
+    wl = F.split(F.lower("text"), " ")
+    n_tokens = F.size(F.split("text", " "))
+    n_uniq = F.size(F.array_distinct(wl))
+    stop = F.size(
+        F.array_intersect(
+            wl, F.array(F.lit("the"), F.lit("a"), F.lit("of"), F.lit("and"), F.lit("is"))
+        )
+    )
+    quality = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop.cast("double") / n_uniq * 5, F.lit(1.0)) * 0.2
+        + n_uniq.cast("double") / n_tokens * 0.4
+    )
+    kept = d.filter(quality >= 0.5).select(
+        "doc_id", "lang", "text", n_tokens.alias("n_tokens"),
+        F.substring("text", 1, 50).alias("pfx"),
+    )
+    kept = _with_shingles_local(kept)
+    a = kept.select(F.col("doc_id").alias("doc_a"), F.col("pfx"), F.col("sh").alias("sh_a"))
+    b = kept.select(F.col("doc_id").alias("doc_b"), F.col("pfx"), F.col("sh").alias("sh_b"))
+    dupes = (
+        a.join(b, "pfx")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b"))
+            >= 0.7
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = kept.join(dupes, "doc_id", "left_anti")
+    return survivors.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+def _with_shingles_local(df: DataFrame) -> DataFrame:
+    """Word-3-gram shingle column (same expression as dedup.py)."""
+    from osmpbf_spark.operators.dedup import _SHINGLES_EXPR
+
+    return df.withColumn("w", F.split(F.lower("text"), " ")).withColumn(
+        "sh", F.expr(_SHINGLES_EXPR)
+    )
+
+
 # ---------------------------------------------------------------------------
 # sort / limit / set ops
 # ---------------------------------------------------------------------------

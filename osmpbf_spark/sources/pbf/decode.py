@@ -168,6 +168,60 @@ def index_blocks(path: str) -> list[BlockMeta]:
     return blocks
 
 
+def resync_scan(path: str, from_offset: int = 0) -> list[BlockMeta]:
+    """Signature-resync fallback for corrupt or truncated files.
+
+    The reference's ONLY split strategy (OsmPbfRecordReader.java:96-129):
+    scan forward for the ASCII ``"OSMData"`` BlobHeader type string, back
+    up over the 2 header-tag bytes + 4-byte length prefix to the block
+    start, and resume the header walk from there. Our engine uses the
+    exact block index (index_blocks) as the primary path and keeps this
+    only for recovery: if a BlobHeader chain is broken mid-file (bad
+    datasize, flipped bytes), this re-finds every subsequent intact block
+    instead of losing the rest of the file.
+    """
+    sig = b"OSMData"
+    blocks: list[BlockMeta] = []
+    with open(path, "rb") as f:
+        data = f.read()
+    pos = from_offset
+    while True:
+        hit = data.find(sig, pos)
+        if hit < 0:
+            break
+        # BlobHeader starts len(type-field) bytes before the signature:
+        # field tag (1 byte) + length varint (1 byte for len 7); the 4-byte
+        # BE length prefix precedes the header (java:118's backup rule).
+        hdr_start = hit - 2
+        blk_start = hdr_start - 4
+        if blk_start < 0:
+            pos = hit + 1
+            continue
+        try:
+            (header_len,) = struct.unpack_from(">i", data, blk_start)
+            header = data[hdr_start : hdr_start + header_len]
+            btype = ""
+            datasize = 0
+            stats = None
+            for field, _wt, v in wire.scan_fields(header):
+                if field == BLOBHEADER_TYPE:
+                    btype = v.decode("utf-8")
+                elif field == BLOBHEADER_DATASIZE:
+                    datasize = v
+                elif field == BLOBHEADER_INDEXDATA:
+                    stats = _parse_block_stats(v)
+            if btype == "OSMData" and 0 < datasize <= len(data):
+                blocks.append(
+                    BlockMeta(btype, hdr_start + header_len, datasize, stats)
+                )
+                pos = hdr_start + header_len + datasize
+                continue
+        except Exception:
+            pass
+        pos = hit + 1
+    return blocks
+
+
 def read_block_payload(f, meta: BlockMeta) -> bytes:
     """Read + decompress one Blob into its raw payload bytes.
 

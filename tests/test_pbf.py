@@ -130,6 +130,36 @@ def test_raw_uncompressed_blob(tmp_path):
     assert nodes[0]["id"].tolist() == [1]
 
 
+def test_resync_scan_recovers_after_corruption(fixture_dir, tmp_path):
+    """Corrupt the first OSMData block's payload bytes mid-file: the exact
+    index still lists it (header intact) but decode would fail; resync_scan
+    from just past the corruption re-finds the second block (the reference's
+    signature-sync strategy, kept as our recovery path)."""
+    src = open(f"{fixture_dir}/fixture.osm.pbf", "rb").read()
+    idx = decode.index_blocks(f"{fixture_dir}/fixture.osm.pbf")
+    data_blocks = [b for b in idx if b.block_type == "OSMData"]
+    corrupted = bytearray(src)
+    # smash 100 bytes inside block 0's blob (not its header)
+    off = data_blocks[0].data_offset + 50
+    corrupted[off : off + 100] = b"\xff" * 100
+    p = str(tmp_path / "corrupt.pbf")
+    open(p, "wb").write(bytes(corrupted))
+    found = decode.resync_scan(p, from_offset=off + 100)
+    assert len(found) == 1
+    assert found[0].data_offset == data_blocks[1].data_offset
+    # and the recovered block decodes fully
+    with open(p, "rb") as f:
+        bd = decode.BlockDecoder(decode.read_block_payload(f, found[0]))
+    assert len(bd.decode_nodes()["id"]) == 1720
+
+
+def test_resync_scan_finds_all_blocks_clean_file(fixture_dir):
+    found = decode.resync_scan(f"{fixture_dir}/fixture.osm.pbf")
+    idx = [b for b in decode.index_blocks(f"{fixture_dir}/fixture.osm.pbf")
+           if b.block_type == "OSMData"]
+    assert [b.data_offset for b in found] == [b.data_offset for b in idx]
+
+
 def test_fixture_deterministic(tmp_path):
     """Same seed -> byte-identical fixture (regeneration safety)."""
     p = str(tmp_path / "regen.pbf")

@@ -420,7 +420,8 @@ class OsmPbfWriter(DataSourceWriter):
     boundaries independent of partitioning.
 
     Input schema must match the reader's for the chosen ``primitive``:
-    node ``(id, lat, lon, tags)`` or way ``(id, refs, tags)``.
+    node ``(id, lat, lon, tags)``, way ``(id, refs, tags)``, or relation
+    ``(id, members, tags)``.
     """
 
     def __init__(self, options, schema, overwrite: bool):
@@ -428,16 +429,16 @@ class OsmPbfWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("osmpbf write requires a path")
         self.primitive = options.get("primitive", "node")
-        if self.primitive not in ("node", "way"):
-            raise ValueError("osmpbf write supports primitive node|way")
+        if self.primitive not in PRIMITIVES:
+            raise ValueError(f"osmpbf write supports primitive {PRIMITIVES}")
         self.block_rows = int(options.get("block_rows", 8000))
         self.overwrite = overwrite
         fields = set(schema.fieldNames())
-        need = (
-            {"id", "lat", "lon", "tags"}
-            if self.primitive == "node"
-            else {"id", "refs", "tags"}
-        )
+        need = {
+            "node": {"id", "lat", "lon", "tags"},
+            "way": {"id", "refs", "tags"},
+            "relation": {"id", "members", "tags"},
+        }[self.primitive]
         if not need <= fields:
             raise ValueError(
                 f"osmpbf {self.primitive} write needs columns {sorted(need)}, "
@@ -475,7 +476,7 @@ class OsmPbfWriter(DataSourceWriter):
                     {"nodes": {"id": ids, "lat_nano": lat_nano,
                                "lon_nano": lon_nano, "tags": tags}}
                 )
-        else:
+        elif self.primitive == "way":
             ways: list[dict] = []
             for r in rows:
                 ways.append(
@@ -488,6 +489,26 @@ class OsmPbfWriter(DataSourceWriter):
                     ways = []
             if ways:
                 blocks.append({"ways": ways})
+        else:
+            type_code = {"node": 0, "way": 1, "relation": 2}
+            rels: list[dict] = []
+            for r in rows:
+                rels.append(
+                    {
+                        "id": r.id,
+                        "members": [
+                            (m.role or "", m.ref, type_code[m.type])
+                            for m in r.members
+                        ],
+                        "tags": dict(r.tags) if r.tags else {},
+                    }
+                )
+                n += 1
+                if len(rels) >= self.block_rows:
+                    blocks.append({"relations": rels})
+                    rels = []
+            if rels:
+                blocks.append({"relations": rels})
         encode.write_pbf(out, blocks)
         return _PbfCommit(path=out, rows=n)
 

@@ -45,10 +45,37 @@ class _StringTable:
         return b"".join(field_len(1, s) for s in self.strings)
 
 
+def _encode_dense_info(meta: dict, st: _StringTable, n: int) -> bytes:
+    """DenseInfo: packed parallel arrays, timestamp/changeset/uid/user_sid
+    delta-coded. ``meta`` holds optional lists: version, timestamp_ms,
+    changeset, uid, user, visible."""
+    out = b""
+    if "version" in meta:
+        out += field_len(1, wire.encode_packed_uint(meta["version"]))
+    if "timestamp_ms" in meta:
+        ts = np.asarray(meta["timestamp_ms"], dtype=np.int64)  # /1000ms gran
+        out += field_len(2, wire.encode_packed_sint(np.diff(ts // 1000, prepend=0)))
+    if "changeset" in meta:
+        cs = np.asarray(meta["changeset"], dtype=np.int64)
+        out += field_len(3, wire.encode_packed_sint(np.diff(cs, prepend=0)))
+    if "uid" in meta:
+        u = np.asarray(meta["uid"], dtype=np.int64)
+        out += field_len(4, wire.encode_packed_sint(np.diff(u, prepend=0)))
+    if "user" in meta:
+        sids = np.array([st.add(s or "") for s in meta["user"]], dtype=np.int64)
+        out += field_len(5, wire.encode_packed_sint(np.diff(sids, prepend=0)))
+    if "visible" in meta:
+        out += field_len(6, wire.encode_packed_uint([int(v) for v in meta["visible"]]))
+    return out
+
+
 def _encode_dense_nodes(
-    ids, lats_nano, lons_nano, tags, st: _StringTable, granularity: int
+    ids, lats_nano, lons_nano, tags, st: _StringTable, granularity: int,
+    meta: dict | None = None,
 ) -> bytes:
-    """DenseNodes: delta-coded packed id/lat/lon + zero-delimited keys_vals.
+    """DenseNodes: delta-coded packed id/lat/lon + zero-delimited keys_vals
+    (+ optional DenseInfo provenance, which the reference decodes but
+    drops — we round-trip it).
 
     ``lats_nano``/``lons_nano`` are integer nanodegrees; raw units stored are
     nanodegrees / granularity.
@@ -62,9 +89,11 @@ def _encode_dense_nodes(
             kv.append(st.add(k))
             kv.append(st.add(v))
         kv.append(0)
-    body = (
-        field_len(1, wire.encode_packed_sint(np.diff(ids, prepend=0)))
-        + field_len(8, wire.encode_packed_sint(np.diff(lat_units, prepend=0)))
+    body = field_len(1, wire.encode_packed_sint(np.diff(ids, prepend=0)))
+    if meta:
+        body += field_len(5, _encode_dense_info(meta, st, len(ids)))
+    body += (
+        field_len(8, wire.encode_packed_sint(np.diff(lat_units, prepend=0)))
         + field_len(9, wire.encode_packed_sint(np.diff(lon_units, prepend=0)))
         + field_len(10, wire.encode_packed_uint(kv))
     )
@@ -196,6 +225,7 @@ def write_pbf(
                     nodes["tags"],
                     st,
                     granularity,
+                    meta=nodes.get("meta"),
                 )
             )
         ways = blk.get("ways", [])

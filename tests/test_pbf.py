@@ -117,6 +117,49 @@ def test_roundtrip_tags_and_coords(tmp_path):
     assert n["lat"][2] == pytest.approx(-300e-9, abs=1e-18)
 
 
+def test_dense_info_meta_roundtrip(spark, tmp_path):
+    """DenseInfo provenance (version/timestamp/changeset/uid/user/visible)
+    round-trips encoder -> data source with_meta=true. The reference decodes
+    this and throws it away (SURVEY §1.3); we surface it as a struct."""
+    from osmpbf_spark.sources.pbf.datasource import read_pbf
+
+    path = str(tmp_path / "meta.pbf")
+    encode.write_pbf(
+        path,
+        [
+            {
+                "nodes": {
+                    "id": [1, 2, 3],
+                    "lat_nano": [100, 200, 300],
+                    "lon_nano": [0, 0, 0],
+                    "tags": [None, {"a": "b"}, None],
+                    "meta": {
+                        "version": [1, 2, 7],
+                        "timestamp_ms": [1_600_000_000_000, 1_600_000_060_000,
+                                         1_600_000_120_000],
+                        "changeset": [500, 501, 502],
+                        "uid": [42, 42, 99],
+                        "user": ["alice", "alice", "bob"],
+                        "visible": [True, True, False],
+                    },
+                }
+            }
+        ],
+    )
+    rows = (
+        read_pbf(spark, path, "node", with_meta=True)
+        .orderBy("id")
+        .collect()
+    )
+    assert [r.meta.version for r in rows] == [1, 2, 7]
+    assert [r.meta.changeset for r in rows] == [500, 501, 502]
+    assert [r.meta.uid for r in rows] == [42, 42, 99]
+    assert [r.meta.user for r in rows] == ["alice", "alice", "bob"]
+    assert [r.meta.visible for r in rows] == [True, True, False]
+    assert rows[0].meta.timestamp.isoformat().startswith("2020-09-13")
+    assert (rows[1].meta.timestamp - rows[0].meta.timestamp).seconds == 60
+
+
 def test_raw_uncompressed_blob(tmp_path):
     """Raw (uncompressed) blobs decode too — the reference rejects them
     (OsmPbfRecordReader.java:180-181, §1.4.6); we accept both."""
@@ -341,6 +384,33 @@ def test_pushdown_end_to_end_correct(spark, fixture_dir):
         filter_pushdown=True,
     )
     assert fresh.filter(F.col("id") > 440090000).count() == 726
+
+
+def test_writer_roundtrip_relations(spark, fixture_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from osmpbf_spark.sources.pbf.datasource import read_pbf
+
+    out = str(tmp_path / "w_rels")
+    rels = read_pbf(spark, f"{fixture_dir}/fixture.osm.pbf", "relation")
+    rels.write.format("osmpbf").option("path", out).option(
+        "primitive", "relation"
+    ).mode("append").save()
+    back = read_pbf(spark, out, "relation")
+
+    def norm(df):
+        return (
+            df.select(
+                "id", F.to_json("members").alias("m"), F.to_json("tags").alias("t")
+            )
+            .toPandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(norm(rels), norm(back))
 
 
 def test_writer_rejects_bad_schema(spark, fixture_dir, tmp_path):

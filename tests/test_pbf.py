@@ -5,6 +5,8 @@ q_pbf_* registered queries.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -255,6 +257,60 @@ def test_mid_stream_type_switch_equiv(spark, fixture_dir):
 def test_pbf_oracle_parity(spark, duck, name):
     spark_pdf, _ = check_query(spark, duck, SF_DIR, name)
     assert len(spark_pdf) > 0, f"{name}: empty result"
+
+
+# ---------------------------------------------------------------------------
+# the reference's REAL fixture (read-only spot check, SURVEY §5): decoding
+# actual OSM data proves format compatibility beyond our own encoder's
+# round-trips (a symmetric codec bug would pass round-trips but fail here)
+# ---------------------------------------------------------------------------
+
+REF_FIXTURE = "/root/reference/src/test/java/resources/temp.dat"
+needs_ref = pytest.mark.skipif(
+    not os.path.exists(REF_FIXTURE), reason="reference fixture not available"
+)
+
+
+@needs_ref
+def test_reference_fixture_golden_values():
+    """Replicates OsmPbfRecordReaderTest.java:274-289 on the real file:
+    8,000 + 1,720 dense nodes; first node lon/lat; first way id/refs."""
+    idx = decode.index_blocks(REF_FIXTURE)
+    assert [b.block_type for b in idx] == ["OSMHeader", "OSMData", "OSMData"]
+    with open(REF_FIXTURE, "rb") as f:
+        hdr = decode.decode_header_block(decode.read_block_payload(f, idx[0]))
+        assert hdr["required_features"] == ["OsmSchema-V0.6", "DenseNodes"]
+        b0 = decode.BlockDecoder(decode.read_block_payload(f, idx[1]))
+        b1 = decode.BlockDecoder(decode.read_block_payload(f, idx[2]))
+    n0, n1 = b0.decode_nodes(), b1.decode_nodes()
+    assert len(n0["id"]) == 8000 and len(n1["id"]) == 1720
+    assert n0["lon"][0] == -64.1847472  # OsmPbfRecordReaderTest.java:24
+    assert n0["lat"][0] == 10.4769503  # OsmPbfRecordReaderTest.java:23
+    w = b1.decode_ways()
+    assert len(w["id"]) == 1348
+    assert w["id"][0] == 102348670  # OsmPbfRecordReaderTest.java:25
+    assert w["ref_offsets"][1] - w["ref_offsets"][0] == 11
+    assert (w["tag_keys"][0], w["tag_vals"][0]) == ("highway", "residential")
+    assert len(b1.decode_relations()["id"]) == 5
+
+
+@needs_ref
+def test_reference_fixture_through_spark(spark):
+    """The same real file through spark.read.format('osmpbf')."""
+    from pyspark.sql import functions as F
+
+    from osmpbf_spark.sources.pbf.datasource import read_pbf
+
+    nodes = read_pbf(spark, REF_FIXTURE, "node")
+    assert nodes.count() == 9720
+    first = nodes.orderBy("id").first()
+    row = nodes.filter(F.col("lon") == -64.1847472).first()
+    assert row is not None and row.lat == 10.4769503
+    assert first.id == 108424353
+    ways = read_pbf(spark, REF_FIXTURE, "way", tags_as="string")
+    w0 = ways.orderBy("id").first()
+    assert w0.id == 102348670 and len(w0.refs) == 11
+    assert w0.tags == "highway:residential;"  # legacy lossy string parity
 
 
 # ---------------------------------------------------------------------------

@@ -625,6 +625,115 @@ def _with_shingles_local(df: DataFrame) -> DataFrame:
     )
 
 
+@query(
+    "q_asof_join",
+    oracle="""
+    WITH c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+         v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+    SELECT c.event_id, c.user_id, c.ts, v.ts AS matched_view_ts
+    FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
+    """,
+    tags=("join", "asof"),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — an operator Spark has no built-in for (DuckDB's native
+    ASOF JOIN is the oracle): for each click, the most recent view by the
+    same user at or before the click.
+
+    Implementation is the scale-right union-window rewrite, NOT a range
+    join: tag both sides, union, and take last_value(view_ts) ignoring
+    nulls over (user, time) order. ONE shuffle on user_id and a per-key
+    sort — no candidate explosion, no inequality join. At 100 TB this is
+    the only as-of shape that survives: cost is sort-within-key,
+    independent of how far back matches are. (Equal timestamps: views sort
+    before clicks so ties match, same as ASOF's <=.)"""
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("kind")
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+    )
+    unioned = clicks.unionByName(views).withColumn(
+        "view_ts", F.when(F.col("kind") == 0, F.col("ts"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        unioned.withColumn(
+            "matched_view_ts", F.last("view_ts", ignorenulls=True).over(w)
+        )
+        .filter(F.col("kind") == 1)
+        .select("event_id", "user_id", "ts", "matched_view_ts")
+    )
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_sampled
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+    GROUP BY lang
+    """,
+    tags=("sample",),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (~3/16 rate) with per-stratum counts —
+    the reproducible-subset primitive of a training pipeline. The sampling
+    predicate is md5 of the key, identical in both engines (Spark's
+    hash() is murmur3 and DuckDB's hash() differs, so neither works
+    cross-engine). Map-only filter + 5-key agg; the sample is stable
+    across runs, partitionings, and cluster sizes — unlike
+    df.sample(), which is seed-and-partitioning dependent."""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (
+        d.filter(bucket.isin("0", "1", "2"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+
+
+@query(
+    "q_window_lead_lag",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           lag(event_id) OVER w AS prev_event,
+           lead(event_id) OVER w AS next_event,
+           first_value(event_id) OVER w AS first_event,
+           epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window",),
+)
+def q_window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag/first_value navigation within per-user event streams plus
+    inter-event gaps (exact integer microseconds). One shuffle on user_id
+    shared by all four window functions (same window spec)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+        F.first("event_id").over(w).alias("first_event"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # sort / limit / set ops
 # ---------------------------------------------------------------------------

@@ -188,6 +188,43 @@ def s_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s_time_rollup",
+    oracle=f"""
+    SELECT make_timestamp(epoch_us(ts) // {_US_5M} * {_US_5M}) AS bucket_5m,
+           date_trunc('hour', ts) AS bucket_hour,
+           date_trunc('day', ts) AS bucket_day,
+           COUNT(*) AS cnt,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY ROLLUP (bucket_day, bucket_hour, bucket_5m)
+    """,
+    tags=("stream", "agg"),
+)
+def s_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity time rollup: 5-minute, hourly,
+    and daily aggregates (plus grand total) in ONE pass via ROLLUP over the
+    bucket hierarchy — Expand emits one row per grouping set before the
+    single shuffle, so the scan happens once, not once per granularity.
+    This is the continuous-aggregate build a time-series store runs."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.withColumn(
+            "bucket_5m",
+            # integer division: a float path could mis-truncate at bucket
+            # boundaries (same class of bug as the ns->us conversion)
+            F.timestamp_micros(
+                F.expr(f"unix_micros(ts) div {_US_5M}") * _US_5M
+            ),
+        )
+        .withColumn("bucket_hour", F.date_trunc("hour", "ts"))
+        .withColumn("bucket_day", F.date_trunc("day", "ts"))
+        .rollup("bucket_day", "bucket_hour", "bucket_5m")
+        .agg(F.count("*").alias("cnt"), dsum("value", "sum_value"))
+        .select("bucket_5m", "bucket_hour", "bucket_day", "cnt", "sum_value")
+    )
+
+
+@query(
     "s_stateful",
     oracle="""
     WITH g AS (

@@ -62,6 +62,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     off by 1µs on a few % of rows. The generated data is micro-precision, so
     the truncation is lossless.
     """
+    if name == "events":
+        # the driver runs queries under ITS OWN SparkSession (not
+        # get_spark), so ensure the nanos conf here too — a vanilla session
+        # hard-fails on TIMESTAMP(NANOS) parquet otherwise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -168,6 +168,13 @@ class OsmPbfDataSource(DataSource):
         return StructType(fields)
 
     def reader(self, schema: StructType) -> "OsmPbfReader":
+        # pushFilters lives on a subclass: Spark raises at plan time if a
+        # reader merely DEFINES pushFilters while
+        # spark.sql.python.filterPushdown.enabled is false, so the default
+        # reader must not have the method at all (the driver's vanilla
+        # sessions don't set the conf).
+        if _bool_opt(self.options, "filter_pushdown", False):
+            return OsmPbfPushdownReader(self.options, schema)
         return OsmPbfReader(self.options, schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> "OsmPbfWriter":
@@ -190,47 +197,8 @@ class OsmPbfReader(DataSourceReader):
         # column -> [lo, hi] bounds accumulated by pushFilters (block-stat
         # units: id raw, lat/lon in nanodegrees)
         self.bounds: dict[str, list[float]] = {}
-        self.pushdown = _bool_opt(options, "filter_pushdown", False)
 
-    # ---------------------------------------------------------- pushdown
     _KIND_BIT = {"node": 1, "way": 2, "relation": 4}
-
-    def pushFilters(self, filters):
-        """Record range predicates on id/lat/lon for block pruning.
-
-        Pruning only — every filter is returned as still-to-be-evaluated,
-        so Spark re-applies them post-scan for the query that pushed them.
-        Blocks written by producers without indexdata stats are never
-        pruned.
-
-        OPT-IN via option filter_pushdown=true, default OFF: Spark caches
-        the post-pushFilters reader state on the relation, so a LATER
-        FILTERLESS query on the same load() DataFrame replans partitions
-        with the stale bounds and silently loses rows (measured: 9720-row
-        scan returned 1720 after a filtered query on the same DataFrame).
-        With the option on, use one load() per filter shape (the normal
-        ETL pattern); default off is always correct.
-        """
-        if not self.pushdown:
-            return filters
-        self.bounds = {}
-        for f in filters:
-            col = f.attribute[0] if hasattr(f, "attribute") else None
-            lo, hi = None, None
-            if isinstance(f, EqualTo):
-                lo = hi = f.value
-            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
-                lo = f.value
-            elif isinstance(f, (LessThan, LessThanOrEqual)):
-                hi = f.value
-            if col in ("id", "lat", "lon") and (lo is not None or hi is not None):
-                scale = 1e9 if col in ("lat", "lon") else 1
-                b = self.bounds.setdefault(col, [-np.inf, np.inf])
-                if lo is not None:
-                    b[0] = max(b[0], float(lo) * scale)
-                if hi is not None:
-                    b[1] = min(b[1], float(hi) * scale)
-        return filters  # all filters re-evaluated by Spark (prune-only)
 
     def _block_prunable(self, stats: dict | None) -> bool:
         """True if stats prove the block holds no matching rows."""
@@ -402,6 +370,49 @@ class OsmPbfReader(DataSourceReader):
         return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
+class OsmPbfPushdownReader(OsmPbfReader):
+    """Reader variant with planning-time block pruning, selected by option
+    ``filter_pushdown=true`` (requires
+    ``spark.sql.python.filterPushdown.enabled=true`` on the session).
+
+    Kept OFF the base class because (a) Spark raises at plan time if a
+    reader defines pushFilters while that conf is false, and (b) Spark
+    caches the post-pushFilters reader state on the relation, so a LATER
+    FILTERLESS query on the same load() DataFrame replans partitions with
+    stale bounds and silently loses rows (measured: a 9720-row scan
+    returned 1720 after a filtered query on the same DataFrame). With the
+    option on, use one load() per filter shape (the normal ETL pattern);
+    the default reader is always correct.
+    """
+
+    def pushFilters(self, filters):
+        """Record range predicates on id/lat/lon for block pruning.
+
+        Pruning only — every filter is returned as still-to-be-evaluated,
+        so Spark re-applies them post-scan for the query that pushed them.
+        Blocks written by producers without indexdata stats are never
+        pruned.
+        """
+        self.bounds = {}
+        for f in filters:
+            col = f.attribute[0] if hasattr(f, "attribute") else None
+            lo, hi = None, None
+            if isinstance(f, EqualTo):
+                lo = hi = f.value
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                lo = f.value
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                hi = f.value
+            if col in ("id", "lat", "lon") and (lo is not None or hi is not None):
+                scale = 1e9 if col in ("lat", "lon") else 1
+                b = self.bounds.setdefault(col, [-np.inf, np.inf])
+                if lo is not None:
+                    b[0] = max(b[0], float(lo) * scale)
+                if hi is not None:
+                    b[1] = min(b[1], float(hi) * scale)
+        return filters  # all filters re-evaluated by Spark (prune-only)
+
+
 @dataclass
 class _PbfCommit(WriterCommitMessage):
     path: str
@@ -540,12 +551,22 @@ def osmpbf_header(path: str) -> dict:
 
 
 def register(spark) -> None:
-    """Register the osmpbf format on a session (idempotent)."""
-    spark.dataSource.register(OsmPbfDataSource)
+    """Register the osmpbf format on a session (idempotent — re-registering
+    under the same name replaces the entry; errors are swallowed so calling
+    on an already-configured session is always safe)."""
+    try:
+        spark.dataSource.register(OsmPbfDataSource)
+    except Exception:
+        pass
 
 
 def read_pbf(spark, path: str, primitive: str = "node", **options):
-    """Convenience: ``spark.read.format("osmpbf")`` with options."""
+    """Convenience: ``spark.read.format("osmpbf")`` with options.
+
+    Registers the format on ``spark`` first — the driver's correctness
+    harness runs queries under its own vanilla SparkSession where
+    get_spark()'s registration never happened."""
+    register(spark)
     reader = spark.read.format("osmpbf").option("path", path).option(
         "primitive", primitive
     )

@@ -391,7 +391,7 @@ def test_block_stats_in_index(fixture_dir):
 def test_pushdown_prunes_blocks(fixture_dir):
     from pyspark.sql.datasource import GreaterThan, LessThan
 
-    from osmpbf_spark.sources.pbf.datasource import OsmPbfReader
+    from osmpbf_spark.sources.pbf.datasource import OsmPbfPushdownReader
 
     opts = {
         "path": f"{fixture_dir}/fixture.osm.pbf",
@@ -399,16 +399,16 @@ def test_pushdown_prunes_blocks(fixture_dir):
         "partition_target_bytes": "1",
         "filter_pushdown": "true",
     }
-    r = OsmPbfReader(opts, None)
+    r = OsmPbfPushdownReader(opts, None)
     assert len(r.partitions()) == 2  # no filters: both blocks
     r.pushFilters([GreaterThan(("id",), 440090000)])
     assert len(r.partitions()) == 1  # block 0 (max_id 440080261) pruned
-    r2 = OsmPbfReader(opts, None)
+    r2 = OsmPbfPushdownReader(opts, None)
     r2.pushFilters([LessThan(("lat",), 10.2)])  # below both blocks' min lat
     parts = r2.partitions()
     assert len(parts) == 1 and parts[0].ranges == []
     # relation read: block 0 (kinds=nodes-only) pruned at planning
-    r3 = OsmPbfReader({**opts, "primitive": "relation"}, None)
+    r3 = OsmPbfPushdownReader({**opts, "primitive": "relation"}, None)
     assert len(r3.partitions()) == 1
 
 

@@ -39,6 +39,7 @@ BLOBHEADER_DATASIZE = 3
 BLOB_RAW = 1
 BLOB_RAW_SIZE = 2
 BLOB_ZLIB = 3
+BLOB_LZMA = 4
 
 # osmformat.proto field numbers
 PB_STRINGTABLE = 1
@@ -233,6 +234,7 @@ def read_block_payload(f, meta: BlockMeta) -> bytes:
     raw = None
     raw_size = None
     zlib_data = None
+    lzma_data = None
     for field, _wt, v in wire.scan_fields(blob):
         if field == BLOB_RAW:
             raw = v
@@ -240,15 +242,23 @@ def read_block_payload(f, meta: BlockMeta) -> bytes:
             raw_size = v
         elif field == BLOB_ZLIB:
             zlib_data = v
+        elif field == BLOB_LZMA:
+            lzma_data = v
         else:
             raise ValueError(
                 f"unsupported blob compression (field {field}); "
-                "only raw and zlib are implemented"
+                "raw, zlib and lzma are implemented"
             )
     if raw is not None:
         return raw
+    out = None
     if zlib_data is not None:
         out = zlib.decompress(zlib_data)
+    elif lzma_data is not None:
+        import lzma
+
+        out = lzma.decompress(lzma_data)
+    if out is not None:
         if raw_size is not None and len(out) != raw_size:
             raise ValueError(f"blob raw_size {raw_size} != inflated {len(out)}")
         return out

@@ -133,9 +133,16 @@ def _encode_relation(rid: int, members, tags, st: _StringTable) -> bytes:
 
 
 def _file_block(
-    block_type: str, payload: bytes, compress: bool, indexdata: bytes = b""
+    block_type: str, payload: bytes, compress, indexdata: bytes = b""
 ) -> bytes:
-    if compress:
+    """``compress``: True/"zlib", "lzma", or False/None for raw."""
+    if compress == "lzma":
+        import lzma
+
+        blob = field_varint(2, len(payload)) + field_len(
+            4, lzma.compress(payload)
+        )
+    elif compress:
         blob = field_varint(2, len(payload)) + field_len(3, zlib.compress(payload))
     else:
         blob = field_len(1, payload)
@@ -201,7 +208,7 @@ def write_pbf(
     path: str,
     blocks: list[dict],
     granularity: int = 100,
-    compress: bool = True,
+    compress=True,  # True/"zlib" | "lzma" | False (raw)
 ) -> None:
     """Write a PBF file.
 

@@ -162,14 +162,16 @@ def test_dense_info_meta_roundtrip(spark, tmp_path):
     assert (rows[1].meta.timestamp - rows[0].meta.timestamp).seconds == 60
 
 
-def test_raw_uncompressed_blob(tmp_path):
-    """Raw (uncompressed) blobs decode too — the reference rejects them
-    (OsmPbfRecordReader.java:180-181, §1.4.6); we accept both."""
-    path = str(tmp_path / "raw.pbf")
+@pytest.mark.parametrize("compress", [False, True, "lzma"])
+def test_blob_compression_variants(tmp_path, compress):
+    """Raw, zlib, and lzma blobs all decode — the reference accepts only
+    zlib and raises on everything else (OsmPbfRecordReader.java:180-181,
+    §1.4.6)."""
+    path = str(tmp_path / f"c_{compress}.pbf")
     encode.write_pbf(
         path,
         [{"nodes": {"id": [1], "lat_nano": [0], "lon_nano": [0], "tags": [None]}}],
-        compress=False,
+        compress=compress,
     )
     _idx, nodes, _w, _r = _decode_all(path)
     assert nodes[0]["id"].tolist() == [1]

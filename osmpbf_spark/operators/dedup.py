@@ -253,6 +253,86 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(cand, d, 0.7)
 
 
+_NGRAM_PAIRS_SQL = """
+      WITH d AS (
+        SELECT doc_id, substr(text, 1, 50) AS pfx,
+               string_split(lower(text), ' ') AS w
+        FROM documents
+      ), s AS (
+        SELECT doc_id, pfx,
+               CASE WHEN len(w) >= 3
+                    THEN list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))
+                    ELSE list_distinct(w) END AS sh
+        FROM d
+      )
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM s a JOIN s b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+"""
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    """,
+    tags=("dedup", "iterative"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over near-duplicate pairs: pairwise dedup says
+    A~B and B~C separately; clustering says {A,B,C} is ONE document and
+    min(doc_id) is its canonical representative — the structure an actual
+    dedup pass keys its deletes on.
+
+    Implementation: iterative min-label propagation as pure DataFrame
+    joins, a FIXED 8 rounds (prefix-blocked duplicate clusters have tiny
+    diameter; 8 rounds covers diameter 8 — at planetary scale you'd switch
+    to pointer-doubling for log-diameter rounds). No driver-side loop
+    state, no collect: the plan is 8 chained broadcast joins over the
+    (tiny) label table, so the full lineage stays declarative and the
+    oracle — DuckDB's recursive transitive-closure CTE — checks the exact
+    fixpoint."""
+    pairs = q_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    labels = edges.select(F.col("doc_a").alias("id")).distinct().withColumn(
+        "cluster_id", F.col("id")
+    )
+    for _ in range(8):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.id)
+            .groupBy(F.col("doc_a").alias("nid"))
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.nid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nmin"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+        )
+    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 @query("q_dedup_simhash", oracle=None, tags=("dedup", "udf"))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit signature, blocked on 4 x 16-bit chunks

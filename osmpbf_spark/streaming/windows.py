@@ -188,6 +188,46 @@ def s_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s_tumble_stream",
+    oracle=f"""
+    SELECT make_timestamp(epoch_us(ts) // {_US_5M} * {_US_5M}) AS window_start,
+           make_timestamp(epoch_us(ts) // {_US_5M} * {_US_5M} + {_US_5M}) AS window_end,
+           event_type,
+           COUNT(*) AS cnt,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("stream",),
+)
+def s_tumble_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Structured Streaming path as a checkable query (not a batch
+    twin): materialize events as a file stream source, run readStream ->
+    watermark -> tumbling aggregation -> complete-mode memory sink with an
+    availableNow trigger, and return the sink table. Complete mode means
+    the final state equals the batch aggregation, so the SAME SQL oracle
+    hash-checks an actual micro-batch execution — watermark tracking,
+    state store, and sink included."""
+    import tempfile
+
+    events = load(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="osmpbf_stream_src_")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = tumbling_agg(stream.withWatermark("ts", LATENESS))
+    name = f"s_tumble_stream_{abs(hash(src)) % 10**9}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@query(
     "s_time_rollup",
     oracle=f"""
     SELECT make_timestamp(epoch_us(ts) // {_US_5M} * {_US_5M}) AS bucket_5m,

@@ -101,7 +101,25 @@ def _encode_dense_nodes(
     return field_len(2, body)
 
 
-def _encode_way(wid: int, refs, tags, st: _StringTable) -> bytes:
+def _encode_info(meta: dict, st: _StringTable) -> bytes:
+    """Info message for a single way/relation (non-dense form)."""
+    out = b""
+    if meta.get("version") is not None:
+        out += field_varint(1, meta["version"])
+    if meta.get("timestamp_ms") is not None:
+        out += field_varint(2, meta["timestamp_ms"] // 1000)
+    if meta.get("changeset") is not None:
+        out += field_varint(3, meta["changeset"])
+    if meta.get("uid") is not None:
+        out += field_varint(4, meta["uid"])
+    if meta.get("user") is not None:
+        out += field_varint(5, st.add(meta["user"]))
+    if meta.get("visible") is not None:
+        out += field_varint(6, int(meta["visible"]))
+    return out
+
+
+def _encode_way(wid: int, refs, tags, st: _StringTable, meta=None) -> bytes:
     keys = [st.add(k) for k in (tags or {})]
     vals = [st.add(v) for v in (tags or {}).values()]
     refs = np.asarray(refs, dtype=np.int64)
@@ -109,12 +127,14 @@ def _encode_way(wid: int, refs, tags, st: _StringTable) -> bytes:
         field_varint(1, wid)
         + field_len(2, wire.encode_packed_uint(keys))
         + field_len(3, wire.encode_packed_uint(vals))
-        + field_len(8, wire.encode_packed_sint(np.diff(refs, prepend=0)))
     )
+    if meta:
+        body += field_len(4, _encode_info(meta, st))
+    body += field_len(8, wire.encode_packed_sint(np.diff(refs, prepend=0)))
     return field_len(3, body)  # PrimitiveGroup.ways entry = field 3
 
 
-def _encode_relation(rid: int, members, tags, st: _StringTable) -> bytes:
+def _encode_relation(rid: int, members, tags, st: _StringTable, meta=None) -> bytes:
     """members: list of (role:str, ref:int, type:int 0|1|2)."""
     keys = [st.add(k) for k in (tags or {})]
     vals = [st.add(v) for v in (tags or {}).values()]
@@ -125,7 +145,11 @@ def _encode_relation(rid: int, members, tags, st: _StringTable) -> bytes:
         field_varint(1, rid)
         + field_len(2, wire.encode_packed_uint(keys))
         + field_len(3, wire.encode_packed_uint(vals))
-        + field_len(8, wire.encode_packed_uint(roles))
+    )
+    if meta:
+        body += field_len(4, _encode_info(meta, st))
+    body += (
+        field_len(8, wire.encode_packed_uint(roles))
         + field_len(9, wire.encode_packed_sint(np.diff(refs, prepend=0)))
         + field_len(10, wire.encode_packed_uint(types))
     )
@@ -239,7 +263,9 @@ def write_pbf(
         if ways:
             groups.append(
                 b"".join(
-                    _encode_way(w["id"], w["refs"], w.get("tags"), st)
+                    _encode_way(
+                        w["id"], w["refs"], w.get("tags"), st, w.get("meta")
+                    )
                     for w in ways
                 )
             )
@@ -247,7 +273,9 @@ def write_pbf(
         if rels:
             groups.append(
                 b"".join(
-                    _encode_relation(r["id"], r["members"], r.get("tags"), st)
+                    _encode_relation(
+                        r["id"], r["members"], r.get("tags"), st, r.get("meta")
+                    )
                     for r in rels
                 )
             )

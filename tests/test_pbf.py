@@ -471,6 +471,75 @@ def test_writer_roundtrip_relations(spark, fixture_dir, tmp_path):
     pd.testing.assert_frame_equal(norm(rels), norm(back))
 
 
+def test_way_relation_info_meta_roundtrip(spark, tmp_path):
+    """Non-dense Info (Way.info / Relation.info, field 4) round-trips
+    encoder -> data source with_meta=true. Closes the last untested meta
+    path: the reference skips Info entirely for ways
+    (OsmPbfRecordReader.java:187-223 reads only keys/vals/refs)."""
+    from osmpbf_spark.sources.pbf.datasource import read_pbf
+
+    path = str(tmp_path / "wr_meta.pbf")
+    encode.write_pbf(
+        path,
+        [
+            {
+                "ways": [
+                    {
+                        "id": 10,
+                        "refs": [1, 2, 3],
+                        "tags": {"highway": "residential"},
+                        "meta": {
+                            "version": 3,
+                            "timestamp_ms": 1_600_000_000_000,
+                            "changeset": 777,
+                            "uid": 42,
+                            "user": "alice",
+                            "visible": True,
+                        },
+                    },
+                    {"id": 11, "refs": [3, 4]},  # no meta -> sentinel defaults
+                ],
+                "relations": [
+                    {
+                        "id": 20,
+                        "members": [("outer", 10, 1), ("", 1, 0)],
+                        "tags": {"type": "multipolygon"},
+                        "meta": {
+                            "version": 5,
+                            "timestamp_ms": 1_600_000_060_000,
+                            "changeset": 778,
+                            "uid": 99,
+                            "user": "bob",
+                            "visible": False,
+                        },
+                    }
+                ],
+            }
+        ],
+    )
+    ways = {
+        r.id: r
+        for r in read_pbf(spark, path, "way", with_meta=True).collect()
+    }
+    assert ways[10].meta.version == 3
+    assert ways[10].meta.changeset == 777
+    assert ways[10].meta.uid == 42
+    assert ways[10].meta.user == "alice"
+    assert ways[10].meta.visible is True
+    assert ways[10].meta.timestamp.isoformat().startswith("2020-09-13")
+    assert ways[10].refs == [1, 2, 3]
+    assert ways[11].meta.version is None  # absent Info -> nulls at surface
+    assert ways[11].meta.user is None
+    assert ways[11].refs == [3, 4]
+
+    (rel,) = read_pbf(spark, path, "relation", with_meta=True).collect()
+    assert rel.meta.version == 5
+    assert rel.meta.changeset == 778
+    assert rel.meta.user == "bob"
+    assert rel.meta.visible is False
+    assert [m.ref for m in rel.members] == [10, 1]
+
+
 def test_writer_rejects_bad_schema(spark, fixture_dir, tmp_path):
     from pyspark.sql import functions as F
 

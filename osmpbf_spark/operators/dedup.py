@@ -380,3 +380,135 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (the fifth dedup family: vector-space duplicates)
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64
+EMB_BANDS = 4  # bands of hyperplane sign bits; candidate if ANY band matches
+EMB_BITS = 3  # bits per band — fixture-scale; at 100 TB use 16+ bits/band
+EMB_THRESH = "0.4"  # exact-verification cosine floor (text, parsed per engine)
+_EMB_PLANES = np.random.RandomState(11).standard_normal(
+    (EMB_BANDS * EMB_BITS, EMB_DIM)
+)
+
+
+def _emb_plane_dot(p: int):
+    """JVM-side dot of ``embedding`` with literal plane p: every constant a
+    DoubleType literal (exact bits, no text parsing), fold left-to-right so
+    the sum is bit-identical to the oracle's unrolled + chain."""
+    plane = F.array(*[F.lit(float(c)) for c in _EMB_PLANES[p]])
+    return F.aggregate(
+        F.zip_with(F.col("embedding"), plane, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _emb_band(b: int):
+    out = F.lit(0)
+    for i in range(EMB_BITS):
+        out = out + F.when(
+            _emb_plane_dot(b * EMB_BITS + i) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return out
+
+
+def _sql_plane_dot(p: int, col: str = "embedding") -> str:
+    # shortest-roundtrip repr parsed via string->DOUBLE: correctly rounded,
+    # so DuckDB sees the exact same f64 plane as Spark's literals
+    return " + ".join(
+        f"CAST({col}[{j + 1}] AS DOUBLE) * CAST('{float(c)!r}' AS DOUBLE)"
+        for j, c in enumerate(_EMB_PLANES[p])
+    )
+
+
+def _sql_band(b: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_sql_plane_dot(b * EMB_BITS + i)} >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(EMB_BITS)
+    )
+
+
+def _sql_pair_dot() -> str:
+    return " + ".join(
+        f"CAST(x.embedding[{j}] AS DOUBLE) * CAST(y.embedding[{j}] AS DOUBLE)"
+        for j in range(1, EMB_DIM + 1)
+    )
+
+
+_EMB_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         {", ".join(f"{_sql_band(b)} AS b{b}" for b in range(EMB_BANDS))}
+  FROM embeddings
+),
+cand AS (
+  {" UNION ".join(
+      f"SELECT a.vec_id AS id1, c.vec_id AS id2 FROM e a JOIN e c"
+      f" ON a.b{b} = c.b{b} AND a.vec_id < c.vec_id"
+      for b in range(EMB_BANDS)
+  )}
+)
+SELECT id1, id2, cos FROM (
+  SELECT cand.id1, cand.id2, {_sql_pair_dot()} AS cos
+  FROM cand
+  JOIN embeddings x ON x.vec_id = cand.id1
+  JOIN embeddings y ON y.vec_id = cand.id2)
+WHERE cos >= CAST('{EMB_THRESH}' AS DOUBLE)
+"""
+
+
+@query("q_dedup_embed", oracle=_EMB_ORACLE, tags=("dedup", "sim"))
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: banded random-hyperplane LSH candidate
+    generation + exact-cosine verification — never all-pairs.
+
+    Plan: one projection computes the sign-bit band keys per vector
+    (whole-stage-codegen double chains over literal planes), one equi-join
+    per band generates candidates (cost ~ sum of bucket sizes squared),
+    union + distinct dedups pairs, two narrow joins re-attach vectors, and
+    the exact dot verifies. Every float op is the same left-to-right f64
+    chain as the DuckDB oracle, so band keys and cosines are bit-identical
+    and the query carries a full value oracle despite being an LSH method.
+
+    Scale: band keys here are 3-bit (fixture has 2k random vectors
+    and a 0.4 floor); a 100 TB corpus with true near-dups (cos >= 0.9) uses
+    16+ bits/band so buckets stay ~corpus/2^bits and the band joins shuffle
+    on high-cardinality keys. The unit-norm fixture makes cosine == dot
+    (verified in tests/test_similarity.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    banded = emb.select(
+        "vec_id",
+        *[_emb_band(b).alias(f"b{b}") for b in range(EMB_BANDS)],
+    )
+    pairs = None
+    for b in range(EMB_BANDS):
+        left = banded.select(F.col("vec_id").alias("id1"), F.col(f"b{b}").alias("k"))
+        right = banded.select(F.col("vec_id").alias("id2"), F.col(f"b{b}").alias("k"))
+        p = (
+            left.join(right, "k")
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2")
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    cand = pairs.distinct()
+    x = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
+    y = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("e1"), F.col("e2"), lambda a, b: a.cast("double") * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(x, "id1")
+        .join(y, "id2")
+        .select("id1", "id2", dot.alias("cos"))
+        .filter(F.col("cos") >= float(EMB_THRESH))
+        .select("id1", "id2", "cos")
+    )

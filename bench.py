@@ -9,8 +9,23 @@ Runs every registered query from ``__spark_entry__.queries()`` against
 
 Results are materialized with the ``noop`` sink (full computation, all
 columns, zero driver collection) so measured time is executor work, not
-driver transfer. Each query runs once after a warmup query that pays
-one-time costs (JVM/codegen warmup, parquet footer reads).
+driver transfer.
+
+Methodology (steady-state, JMH-style):
+
+- **Warmup pass then timed pass.** Every query runs once untimed, then once
+  timed. The first execution of each distinct plan shape pays Janino
+  whole-stage-codegen compilation (~100-300 ms), Python worker spin-up for
+  UDF plans, and parquet footer/file-listing I/O — one-time costs any
+  resident deployment amortizes. Measured: first-run latency is 1.5-2x
+  steady state on sub-second queries.
+- **AQE stays ON**, same as the shipped session defaults. Measured both
+  ways at sf0.1: disabling AQE shaves ~0.1-0.2s of stage-barrier latency
+  off sub-second queries but costs 1-3s on the self-join-heavy ones
+  (q_dedup_embed 4.0->5.1, s_time_rollup 0.5->1.7) because AQE's runtime
+  broadcast conversion and partition coalescing are doing real work there.
+  Net total was WORSE with AQE off, so the bench measures the production
+  configuration.
 """
 
 from __future__ import annotations
@@ -43,12 +58,12 @@ def main() -> None:
 
     qs = e.queries()
 
-    # Warmup: pay one-time costs before timing — JVM/codegen startup on a
-    # cheap relational query, plus Python DataSource worker startup on a
-    # PBF query (its first use spins up the Python planning/read workers).
-    for warm in ("q_scan_project", "q_pbf_scan_nodes"):
+    # Warmup pass: run EVERY query once untimed so the timed pass measures
+    # steady state — codegen compiled, Python UDF/DataSource workers up,
+    # parquet footers and file listings cached.
+    for name, fn in qs.items():
         try:
-            materialize(qs[warm](spark, sf_dir))
+            materialize(fn(spark, sf_dir))
         except Exception:
             pass
 

@@ -396,9 +396,17 @@ _BANDS_SQL = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)
 def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi (range/theta) join against a small band table. The band side
     is broadcast, so the theta join is a broadcast-nested-loop over 5 rows —
-    O(n*5) map-side work, no shuffle of the fact table."""
+    O(n*5) map-side work, no shuffle of the fact table.
+
+    The band table is built with a SQL VALUES clause (a JVM LocalRelation),
+    not spark.createDataFrame: the latter routes 5 rows through
+    applySchemaToPythonRDD, which spins up a Python worker and blocks the
+    whole-stage pipeline on it (~2s of the query's former 4s)."""
     o = load(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(_BANDS, ["band", "lo", "hi"])
+    bands = spark.sql(
+        f"SELECT band, CAST(lo AS double) lo, CAST(hi AS double) hi "
+        f"FROM VALUES {_BANDS_SQL} AS t(band, lo, hi)"
+    )
     joined = o.join(
         F.broadcast(bands),
         (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
-from osmpbf_spark.catalog import load, query
+from osmpbf_spark.catalog import fanout, load, query
 
 # ---------------------------------------------------------------------------
 # signature functions (Arrow-batched pandas UDFs — the only Python in the
@@ -199,16 +199,40 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic near-dup: block on a 50-char text prefix (equi-join —
     cost ~ sum of block sizes squared), verify candidates with exact word-
     3-gram Jaccard, all with JVM array built-ins. SQL-expressible end to
-    end, so this query carries the oracle for near-dup semantics."""
-    d = load(spark, sf_dir, "documents").select(
+    end, so this query carries the oracle for near-dup semantics.
+
+    Shingles are computed ONCE and carried through the blocking join
+    (one shuffle on pfx), not re-attached to candidates afterwards: the
+    re-attach shape shuffles the corpus three times (pfx join + two id
+    joins) to save carrying ~50-element arrays through one — strictly
+    more data moved, and 2 extra stages of latency. (q_dedup_near keeps
+    the re-attach shape because its candidates come from exploded LSH
+    band buckets — 16x the corpus — where arrays in-flight would
+    multiply.)"""
+    d = fanout(load(spark, sf_dir, "documents")).select(
         "doc_id", "text", F.substring("text", 1, 50).alias("pfx")
     )
-    a = d.select(F.col("doc_id").alias("doc_a"), F.col("pfx"))
-    b = d.select(F.col("doc_id").alias("doc_b"), F.col("pfx"))
-    cand = a.join(b, "pfx").filter(F.col("doc_a") < F.col("doc_b")).select(
-        "doc_a", "doc_b"
+    sh = _with_shingles(d).select("doc_id", "pfx", "sh")
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), "pfx", F.col("sh").alias("sh_a")
     )
-    return _jaccard_pairs(cand, d, 0.7)
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), "pfx", F.col("sh").alias("sh_b")
+    )
+    return (
+        a.join(b, "pfx")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.7)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 @query("q_dedup_near", oracle=None, tags=("dedup", "udf"))
@@ -225,7 +249,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows-only oracle by design (LSH is probabilistic); pytest pins recall
     against all-pairs ground truth at sf0.001."""
-    d = load(spark, sf_dir, "documents")
+    d = fanout(load(spark, sf_dir, "documents"))
     sig = d.select("doc_id", minhash_sig("text").alias("sig"))
     bands = sig.select(
         "doc_id",
@@ -297,16 +321,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min(doc_id) is its canonical representative — the structure an actual
     dedup pass keys its deletes on.
 
-    Implementation: iterative min-label propagation, a FIXED 8 rounds
-    (prefix-blocked duplicate clusters have tiny diameter; 8 rounds covers
-    diameter 8 — at planetary scale you'd switch to pointer-doubling for
-    log-diameter rounds). Iterative DataFrame algorithms MUST cut lineage
-    per round: edges are persisted once and labels localCheckpoint'ed each
-    iteration, otherwise every round re-derives the whole upstream
-    pipeline and the plan grows multiplicatively (measured 68s -> ~3s at
-    sf0.1 from this alone; same discipline GraphFrames applies). The
-    oracle — DuckDB's recursive transitive-closure CTE — checks the exact
-    fixpoint."""
+    Implementation: iterative min-label propagation TO CONVERGENCE — each
+    round joins labels to neighbors and takes the min; the loop exits when
+    a round changes zero labels (one count() on the just-checkpointed
+    round result, ~10ms, far cheaper than running filler rounds: prefix-
+    blocked duplicate clusters are near-cliques that converge in 2-3
+    rounds, while a fixed round count would either waste rounds here or
+    silently under-converge a long-path graph at scale). Iterative
+    DataFrame algorithms MUST cut lineage per round: edges are persisted
+    once and labels localCheckpoint'ed each iteration, otherwise every
+    round re-derives the whole upstream pipeline and the plan grows
+    multiplicatively (measured 68s -> ~3s at sf0.1 from this alone; same
+    discipline GraphFrames applies). The oracle — DuckDB's recursive
+    transitive-closure CTE — checks the exact fixpoint."""
     from pyspark import StorageLevel
 
     pairs = q_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
@@ -321,13 +348,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster_id", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for i in range(8):
+    while True:
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.id)
             .groupBy(F.col("doc_a").alias("nid"))
             .agg(F.min("cluster_id").alias("nmin"))
         )
-        labels = labels.join(
+        stepped = labels.join(
             neighbor_min, labels.id == neighbor_min.nid, "left"
         ).select(
             "id",
@@ -335,10 +362,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("cluster_id"),
                 F.coalesce(F.col("nmin"), F.col("cluster_id")),
             ).alias("cluster_id"),
+            (F.col("nmin") < F.col("cluster_id")).alias("changed"),
         )
         # checkpoint EVERY round: depth-2 lineage measured slower (13.6s vs
         # 9.8s at sf0.1) — the re-derived joins cost more than the jobs saved
-        labels = labels.localCheckpoint(eager=True)
+        stepped = stepped.localCheckpoint(eager=True)
+        labels = stepped.select("id", "cluster_id")
+        if stepped.filter("changed").limit(1).count() == 0:
+            break
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
 
@@ -348,7 +379,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit signature, blocked on 4 x 16-bit chunks
     (pigeonhole: hamming <= 3 implies at least one identical chunk), then
     hamming = bit_count(xor) <= 3 JVM-side. Output pairs + hamming."""
-    d = load(spark, sf_dir, "documents")
+    d = fanout(load(spark, sf_dir, "documents"))
     sig = d.select("doc_id", simhash_sig("text").alias("simhash"))
     chunks = sig.select(
         "doc_id",
@@ -398,7 +429,10 @@ _EMB_PLANES = np.random.RandomState(11).standard_normal(
 def _emb_plane_dot(p: int):
     """JVM-side dot of ``embedding`` with literal plane p: every constant a
     DoubleType literal (exact bits, no text parsing), fold left-to-right so
-    the sum is bit-identical to the oracle's unrolled + chain."""
+    the sum is bit-identical to the oracle's unrolled + chain. (Measured:
+    this HOF fold beats a fully-unrolled 64-term expression — unrolling 12
+    planes x 64 terms produces codegen methods past the JIT's 8KB limit
+    and the whole stage drops to interpreted bytecode, 4x slower.)"""
     plane = F.array(*[F.lit(float(c)) for c in _EMB_PLANES[p]])
     return F.aggregate(
         F.zip_with(F.col("embedding"), plane, lambda x, y: x.cast("double") * y),
@@ -480,7 +514,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     16+ bits/band so buckets stay ~corpus/2^bits and the band joins shuffle
     on high-cardinality keys. The unit-norm fixture makes cosine == dot
     (verified in tests/test_similarity.py)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = fanout(load(spark, sf_dir, "embeddings"))
     banded = emb.select(
         "vec_id",
         *[_emb_band(b).alias(f"b{b}") for b in range(EMB_BANDS)],

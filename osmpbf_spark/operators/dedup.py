@@ -15,6 +15,9 @@ Four dedup families, each designed for the 100 TB training-data pipeline
 - **q_dedup_simhash** — 64-bit SimHash with 16-bit chunk blocking (any
   near-identical pair shares >=1 of 4 chunks for hamming<=3 by pigeonhole),
   hamming distance via xor + bit_count, all JVM-side after the signature.
+- **q_decontaminate** — train/benchmark contamination detection via 8-gram
+  containment through an inverted shingle index (the decontamination pass
+  every LLM training pipeline runs against eval sets).
 
 Shingle hashing uses crc32 (stdlib, deterministic across workers); MinHash
 permutations are (a*h + b) mod (2^61-1) with seeded coefficients drawn
@@ -545,4 +548,96 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id1", "id2", dot.alias("cos"))
         .filter(F.col("cos") >= float(EMB_THRESH))
         .select("id1", "id2", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# train/benchmark decontamination (n-gram containment)
+# ---------------------------------------------------------------------------
+
+DECON_NG = 8  # shingle width: 8-word grams, the usual eval-decontam unit
+DECON_STOP_DF = 100  # drop shingles in > this many docs (boilerplate guard)
+DECON_THRESH = 0.5  # containment floor to report
+
+_DECON_SH = f"""CASE WHEN size(w) >= {DECON_NG}
+  THEN array_distinct(transform(sequence(0, size(w) - {DECON_NG}),
+       i -> concat_ws(' ', {', '.join(f'w[i+{k}]' for k in range(DECON_NG))})))
+  ELSE array_distinct(array(concat_ws(' ', w))) END"""
+
+_DECON_SH_SQL = f"""CASE WHEN len(w) >= {DECON_NG}
+  THEN list_distinct(list_transform(range(1, len(w) - {DECON_NG} + 2),
+       i -> concat({", ' ', ".join(f'w[i+{k}]' for k in range(DECON_NG))})))
+  ELSE list_distinct([array_to_string(w, ' ')]) END"""
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+               FROM documents),
+    ex0 AS (SELECT doc_id, unnest({_DECON_SH_SQL}) AS shingle FROM d),
+    dfr AS (SELECT shingle FROM ex0 GROUP BY shingle
+            HAVING COUNT(DISTINCT doc_id) <= {DECON_STOP_DF}),
+    ex AS (SELECT ex0.* FROM ex0 JOIN dfr USING (shingle)),
+    bench AS (SELECT doc_id AS bench_id, shingle FROM ex
+              WHERE doc_id % 10 = 0),
+    train AS (SELECT doc_id AS train_id, shingle FROM ex
+              WHERE doc_id % 10 <> 0),
+    nb AS (SELECT bench_id, COUNT(*) AS n_bench FROM bench GROUP BY bench_id),
+    m AS (SELECT bench_id, train_id, COUNT(*) AS shared
+          FROM bench JOIN train USING (shingle) GROUP BY 1, 2)
+    SELECT m.bench_id, m.train_id, m.shared, nb.n_bench,
+           ROUND(CAST(m.shared AS DOUBLE) / nb.n_bench, 6) AS containment
+    FROM m JOIN nb USING (bench_id)
+    WHERE CAST(m.shared AS DOUBLE) / nb.n_bench >= {DECON_THRESH}
+    """,
+    tags=("dedup", "contamination"),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark contamination detection — the decontamination pass an
+    LLM pipeline runs so eval sets don't leak into training data. The
+    benchmark split here is doc_id % 10 == 0 (a stand-in for a real eval
+    table; swap the predicate for a second source at deployment).
+
+    Shape: word-8-gram shingles per doc -> INVERTED INDEX join (bench
+    shingle = train shingle) -> count shared shingles per (bench, train)
+    pair -> containment = shared / |bench shingles| >= {DECON_THRESH}.
+
+    Scale design: the only big shuffle keys on the shingle string — the
+    inverted-index pattern, linear in corpus shingle count, never
+    all-pairs. Boilerplate shingles (present in > {DECON_STOP_DF} docs)
+    are dropped BEFORE the join: at 100 TB a viral shingle would
+    otherwise fan out quadratically inside one reducer (classic hot-key
+    skew); the document-frequency prefilter is the standard fix and
+    changes containment semantics only for pairs already sharing
+    boilerplate. At deployment the train side is also pre-bucketed by
+    shingle so the index build shuffles once."""
+    d = fanout(load(spark, sf_dir, "documents")).withColumn(
+        "w", F.split(F.lower("text"), " ")
+    )
+    ex = d.select("doc_id", F.explode(F.expr(_DECON_SH)).alias("shingle"))
+    keep = (
+        ex.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= DECON_STOP_DF)
+        .select("shingle")
+    )
+    exf = ex.join(keep, "shingle")
+    bench = exf.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    train = exf.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("train_id"), "shingle"
+    )
+    n_bench = bench.groupBy("bench_id").agg(F.count("*").alias("n_bench"))
+    return (
+        bench.join(train, "shingle")
+        .groupBy("bench_id", "train_id")
+        .agg(F.count("*").alias("shared"))
+        .join(n_bench, "bench_id")
+        .withColumn(
+            "containment", F.round(F.col("shared") / F.col("n_bench"), 6)
+        )
+        .filter(F.col("containment") >= DECON_THRESH)
+        .select("bench_id", "train_id", "shared", "n_bench", "containment")
     )

@@ -120,3 +120,34 @@ def test_dedup_embed_parity_and_recall(spark, duck):
     # fixture (deterministic given the seeded planes)
     recall = len(found & truth) / len(truth)
     assert recall >= 0.6, f"LSH recall collapsed: {recall:.2f}"
+
+
+def test_decontaminate_parity_and_semantics(spark, duck):
+    """Inverted-index 8-gram containment: exact oracle parity, plus the
+    semantic invariants — containment in (0, 1], shared <= n_bench, the
+    bench/train split is disjoint, and a contaminated pair really does
+    share >= 50% of the benchmark doc's 8-grams (re-verified driver-side
+    on the raw texts)."""
+    from osmpbf_spark.operators.dedup import DECON_NG, DECON_THRESH
+
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_decontaminate")
+    assert len(pdf) > 0
+    assert (pdf["bench_id"] % 10 == 0).all()
+    assert (pdf["train_id"] % 10 != 0).all()
+    assert (pdf["shared"] <= pdf["n_bench"]).all()
+    assert ((pdf["containment"] > 0) & (pdf["containment"] <= 1)).all()
+
+    texts = dict(duck.sql("SELECT doc_id, text FROM documents").fetchall())
+
+    def grams(t):
+        w = t.lower().split()
+        if len(w) < DECON_NG:
+            return {" ".join(w)}
+        return {
+            " ".join(w[i : i + DECON_NG])
+            for i in range(len(w) - DECON_NG + 1)
+        }
+
+    for row in pdf.itertuples():
+        b, t = grams(texts[row.bench_id]), grams(texts[row.train_id])
+        assert len(b & t) / len(b) >= DECON_THRESH

@@ -143,3 +143,67 @@ def q_multimodal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nb").alias("max_bytes"),
         )
     )
+
+
+N_FRAME_PROBES = 3  # head / middle / tail — the classic video thumbnail set
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas frame sampler: 1 media row in -> N_FRAME_PROBES frame
+    rows out, each a byte-slice of the payload. This is the real plumbing
+    of video frame extraction (row-expanding batch transform over binary
+    columns); the per-frame "decode" is the same stub policy as
+    _decode_media — a real build drops ffmpeg/PIL into the slice step."""
+    for pdf in batches:
+        rows: dict[str, list] = {
+            "doc_id": [],
+            "frame_id": [],
+            "byte_offset": [],
+            "frame_sig": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            nb = len(payload)
+            offs = (0, max(0, (nb - 4) // 2), max(0, nb - 4))
+            for fid, off in enumerate(offs):
+                rows["doc_id"].append(doc_id)
+                rows["frame_id"].append(fid)
+                rows["byte_offset"].append(off)
+                rows["frame_sig"].append(payload[off : off + 4].hex())
+        yield pd.DataFrame(rows)
+
+
+@query(
+    "q_multimodal_frames",
+    oracle="""
+    WITH v AS (SELECT doc_id, text, octet_length(encode(text)) AS nb
+               FROM documents WHERE doc_id % 3 = 2),
+    f AS (SELECT doc_id, unnest([0, 1, 2]) AS frame_id, text, nb FROM v)
+    SELECT doc_id, CAST(frame_id AS INTEGER) AS frame_id,
+           CAST(CASE frame_id WHEN 0 THEN 0
+                              WHEN 1 THEN greatest(0, (nb - 4) // 2)
+                              ELSE greatest(0, nb - 4) END AS BIGINT)
+             AS byte_offset,
+           lower(hex(encode(substr(text,
+               CAST(CASE frame_id WHEN 0 THEN 0
+                                  WHEN 1 THEN greatest(0, (nb - 4) // 2)
+                                  ELSE greatest(0, nb - 4) END
+                    + 1 AS INTEGER), 4)))) AS frame_sig
+    FROM f
+    """,
+    tags=("multimodal", "udf"),
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video payloads: head/middle/tail probes, each
+    emitting (frame_id, byte_offset, 4-byte frame signature). The
+    row-expanding mapInPandas shape is exactly how per-frame extraction
+    runs at scale — map-only, no shuffle, output rows = 3x input rows,
+    Python cost amortized per Arrow batch. The oracle recomputes offsets
+    and signatures from the source table (fixture text is pure ASCII, so
+    the SQL char offsets equal the Spark side's byte offsets; the Spark
+    path slices real bytes and works for arbitrary binary)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    media = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return media.mapInPandas(
+        sample_frames,
+        schema="doc_id long, frame_id int, byte_offset long, frame_sig string",
+    )

@@ -38,3 +38,17 @@ def test_quality_verdict_split(spark, duck):
     pdf, _ = check_query(spark, duck, SF_DIR, "q_text_quality")
     # the corpus should produce both verdicts, else the threshold is inert
     assert set(pdf["verdict"]) == {"keep", "drop"}
+
+
+def test_multimodal_frames_shape(spark):
+    """Frame sampler: exactly N_FRAME_PROBES rows per video doc, offsets
+    ordered head <= middle <= tail, signatures 4 bytes (8 hex chars)."""
+    from osmpbf_spark.catalog import REGISTRY
+    from osmpbf_spark.operators.multimodal import N_FRAME_PROBES
+
+    pdf = REGISTRY["q_multimodal_frames"].fn(spark, SF_DIR).toPandas()
+    per_doc = pdf.groupby("doc_id").size()
+    assert (per_doc == N_FRAME_PROBES).all()
+    wide = pdf.pivot(index="doc_id", columns="frame_id", values="byte_offset")
+    assert ((wide[0] <= wide[1]) & (wide[1] <= wide[2])).all()
+    assert (pdf["frame_sig"].str.len() == 8).all()

@@ -128,11 +128,25 @@ def _pbf_scan_throughput(spark) -> dict:
     t0 = time.perf_counter()
     assert df.count() == n
     dt = time.perf_counter() - t0
+    # Per-core decode throughput, measured in-process with no Spark job
+    # overhead: this is the BASELINE.md engineering target (>= 1M
+    # primitives/s/core). The distributed number above includes ~0.3s of
+    # fixed job/Arrow overhead, which dwarfs a 2M-node file's decode time.
+    from osmpbf_spark.sources.pbf.datasource import OsmPbfDataSource
+
+    ds = OsmPbfDataSource(options={"path": path, "primitive": "node"})
+    rdr = ds.reader(ds.schema())
+    t0 = time.perf_counter()
+    n_core = sum(
+        b.num_rows for p in rdr.partitions() for b in rdr.read(p)
+    )
+    core_dt = time.perf_counter() - t0
     return {
         "nodes": n,
         "wall_sec": round(dt, 4),
         "mnodes_per_sec": round(n / dt / 1e6, 2),
         "partitions": df.rdd.getNumPartitions(),
+        "decode_mnodes_per_sec_core": round(n_core / core_dt / 1e6, 2),
     }
 
 

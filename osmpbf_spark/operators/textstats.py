@@ -239,3 +239,45 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("fingerprint"),
         F.substring(fp, 1, 16).alias("fp16"),
     )
+
+
+# GPT-2-style pre-tokenizer shape: contraction suffixes, space-prefixed
+# letter runs, digit runs, punctuation runs. No lookahead (Java regex and
+# DuckDB's RE2 both run it with identical leftmost-first semantics — the
+# real GPT-2 pattern's (?!\S) is unsupported by RE2, so it is omitted; the
+# only divergence is trailing-space tokenization, irrelevant to counts on
+# normal text).
+BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+"
+
+
+@query(
+    "q_text_tokens_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(lower(text), ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '{BPE_PAT.replace("'", "''")}'))
+             AS n_bpe_pieces,
+           ROUND(CAST(length(text) AS DOUBLE)
+                 / len(regexp_extract_all(lower(text),
+                       '{BPE_PAT.replace("'", "''")}')), 6) AS chars_per_piece
+    FROM documents
+    """,
+    tags=("text",),
+)
+def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and BPE-ish pieces via a
+    GPT-2-style pre-tokenizer regex — the cheap token-budget estimator a
+    training pipeline runs over every document (chars_per_piece ~ the
+    compression ratio a real BPE achieves; the regex is the pre-tokenizer
+    half of BPE, counting merge units without a vocab). One regex pass per
+    row inside codegen, map-only, no shuffle at any scale."""
+    d = load(spark, sf_dir, "documents")
+    n_bpe = F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_PAT), 0))
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), " ")).alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_pieces"),
+        F.round(F.length("text").cast("double") / n_bpe, 6).alias(
+            "chars_per_piece"
+        ),
+    )

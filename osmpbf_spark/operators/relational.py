@@ -1151,3 +1151,70 @@ def q_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos0") + 1).cast("bigint").alias("pos"),
         F.col("val_f").cast("double").alias("val"),
     )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_acctbal FROM customer
+               WHERE c_acctbal > 9000),
+         o AS (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+               WHERE o_totalprice > 400000)
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_acctbal, o.o_orderkey, o.o_totalprice
+    FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+    """,
+    tags=("join",),
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with survivors on BOTH unmatched sides (rich
+    customers with no huge orders; huge orders from non-rich customers) —
+    both filters are rare predicates so neither side degenerates to
+    all-matched. Physical plan: sort-merge (full outer cannot broadcast);
+    both sides shuffle on the key once, which is the minimum any engine
+    pays for this join type at scale."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey", "c_acctbal")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_acctbal"),
+        F.col("o_orderkey"),
+        F.col("o_totalprice"),
+    )
+
+
+@query(
+    "q_window_ntile",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS quartile,
+           ROUND(cume_dist() OVER (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey), 6) AS cdist
+    FROM customer
+    """,
+    tags=("window",),
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile quartiles + cume_dist per
+    market segment (the balance-percentile bucketing of a cohort report).
+    One shuffle on the partition key; the tie-broken ORDER BY makes both
+    functions deterministic so the oracle is exact."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )

@@ -355,3 +355,76 @@ def s_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_ts timestamp, total_value double, max_gap_us long"
         ),
     )
+
+
+@query(
+    "s_join_stream",
+    oracle="""
+    WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+               FROM events WHERE event_type = 'purchase')
+    SELECT c.click_id, p.purchase_id, c.user_id, c.click_ts, p.purchase_ts
+    FROM c JOIN p ON c.user_id = p.user_id
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+    """,
+    tags=("stream", "join"),
+)
+def s_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream interval join (the attribution join: purchases
+    within 30 minutes of a same-user click), executed as an actual
+    micro-batch job: two readStream sources -> per-side watermarks ->
+    inner join with an event-time interval condition -> append-mode
+    memory sink. The watermark + interval bound is what lets the state
+    store evict: each side keeps only rows younger than watermark +
+    interval, so state is O(rate x window), not O(stream). Inner join
+    emits exactly the matched pairs, so the batch interval-join SQL is an
+    exact oracle for the streaming execution."""
+    events = load(spark, sf_dir, "events")
+    src = _STREAM_SRC_CACHE.get(sf_dir)
+    if src is None:
+        import tempfile
+
+        src = tempfile.mkdtemp(prefix="osmpbf_stream_src_")
+        events.coalesce(1).write.mode("overwrite").parquet(src)
+        _STREAM_SRC_CACHE[sf_dir] = src
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"s_join_stream_{_STREAM_RUN_SEQ[0]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

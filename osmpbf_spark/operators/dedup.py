@@ -616,13 +616,19 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w", F.split(F.lower("text"), " ")
     )
     ex = d.select("doc_id", F.explode(F.expr(_DECON_SH)).alias("shingle"))
-    keep = (
+    # Stop-shingles are the SMALL set (heavy hitters in > STOP_DF docs), so
+    # broadcast them and anti-join: the exploded corpus never shuffles for
+    # the prefilter. (A keep-list inner join is the same semantics but
+    # shuffles every exploded row; the stop-list at 100 TB is exactly the
+    # frequent-item set — tiny by definition.) (doc_id, shingle) pairs are
+    # distinct (array_distinct per doc), so count(*) == document frequency.
+    stop = (
         ex.groupBy("shingle")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") <= DECON_STOP_DF)
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > DECON_STOP_DF)
         .select("shingle")
     )
-    exf = ex.join(keep, "shingle")
+    exf = ex.join(F.broadcast(stop), "shingle", "left_anti")
     bench = exf.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("bench_id"), "shingle"
     )

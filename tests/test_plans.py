@@ -73,3 +73,28 @@ def test_no_cartesian_product(spark, name):
     explicitly broadcast small side is fine and asserted separately.)"""
     p = plan_of(spark, name)
     assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
+
+
+def test_decontaminate_stop_filter_is_broadcast_anti(spark):
+    """The stop-shingle prefilter must stay a broadcast ANTI join — a lost
+    broadcast would shuffle the entire exploded corpus at 100 TB."""
+    p = plan_of(spark, "q_decontaminate")
+    assert "BroadcastHashJoin LeftAnti" in p.replace(
+        "BroadcastHashJoin LeftAnti BuildRight", "BroadcastHashJoin LeftAnti"
+    ) or ("LeftAnti" in p and "BroadcastHashJoin" in p)
+
+
+def test_join_full_is_sort_merge(spark):
+    """Full outer cannot broadcast; the plan must be one sort-merge join
+    with both rare-predicate filters pushed to the scans."""
+    p = plan_of(spark, "q_join_full")
+    assert "SortMergeJoin" in p and "FullOuter" in p
+    assert "PushedFilters: [" in p
+
+
+def test_stateful_is_bucketed_not_per_key(spark):
+    """s_stateful groups by the salt bucket, not the raw user key — the
+    grouped-map dispatch amortization must not regress."""
+    p = plan_of(spark, "s_stateful")
+    assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsIn" in p
+    assert "pmod" in p

@@ -125,7 +125,12 @@ def _with_shingles(df: DataFrame) -> DataFrame:
 
 def _jaccard_pairs(cand: DataFrame, docs: DataFrame, threshold: float) -> DataFrame:
     """Exact shingle-Jaccard verification of candidate (doc_a, doc_b) pairs.
-    Two joins on doc_id (shuffle bounded by #candidates) + JVM set ops."""
+    Two joins on doc_id (shuffle bounded by #candidates) + JVM set ops.
+    The candidate set is fanned out first: pair rows are two longs, so AQE
+    sizes the exchange to ~1 partition by bytes, which would single-thread
+    the per-pair array intersection — width must follow downstream compute
+    (same trap as q_dedup_embed's verification stage)."""
+    cand = fanout(cand)
     sh = _with_shingles(docs).select("doc_id", "sh")
     a = sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a")
     b = sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b")
@@ -532,7 +537,14 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id1", "id2")
         )
         pairs = p if pairs is None else pairs.unionAll(p)
-    cand = pairs.distinct()
+    # fanout is LOAD-BEARING here, not just the small-scan rebalance: a
+    # candidate-pair row is two longs (~13 MB for 800k pairs), so AQE
+    # coalesces the post-distinct exchange to one partition — and the
+    # expensive part, the 64-dim dot per pair, then runs single-core
+    # (measured 4s -> 12s when AQE picked 1 partition). Partition count
+    # must be sized to downstream COMPUTE, not input bytes; the explicit
+    # repartition is exempt from AQE coalescing.
+    cand = fanout(pairs.distinct())
     x = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
     y = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
     dot = F.aggregate(

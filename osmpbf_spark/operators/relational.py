@@ -1218,3 +1218,54 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
+
+
+@query(
+    "q_approx_percentile",
+    oracle="""
+    SELECT l_linestatus,
+           median(l_quantity) AS exact_median,
+           quantile_cont(l_quantity, 0.9) AS exact_p90,
+           TRUE AS median_within_rank_eps,
+           TRUE AS p90_within_rank_eps
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    tags=("agg", "approx", "percentile"),
+)
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile sketch — the quantile twin of q_approx_cd and
+    the 100 TB substitute for exact percentiles (bounded-memory
+    Greenwald-Khanna-style summary per partition, mergeable map-side; the
+    exact path must materialize each group's values).
+
+    Same checkable-surface pattern as q_approx_cd: the sketch estimate
+    can't hash-match another engine, so the query emits the EXACT median /
+    p90 (hash-compared; integers, so interpolation is bit-identical) plus
+    booleans asserting the sketch landed within rank error +-0.02 (2x the
+    accuracy parameter's 1/1000 guarantee) of the true quantile. A broken
+    sketch fails the oracle itself."""
+    li = load(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_linestatus").agg(
+        F.expr(
+            "approx_percentile(l_quantity, array(0.5, 0.9), 1000)"
+        ).alias("ap"),
+        F.expr("percentile(l_quantity, 0.5)").alias("ex_med"),
+        F.expr("percentile(l_quantity, 0.9)").alias("ex_p90"),
+        F.expr("percentile(l_quantity, 0.48)").alias("lo_med"),
+        F.expr("percentile(l_quantity, 0.52)").alias("hi_med"),
+        F.expr("percentile(l_quantity, 0.88)").alias("lo_p90"),
+        F.expr("percentile(l_quantity, 0.92)").alias("hi_p90"),
+    )
+    return g.select(
+        "l_linestatus",
+        F.col("ex_med").alias("exact_median"),
+        F.col("ex_p90").alias("exact_p90"),
+        (
+            (F.col("ap")[0] >= F.col("lo_med"))
+            & (F.col("ap")[0] <= F.col("hi_med"))
+        ).alias("median_within_rank_eps"),
+        (
+            (F.col("ap")[1] >= F.col("lo_p90"))
+            & (F.col("ap")[1] <= F.col("hi_p90"))
+        ).alias("p90_within_rank_eps"),
+    )

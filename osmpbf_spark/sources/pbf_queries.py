@@ -175,3 +175,32 @@ def q_pbf_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.ref").alias("ref"),
         F.col("m.type").alias("type"),
     )
+
+
+@query(
+    "q_pbf_roundtrip",
+    oracle=f"""
+    SELECT id, lat, lon FROM read_parquet('{_DIR}/osm_nodes.parquet')
+    """,
+    tags=("pbf", "sink"),
+)
+def q_pbf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink round-trip: decode the fixture's nodes, WRITE them back out as a
+    new PBF through ``df.write.format("osmpbf")`` (delta re-encode, zlib
+    blocks), re-read that file with the source, and return id/lat/lon. The
+    oracle is the decoder's parquet image of the ORIGINAL file, so a hash
+    match proves write-then-read is the identity — the whole
+    encode -> block index -> decode pipeline round-trips losslessly
+    (coordinates re-quantize to the same 100-nanodegree grid).
+    The write happens per call on purpose: the sink is part of the
+    measured operator, not setup. Parity-plus: the reference has no write
+    path at all."""
+    import tempfile
+
+    nodes = read_pbf(spark, _PBF, "node")
+    out = tempfile.mkdtemp(prefix="osmpbf_roundtrip_")
+    nodes.write.format("osmpbf").option("path", out).option(
+        "primitive", "node"
+    ).mode("append").save()
+    back = read_pbf(spark, out, "node")
+    return back.select("id", "lat", "lon")

@@ -158,8 +158,34 @@ def all_oracles() -> dict[str, str]:
     return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
 
 
+# Queries the round-2 driver already verified green (rows+schema+hash all
+# true in CORRECTNESS_r02.json). The driver's correctness window covers only
+# the FIRST 50 registered queries, so ``_import_all`` registers everything
+# NOT in this set first: the similarity/text/UDF/PBF/streaming tail and the
+# three previously hash-red oracles get hard driver rows this round, while
+# the battle-tested relational basics rotate to the back of the line.
+_R02_GREEN = frozenset(
+    {
+        "q_dedup_exact", "q_dedup_ngram", "q_dedup_clusters", "q_dedup_embed",
+        "q_decontaminate", "q_grid_agg", "q_multimodal", "q_multimodal_frames",
+        "q_scan_project", "q_filter_pred", "q_agg_basic", "q_agg_distinct",
+        "q_agg_rollup", "q_agg_cube", "q_agg_gsets", "q_approx_cd",
+        "q_having", "q_join_inner", "q_join_left", "q_join_semi",
+        "q_join_anti", "q_join_broadcast", "q_join_range", "q_join_skew_salt",
+        "q_pivot", "q_percentile", "q_asof_join", "q_sample_stratified",
+        "q_window_lead_lag", "q_sort_limit", "q_set_union", "q_set_intersect",
+        "q_set_except", "q_window_rank", "q_window_frame", "q_str_funcs",
+        "q_map_funcs", "q_date_funcs", "q_math_funcs", "q_case_null",
+        "q_json_funcs", "q_subq_scalar", "q_subq_in", "q_explode_pos",
+        "q_join_full",
+    }
+)
+
+
 def _import_all() -> None:
-    """Import every operator module so decorators run."""
+    """Import every operator module so decorators run, then order the
+    registry for the driver's 50-query correctness window: never-verified
+    (or previously red) queries first, round-2-green queries last."""
     from osmpbf_spark.operators import (  # noqa: F401
         dedup,
         grid,
@@ -171,3 +197,8 @@ def _import_all() -> None:
     )
     from osmpbf_spark.sources import pbf_queries  # noqa: F401
     from osmpbf_spark.streaming import windows  # noqa: F401
+
+    ordered = sorted(REGISTRY, key=lambda n: n in _R02_GREEN)
+    reordered = {n: REGISTRY[n] for n in ordered}
+    REGISTRY.clear()
+    REGISTRY.update(reordered)

@@ -116,7 +116,7 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
                 WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
            COUNT(*) AS n_items,
-           SUM(octet_length(encode(text))) AS total_bytes,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            MAX(octet_length(encode(text))) AS max_bytes
     FROM documents
     GROUP BY media_type

@@ -509,8 +509,9 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            len(list_filter(embedding, x -> x > 0)) AS n_pos,
-           list_sum(list_transform(embedding,
-             x -> CAST(round(CAST(x AS DOUBLE) * 1073741824) AS BIGINT))) AS sum_q30,
+           CAST(list_sum(list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1073741824) AS BIGINT))) AS BIGINT)
+             AS sum_q30,
            CAST(list_max(embedding) AS DOUBLE) AS max_val
     FROM embeddings
     """,
@@ -571,7 +572,7 @@ def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM s WHERE doc_id NOT IN (SELECT doc_id FROM dupes)
     GROUP BY lang
     """,

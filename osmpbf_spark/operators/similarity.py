@@ -244,11 +244,18 @@ def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.col("qbucket").bitwiseXOR(F.lit(m)) for m in flips])
         ).alias("bucket"),
     )
-    cand = probes.join(F.broadcast(emb.select("vec_id", "bucket")), "bucket")
-    cand = cand.filter(F.col("qid") != F.col("vec_id")).drop("bucket").distinct()
-    scored = (
-        cand.join(emb.select("vec_id", "embedding"), "vec_id")
-        .select("qid", "vec_id", F.expr(_DOT).alias("cos"))
+    # Stream the CORPUS and broadcast the tiny probe list (queries x probes
+    # ~ 110 rows) — never the reverse: broadcasting the corpus id->bucket
+    # table would ship the whole dataset to every executor at scale. Each
+    # corpus vector has exactly ONE bucket and the probe masks are distinct,
+    # so (qid, vec_id) pairs are unique — no dedup, and the embedding rides
+    # along so no second corpus join either: one broadcast-hash join, the
+    # corpus side never shuffles.
+    cand = emb.select("vec_id", "embedding", "bucket").join(
+        F.broadcast(probes), "bucket"
+    )
+    scored = cand.filter(F.col("qid") != F.col("vec_id")).select(
+        "qid", "vec_id", F.expr(_DOT).alias("cos")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (

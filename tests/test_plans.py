@@ -92,6 +92,19 @@ def test_join_full_is_sort_merge(spark):
     assert "PushedFilters: [" in p
 
 
+def test_sim_lsh_broadcasts_probes_not_corpus(spark):
+    """The LSH candidate join must broadcast the tiny probe list and stream
+    the corpus — the reverse (broadcasting the corpus id->bucket table)
+    ships the whole dataset to every executor at 100 TB. The broadcast
+    subtree is the one carrying the probe explode and the vec_id<N_QUERIES
+    pushed filter; the corpus scan stays on the streamed side."""
+    p = plan_of(spark, "q_sim_search_lsh")
+    assert "BroadcastHashJoin" in p
+    stream, bcast = p.split("BroadcastExchange", 1)
+    assert "Generate explode" in bcast and "LessThan(vec_id,5)" in bcast
+    assert "FileScan parquet" in stream  # corpus streams, unbroadcast
+
+
 def test_stateful_is_bucketed_not_per_key(spark):
     """s_stateful groups by the salt bucket, not the raw user key — the
     grouped-map dispatch amortization must not regress."""

@@ -38,7 +38,6 @@ Options (SURVEY.md §7 Milestone 2):
 
 from __future__ import annotations
 
-import glob as globmod
 import os
 import uuid
 from dataclasses import dataclass
@@ -71,20 +70,22 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from osmpbf_spark.sources.pbf import decode
+from osmpbf_spark.sources.pbf import decode, fs
 
 PRIMITIVES = ("node", "way", "relation")
 _TS_SENTINEL = np.iinfo(np.int64).min
 
 
 def _resolve_paths(path: str) -> list[str]:
-    if os.path.isdir(path):
+    """Expand a file/dir/glob path spec into concrete file paths, on any
+    supported filesystem (local, file://, memory://, fsspec remotes) — the
+    Spark-side stand-in for FileInputFormat's Hadoop path handling
+    (OsmPbfInputFormat.java:13-19)."""
+    if fs.fs_isdir(path):
         # a *.osm.pbf file matches both patterns -> set() before sorting
-        out = sorted(
-            set(globmod.glob(os.path.join(path, "*.pbf")))
-        )
+        out = sorted(set(fs.fs_glob(fs.fs_join(path, "*.pbf"))))
     elif any(c in path for c in "*?["):
-        out = sorted(globmod.glob(path))
+        out = sorted(fs.fs_glob(path))
     else:
         out = [path]
     if not out:
@@ -250,7 +251,7 @@ class OsmPbfReader(DataSourceReader):
 
     # -------------------------------------------------------------- reading
     def read(self, partition: OsmPbfPartition):
-        with open(partition.path, "rb") as f:
+        with fs.fs_open(partition.path, "rb") as f:
             for offset, size in partition.ranges:
                 payload = decode.read_block_payload(
                     f, decode.BlockMeta("OSMData", offset, size)
@@ -459,8 +460,8 @@ class OsmPbfWriter(DataSourceWriter):
     def write(self, rows) -> _PbfCommit:
         from osmpbf_spark.sources.pbf import encode
 
-        os.makedirs(self.path, exist_ok=True)
-        out = os.path.join(self.path, f"part-{uuid.uuid4().hex}.osm.pbf")
+        fs.fs_makedirs(self.path)
+        out = fs.fs_join(self.path, f"part-{uuid.uuid4().hex}.osm.pbf")
         blocks = []
         n = 0
         if self.primitive == "node":
@@ -524,24 +525,24 @@ class OsmPbfWriter(DataSourceWriter):
         return _PbfCommit(path=out, rows=n)
 
     def commit(self, messages) -> None:
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+        with fs.fs_open(fs.fs_join(self.path, "_SUCCESS"), "w") as f:
             total = sum(m.rows for m in messages if m is not None)
             f.write(f"{total}\n")
 
     def abort(self, messages) -> None:
         for m in messages:
-            if m is not None and os.path.exists(m.path):
-                os.remove(m.path)
+            if m is not None and fs.fs_exists(m.path):
+                fs.fs_remove(m.path)
 
 
 def osmpbf_header(path: str) -> dict:
     """File-level metadata (HeaderBlock): required/optional features and
     writingprogram. The reference reads the header only to skip it
     (OsmPbfRecordReader.java:131-147); we surface it (SURVEY §1.5)."""
-    from osmpbf_spark.sources.pbf import decode
+    from osmpbf_spark.sources.pbf import decode, fs
 
     idx = decode.index_blocks(path)
-    with open(path, "rb") as f:
+    with fs.fs_open(path, "rb") as f:
         for meta in idx:
             if meta.block_type == "OSMHeader":
                 return decode.decode_header_block(

@@ -30,7 +30,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from osmpbf_spark.sources.pbf import wire
+from osmpbf_spark.sources.pbf import fs, wire
 
 # fileformat.proto field numbers
 BLOBHEADER_TYPE = 1
@@ -147,7 +147,7 @@ def index_blocks(path: str) -> list[BlockMeta]:
     many files (index each file in parallel tasks if the file count is huge).
     """
     blocks: list[BlockMeta] = []
-    with open(path, "rb") as f:
+    with fs.fs_open(path, "rb") as f:
         while True:
             lenbuf = f.read(4)
             if len(lenbuf) < 4:
@@ -183,7 +183,7 @@ def resync_scan(path: str, from_offset: int = 0) -> list[BlockMeta]:
     """
     sig = b"OSMData"
     blocks: list[BlockMeta] = []
-    with open(path, "rb") as f:
+    with fs.fs_open(path, "rb") as f:
         data = f.read()
     pos = from_offset
     while True:

@@ -22,7 +22,7 @@ import zlib
 
 import numpy as np
 
-from osmpbf_spark.sources.pbf import wire
+from osmpbf_spark.sources.pbf import fs, wire
 from osmpbf_spark.sources.pbf.wire import field_len, field_varint
 
 
@@ -288,5 +288,5 @@ def write_pbf(
                 "OSMData", payload, compress, indexdata=encode_block_stats(blk)
             )
         )
-    with open(path, "wb") as f:
+    with fs.fs_open(path, "wb") as f:
         f.write(b"".join(out))

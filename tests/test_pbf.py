@@ -550,3 +550,123 @@ def test_writer_rejects_bad_schema(spark, fixture_dir, tmp_path):
         nodes.drop("lat").write.format("osmpbf").option(
             "path", str(tmp_path / "bad")
         ).option("primitive", "node").mode("append").save()
+
+
+# ---------------------------------------------------------------------------
+# filesystem indirection (fs.py): the reference gets HDFS/S3 paths for free
+# via Hadoop's FileSystem SPI (OsmPbfRecordReader.java:300-310); our Python
+# reader routes all source/sink I/O through fs.py. memory:// proves every
+# byte goes through the layer (driver-process scope, like fsspec's memory
+# filesystem); file:// goes end-to-end through Spark executors.
+# ---------------------------------------------------------------------------
+
+
+def test_memory_fs_source_roundtrip(fixture_dir):
+    """Upload the fixture to memory://, then run header decode, directory
+    glob resolution, split planning, and the full partition read purely
+    through the scheme — the exact code path a remote fsspec URL takes."""
+    from osmpbf_spark.sources.pbf import fs
+    from osmpbf_spark.sources.pbf.datasource import (
+        OsmPbfReader,
+        _resolve_paths,
+        osmpbf_header,
+    )
+
+    fs.memory_clear()
+    with open(f"{fixture_dir}/fixture.osm.pbf", "rb") as f:
+        raw = f.read()
+    with fs.fs_open("memory://bucket/osm/fixture.osm.pbf", "wb") as f:
+        f.write(raw)
+
+    hdr = osmpbf_header("memory://bucket/osm/fixture.osm.pbf")
+    assert hdr["required_features"] == ["OsmSchema-V0.6", "DenseNodes"]
+
+    # directory-style and glob-style resolution over the scheme
+    assert _resolve_paths("memory://bucket/osm") == [
+        "memory://bucket/osm/fixture.osm.pbf"
+    ]
+    assert _resolve_paths("memory://bucket/*/*.pbf") == [
+        "memory://bucket/osm/fixture.osm.pbf"
+    ]
+
+    reader = OsmPbfReader(
+        {"path": "memory://bucket/osm", "primitive": "node"}, None
+    )
+    parts = reader.partitions()
+    mem_ids = sorted(
+        i for p in parts for b in reader.read(p) for i in b.column("id").to_pylist()
+    )
+
+    local_reader = OsmPbfReader(
+        {"path": f"{fixture_dir}/fixture.osm.pbf", "primitive": "node"}, None
+    )
+    local_ids = sorted(
+        i
+        for p in local_reader.partitions()
+        for b in local_reader.read(p)
+        for i in b.column("id").to_pylist()
+    )
+    assert mem_ids == local_ids and len(mem_ids) > 0
+    fs.memory_clear()
+
+
+def test_memory_fs_sink_write_commit_abort(fixture_dir):
+    """Drive the DataSourceWriter directly (no JVM) against memory://:
+    write -> part file appears; commit -> _SUCCESS with the row count;
+    abort -> part file removed."""
+    from pyspark.sql import Row
+    from pyspark.sql.types import StructType
+
+    from osmpbf_spark.sources.pbf import decode, fs
+    from osmpbf_spark.sources.pbf.datasource import OsmPbfWriter, _resolve_paths
+
+    fs.memory_clear()
+    schema = StructType.fromDDL(
+        "id long, lat double, lon double, tags map<string,string>"
+    )
+    w = OsmPbfWriter({"path": "memory://out/pbf"}, schema, overwrite=False)
+    msg = w.write(
+        iter(
+            [
+                Row(id=1, lat=10.0, lon=20.0, tags={"k": "v"}),
+                Row(id=2, lat=-5.5, lon=3.25, tags=None),
+            ]
+        )
+    )
+    assert msg.path.startswith("memory://out/pbf/part-")
+    idx = decode.index_blocks(msg.path)
+    assert [b.block_type for b in idx] == ["OSMHeader", "OSMData"]
+
+    w.commit([msg])
+    with fs.fs_open("memory://out/pbf/_SUCCESS", "rb") as f:
+        assert f.read() == b"2\n"
+    assert _resolve_paths("memory://out/pbf/*.pbf") == [msg.path]
+
+    w.abort([msg])
+    assert not fs.fs_exists(msg.path)
+    fs.memory_clear()
+
+
+def test_file_scheme_through_spark(spark, fixture_dir):
+    """file:// URL end-to-end through Spark executors (memory:// cannot
+    cross the executor process boundary; a real deployment points fsspec
+    at a shared store)."""
+    from osmpbf_spark.sources.pbf.datasource import read_pbf
+
+    via_scheme = read_pbf(
+        spark, f"file://{fixture_dir}/fixture.osm.pbf", "node"
+    )
+    plain = read_pbf(spark, f"{fixture_dir}/fixture.osm.pbf", "node")
+    a = sorted(r.id for r in via_scheme.collect())
+    b = sorted(r.id for r in plain.collect())
+    assert a == b and len(a) > 0
+
+
+def test_unknown_scheme_names_fsspec():
+    from osmpbf_spark.sources.pbf import fs
+
+    try:
+        import fsspec  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="fsspec"):
+            fs.fs_open("s3://bucket/key.pbf", "rb")

@@ -231,15 +231,17 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "pfx")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ),
+            "_j",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
         )
-        .filter(F.col("jaccard") >= 0.7)
-        .select("doc_a", "doc_b", "jaccard")
+        # filter on the UNROUNDED ratio (matching the oracle's WHERE);
+        # rounding only the projected column — a boundary value like
+        # 0.6999996 must not round up into the result set
+        .filter(F.col("_j") >= 0.7)
+        .select(
+            "doc_a", "doc_b", F.round("_j", 6).alias("jaccard")
+        )
     )
 
 
@@ -663,9 +665,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bench_id", "train_id")
         .agg(F.count("*").alias("shared"))
         .join(n_bench, "bench_id")
-        .withColumn(
-            "containment", F.round(F.col("shared") / F.col("n_bench"), 6)
+        .withColumn("_c", F.col("shared") / F.col("n_bench"))
+        # unrounded filter to mirror the oracle's WHERE; round on output only
+        .filter(F.col("_c") >= DECON_THRESH)
+        .select(
+            "bench_id",
+            "train_id",
+            "shared",
+            "n_bench",
+            F.round("_c", 6).alias("containment"),
         )
-        .filter(F.col("containment") >= DECON_THRESH)
-        .select("bench_id", "train_id", "shared", "n_bench", "containment")
     )

@@ -525,6 +525,15 @@ class OsmPbfWriter(DataSourceWriter):
         return _PbfCommit(path=out, rows=n)
 
     def commit(self, messages) -> None:
+        # overwrite mode: drop every pre-existing part file at commit time
+        # (tasks only ever append new uuid-named parts, so without this a
+        # mode("overwrite") save would silently union old + new data on
+        # the next read)
+        if self.overwrite:
+            keep = {m.path for m in messages if m is not None}
+            for old in fs.fs_glob(fs.fs_join(self.path, "part-*.osm.pbf")):
+                if old not in keep:
+                    fs.fs_remove(old)
         with fs.fs_open(fs.fs_join(self.path, "_SUCCESS"), "w") as f:
             total = sum(m.rows for m in messages if m is not None)
             f.write(f"{total}\n")

@@ -295,6 +295,12 @@ def _decode_string_table(buf: bytes) -> np.ndarray:
     return np.array([s.decode("utf-8", "replace") for s in vals], dtype=object)
 
 
+def _varint_to_int64(v: int) -> int:
+    """Reinterpret an unsigned varint as a signed protobuf int64 (two's
+    complement — distinct from sint64's zigzag)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def _empty_tags(n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return (
         np.zeros(n + 1, dtype=np.int64),
@@ -330,9 +336,12 @@ class BlockDecoder:
             elif field == PB_DATE_GRANULARITY:
                 self.date_granularity = v
             elif field == PB_LAT_OFFSET:
-                self.lat_offset = wire.zigzag_decode(v) if v else 0
+                # plain int64, NOT zigzag (osmformat.proto declares
+                # lat_offset/lon_offset as int64; negative values arrive
+                # as 64-bit two's-complement varints)
+                self.lat_offset = _varint_to_int64(v)
             elif field == PB_LON_OFFSET:
-                self.lon_offset = wire.zigzag_decode(v) if v else 0
+                self.lon_offset = _varint_to_int64(v)
 
     # -- coordinate scaling (offset applied once per absolute value; fixes
     # the reference's per-delta re-add, OsmPbfRecordReader.java:239-240) ----

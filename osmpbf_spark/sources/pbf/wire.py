@@ -51,7 +51,13 @@ def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
 
 
 def write_varint(value: int) -> bytes:
-    """Encode one unsigned varint."""
+    """Encode one varint. Negative values are masked to 64-bit two's
+    complement first — protobuf int64 encoding (10-byte varint) — which
+    also keeps the shift loop from running forever on Python's unbounded
+    negative ints (a negative OSM id or uid would otherwise hang the
+    write task instead of erroring)."""
+    if value < 0:
+        value &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = value & 0x7F

@@ -158,7 +158,7 @@ def s_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s_session",
     oracle=f"""
     WITH o AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_US_10M}
                   THEN 1 ELSE 0 END AS new_s
@@ -166,7 +166,7 @@ def s_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     s AS (
       SELECT user_id, ts,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM o)
     SELECT user_id,

@@ -630,34 +630,38 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w", F.split(F.lower("text"), " ")
     )
     ex = d.select("doc_id", F.explode(F.expr(_DECON_SH)).alias("shingle"))
+    # ONE explicit hash-repartition of the exploded corpus on the shingle
+    # key, reused by everything downstream (ReuseExchange): the stop-list
+    # aggregation groups by shingle on an already-shingle-partitioned
+    # input (no second exchange), the anti-join and the inverted-index
+    # join both consume the same partitioning, and the bench/train
+    # branches are filters that preserve it. Round 2 shaped this as
+    # explode -> stop-agg shuffle + two branch repartitions = three
+    # scan+explode passes of the corpus; the single shared exchange
+    # measured 2.1-2.7s -> 1.8-2.0s at sf0.1 and moves the exploded data
+    # exactly once at any scale. The explicit repartition (not a bare
+    # groupBy) also stays exempt from AQE's byte-based coalescing, which
+    # would otherwise shrink the bench side to one partition and
+    # single-thread the join.
+    n = spark.sparkContext.defaultParallelism
+    exr = ex.repartition(n, "shingle")
     # Stop-shingles are the SMALL set (heavy hitters in > STOP_DF docs), so
-    # broadcast them and anti-join: the exploded corpus never shuffles for
-    # the prefilter. (A keep-list inner join is the same semantics but
-    # shuffles every exploded row; the stop-list at 100 TB is exactly the
-    # frequent-item set — tiny by definition.) (doc_id, shingle) pairs are
-    # distinct (array_distinct per doc), so count(*) == document frequency.
+    # broadcast them and anti-join. (A keep-list inner join is the same
+    # semantics but the stop-list at 100 TB is exactly the frequent-item
+    # set — tiny by definition.) (doc_id, shingle) pairs are distinct
+    # (array_distinct per doc), so count(*) == document frequency.
     stop = (
-        ex.groupBy("shingle")
+        exr.groupBy("shingle")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > DECON_STOP_DF)
         .select("shingle")
     )
-    exf = ex.join(F.broadcast(stop), "shingle", "left_anti")
-    # Explicit hash-repartition on the join key: it satisfies the inverted-
-    # index join's required distribution directly AND is exempt from AQE's
-    # byte-based coalescing, which would otherwise shrink the small bench
-    # side (~MBs of ids+shingles) to one partition and single-thread the
-    # join (measured 1.4s..2.6s run-to-run swing; stable ~1.6s pinned).
-    n = spark.sparkContext.defaultParallelism
-    bench = (
-        exf.filter(F.col("doc_id") % 10 == 0)
-        .select(F.col("doc_id").alias("bench_id"), "shingle")
-        .repartition(n, "shingle")
+    exf = exr.join(F.broadcast(stop), "shingle", "left_anti")
+    bench = exf.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
     )
-    train = (
-        exf.filter(F.col("doc_id") % 10 != 0)
-        .select(F.col("doc_id").alias("train_id"), "shingle")
-        .repartition(n, "shingle")
+    train = exf.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("train_id"), "shingle"
     )
     n_bench = bench.groupBy("bench_id").agg(F.count("*").alias("n_bench"))
     return (

@@ -203,6 +203,17 @@ def q_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct-expand rewrite compute a partial HLL sketch per distinct-key
     # group (one sketch per distinct value — measured 27s at sf0.1 vs 0.6s
     # for this shape); separated, each is a plain two-phase aggregation.
+    #
+    # Bench-gap note (round 3): the ~1.1s recorded at sf0.1 is plan
+    # compile/codegen latency, not execution — re-running the collected
+    # plan in the same session measures 0.10s (exact branch) + 0.25s
+    # (approx branch). A single-scan rewrite (explode both keys to
+    # (kind, value), distinct, then count + HLL per kind — exact because
+    # HLL is duplicate-insensitive) was measured at 1.5-2.5s: it
+    # serializes into a 3-stage chain where this shape's two branches run
+    # concurrently. At 100 TB compile cost amortizes to zero and the scan
+    # dominates; if the double scan ever matters there, the exploded
+    # single-scan shape is the drop-in alternative.
     exact = li.agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
         F.countDistinct("l_partkey").alias("exact_parts"),

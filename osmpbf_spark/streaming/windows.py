@@ -43,20 +43,36 @@ _STREAM_STATE_PARTITIONS = "8"
 
 
 class _scoped_state_partitions:
-    """Set shuffle partitions for planning+starting one streaming query,
-    restore on exit (the running query keeps the value it started with)."""
+    """Set streaming confs for planning+starting one streaming query,
+    restore on exit (the running query keeps the values it started with).
+
+    Besides the state-partition count, this disables no-data micro-batches:
+    with availableNow all data lands in batch 0, and the trailing no-data
+    batch exists only to advance the watermark for state EVICTION and for
+    append-mode window finalization. Both real streaming queries here emit
+    eagerly (inner stream-stream join emits matches as both sides arrive;
+    complete-mode aggregation re-emits the full result every batch), so the
+    extra batch buys nothing and costs a full state-store commit cycle —
+    measured s_join_stream 2.5-3.3s -> 1.7-2.0s at sf0.1. A query whose
+    OUTPUT depends on watermark advancement (append-mode windowed agg)
+    must NOT use this scope."""
+
+    _CONFS = {
+        "spark.sql.shuffle.partitions": _STREAM_STATE_PARTITIONS,
+        "spark.sql.streaming.noDataMicroBatches.enabled": "false",
+    }
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
 
     def __enter__(self):
-        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
-        self.spark.conf.set(
-            "spark.sql.shuffle.partitions", _STREAM_STATE_PARTITIONS
-        )
+        self.prev = {k: self.spark.conf.get(k) for k in self._CONFS}
+        for k, v in self._CONFS.items():
+            self.spark.conf.set(k, v)
 
     def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        for k, v in self.prev.items():
+            self.spark.conf.set(k, v)
         return False
 _US_10M = 10 * 60 * 1_000_000
 _US_30M = 30 * 60 * 1_000_000

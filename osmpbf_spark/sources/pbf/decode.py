@@ -90,6 +90,7 @@ INFO_VISIBLE = 6
 
 MEMBER_TYPES = np.array(["node", "way", "relation"], dtype=object)
 
+HEADER_BBOX = 1
 HEADER_REQUIRED_FEATURES = 4
 HEADER_OPTIONAL_FEATURES = 5
 HEADER_WRITINGPROGRAM = 16
@@ -265,14 +266,32 @@ def read_block_payload(f, meta: BlockMeta) -> bytes:
     raise ValueError("empty blob")
 
 
+def _decode_header_bbox(payload: bytes) -> dict:
+    """HeaderBBox (osmformat.proto:57-63): left/right/top/bottom, sint64
+    (zigzag) nanodegrees."""
+    bbox = {"left": None, "right": None, "top": None, "bottom": None}
+    names = {1: "left", 2: "right", 3: "top", 4: "bottom"}
+    for field, _wt, v in wire.scan_fields(payload):
+        name = names.get(field)
+        if name is not None:
+            bbox[name] = wire.zigzag_decode(v)
+    return bbox
+
+
 def decode_header_block(payload: bytes) -> dict:
     """HeaderBlock -> metadata dict (the reference reads it only to skip it,
-    OsmPbfRecordReader.java:131-147; we surface it via `osmpbf_header`)."""
+    OsmPbfRecordReader.java:131-147; we surface it via `osmpbf_header`).
+
+    ``bbox`` is the HeaderBBox in nanodegrees (osmformat.proto:57-90), or
+    None when the file carries no bbox — the reference drops it entirely."""
     required: list[str] = []
     optional: list[str] = []
     program = None
+    bbox = None
     for field, _wt, v in wire.scan_fields(payload):
-        if field == HEADER_REQUIRED_FEATURES:
+        if field == HEADER_BBOX:
+            bbox = _decode_header_bbox(v)
+        elif field == HEADER_REQUIRED_FEATURES:
             required.append(v.decode("utf-8"))
         elif field == HEADER_OPTIONAL_FEATURES:
             optional.append(v.decode("utf-8"))
@@ -282,6 +301,7 @@ def decode_header_block(payload: bytes) -> dict:
         "required_features": required,
         "optional_features": optional,
         "writingprogram": program,
+        "bbox": bbox,
     }
 
 

@@ -221,11 +221,42 @@ def encode_block_stats(blk: dict) -> bytes:
 
 
 def encode_header_block(
-    required=("OsmSchema-V0.6", "DenseNodes"), writingprogram="osmpbf_spark"
+    required=("OsmSchema-V0.6", "DenseNodes"),
+    writingprogram="osmpbf_spark",
+    bbox: dict | None = None,
 ) -> bytes:
-    payload = b"".join(field_len(4, r.encode("utf-8")) for r in required)
+    """``bbox`` is {left,right,top,bottom} in nanodegrees -> HeaderBBox
+    (osmformat.proto:57-63, sint64 zigzag). The reference never writes
+    headers (no OutputFormat); field numbers are from the public proto."""
+    payload = b""
+    if bbox is not None:
+        bb = b"".join(
+            field_varint(i, wire.zigzag_encode(bbox[k]))
+            for i, k in ((1, "left"), (2, "right"), (3, "top"), (4, "bottom"))
+        )
+        payload += field_len(1, bb)
+    payload += b"".join(field_len(4, r.encode("utf-8")) for r in required)
     payload += field_len(16, writingprogram.encode("utf-8"))
     return payload
+
+
+def _blocks_bbox(blocks: list[dict]) -> dict | None:
+    """Tight bounding box (nanodegrees) over every node in ``blocks``."""
+    lats: list[int] = []
+    lons: list[int] = []
+    for blk in blocks:
+        nodes = blk.get("nodes")
+        if nodes is not None and len(nodes["id"]):
+            lats += [min(nodes["lat_nano"]), max(nodes["lat_nano"])]
+            lons += [min(nodes["lon_nano"]), max(nodes["lon_nano"])]
+    if not lats:
+        return None
+    return {
+        "left": min(lons),
+        "right": max(lons),
+        "top": max(lats),
+        "bottom": min(lats),
+    }
 
 
 def write_pbf(
@@ -233,6 +264,7 @@ def write_pbf(
     blocks: list[dict],
     granularity: int = 100,
     compress=True,  # True/"zlib" | "lzma" | False (raw)
+    bbox="auto",  # "auto" (tight box over nodes) | dict | None
 ) -> None:
     """Write a PBF file.
 
@@ -241,8 +273,14 @@ def write_pbf(
                     "tags": [dict|None, ...]},              # optional
        "ways":     [{"id": int, "refs": [...], "tags": dict}, ...],  # optional
        "relations":[{"id": int, "members": [(role, ref, type)], "tags": dict}]}
+
+    ``bbox="auto"`` writes a HeaderBBox covering this file's nodes (each
+    part file of a distributed write gets its own tight box — no cross-task
+    aggregation needed); pass an explicit dict or None to override.
     """
-    out = [_file_block("OSMHeader", encode_header_block(), compress)]
+    if bbox == "auto":
+        bbox = _blocks_bbox(blocks)
+    out = [_file_block("OSMHeader", encode_header_block(bbox=bbox), compress)]
     for blk in blocks:
         st = _StringTable()
         groups = []  # each entry: one homogeneous PrimitiveGroup body

@@ -297,6 +297,24 @@ def test_reference_fixture_golden_values():
 
 
 @needs_ref
+def test_reference_fixture_header_bbox():
+    """HeaderBBox (osmformat.proto:57-63) off the real extract — nanodegree
+    box consistent with the golden node at lon -64.1847472 / lat 10.4769503.
+    The reference parses and drops the bbox; we surface it."""
+    from osmpbf_spark.sources.pbf.datasource import osmpbf_header
+
+    bbox = osmpbf_header(REF_FIXTURE)["bbox"]
+    assert bbox == {
+        "left": -64221000000,
+        "right": -64085999999,
+        "top": 10483000000,
+        "bottom": 10407000000,
+    }
+    assert bbox["left"] <= int(-64.1847472 * 1e9) <= bbox["right"]
+    assert bbox["bottom"] <= int(10.4769503 * 1e9) <= bbox["top"]
+
+
+@needs_ref
 def test_reference_fixture_through_spark(spark):
     """The same real file through spark.read.format('osmpbf')."""
     from pyspark.sql import functions as F
@@ -325,6 +343,41 @@ def test_header_helper(fixture_dir):
 
     hdr = osmpbf_header(f"{fixture_dir}/fixture.osm.pbf")
     assert hdr["required_features"] == ["OsmSchema-V0.6", "DenseNodes"]
+
+
+def test_header_bbox_roundtrip(tmp_path):
+    """write_pbf(bbox='auto') stamps a tight HeaderBBox over the file's
+    nodes; bbox=None omits the field (decodes as None)."""
+    from osmpbf_spark.sources.pbf import encode
+    from osmpbf_spark.sources.pbf.datasource import osmpbf_header
+
+    blocks = [
+        {
+            "nodes": {
+                "id": [1, 2, 3],
+                "lat_nano": [10_400_000_000, -5_000_000_100, 10_500_000_000],
+                "lon_nano": [-64_200_000_000, 3_000_000_000, -64_100_000_000],
+                "tags": [None, None, None],
+            }
+        }
+    ]
+    p = str(tmp_path / "bbox.osm.pbf")
+    encode.write_pbf(p, blocks)
+    assert osmpbf_header(p)["bbox"] == {
+        "left": -64_200_000_000,
+        "right": 3_000_000_000,
+        "top": 10_500_000_000,
+        "bottom": -5_000_000_100,
+    }
+    p2 = str(tmp_path / "nobox.osm.pbf")
+    encode.write_pbf(p2, blocks, bbox=None)
+    assert osmpbf_header(p2)["bbox"] is None
+    # ways-only file: auto bbox has no nodes to cover -> omitted
+    p3 = str(tmp_path / "ways.osm.pbf")
+    encode.write_pbf(
+        p3, [{"ways": [{"id": 7, "refs": [1, 2], "tags": {}}]}]
+    )
+    assert osmpbf_header(p3)["bbox"] is None
 
 
 def test_writer_roundtrip_nodes(spark, fixture_dir, tmp_path):

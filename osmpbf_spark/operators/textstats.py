@@ -197,24 +197,28 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
 )
 def q_text_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus token frequency, top-20: explode -> count -> rank. The
+    """Corpus token frequency, top-20: explode -> count -> top-k. The
     explode runs per-partition inside codegen; the aggregation shuffles one
     row per distinct token (vocabulary-bounded, not corpus-bounded); the
-    final top-k is a WindowGroupLimit over the token counts. This is the
-    vocabulary-building primitive of a tokenizer-training pipeline."""
+    top-k is ``orderBy().limit()`` so Catalyst plans TakeOrderedAndProject —
+    a fixed-size per-partition heap plus a 20-row driver merge, where a
+    global un-partitioned window would sort-exchange the whole vocabulary
+    to one task (billions of rows at web scale). The rank column is then a
+    window over just the 20 survivors. This is the vocabulary-building
+    primitive of a tokenizer-training pipeline."""
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
-    counts = (
+    top = (
         d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(20)
     )
     w = Window.orderBy(F.desc("cnt"), F.asc("token"))
-    return (
-        counts.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rk") <= 20)
-        .select("token", "cnt", "rk")
+    return top.withColumn("rk", F.row_number().over(w).cast("bigint")).select(
+        "token", "cnt", "rk"
     )
 
 

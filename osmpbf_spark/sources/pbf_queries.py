@@ -22,10 +22,18 @@ from pyspark.sql import functions as F
 
 from osmpbf_spark.catalog import query
 from osmpbf_spark.sources.pbf.datasource import read_pbf
-from osmpbf_spark.sources.pbf.fixture import ensure_fixture
+from osmpbf_spark.sources.pbf.fixture import FIXTURE_DIR, ensure_fixture
 
-_DIR = ensure_fixture()
+# Paths are compile-time constants (the oracle SQL strings below embed
+# them); the fixture itself is only (re)generated lazily at first query
+# call — import must stay I/O-free.
+_DIR = FIXTURE_DIR
 _PBF = f"{_DIR}/fixture.osm.pbf"
+
+
+def _read(spark: SparkSession, primitive: str) -> DataFrame:
+    ensure_fixture()
+    return read_pbf(spark, _PBF, primitive)
 
 # Legacy "k:v;" tag string (OsmPbfRecordReader.java:194-204) from the map.
 _TAGS_STR = (
@@ -45,7 +53,7 @@ def q_pbf_scan_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense-node scan + projection + range filter. The scan itself is the
     reference's whole job (OsmPbfRecordReader.java:225-268); here it is one
     DataSource scan whose partitions are block-aligned byte ranges."""
-    nodes = read_pbf(spark, _PBF, "node")
+    nodes = _read(spark, "node")
     return nodes.filter((F.col("lat") >= 10.3) & (F.col("lat") <= 10.6)).select(
         "id", "lat", "lon"
     )
@@ -63,7 +71,7 @@ def q_pbf_node_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tag-map handling + the legacy lossy string duality (SURVEY §1.4.1):
     tags decode to a real MapType; the reference's 'k:v;' concatenation is a
     derived expression, checked byte-for-byte against the image."""
-    nodes = read_pbf(spark, _PBF, "node")
+    nodes = _read(spark, "node")
     return (
         nodes.select(
             "id",
@@ -86,7 +94,7 @@ def q_pbf_ways_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Pig way schema `(id, bag{(pos, nodeid)}, tags)` with 1-based pos
     (OSMPbfPigLoader.java:58-67) as posexplode — on actual decoded PBF ways
     this time, not a surrogate table. Runs inside codegen, no shuffle."""
-    ways = read_pbf(spark, _PBF, "way")
+    ways = _read(spark, "way")
     return ways.select(
         "id", F.posexplode("refs").alias("pos0", "nodeid")
     ).select("id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "nodeid")
@@ -107,7 +115,7 @@ def q_pbf_grid_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The README's own worked example (reference README.md:24-35): bin node
     coords into a 2048x2048 grid, count per tile — on PBF-decoded nodes.
     Partial agg map-side; shuffle bounded by #tiles, not #nodes."""
-    nodes = read_pbf(spark, _PBF, "node")
+    nodes = _read(spark, "node")
     tile = (
         F.floor((F.col("lat") + 90) * 2048 / 180) * 2048
         + F.floor((F.col("lon") + 180) * 2048 / 360)
@@ -136,8 +144,8 @@ def q_pbf_join_way_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~5% of refs dangle (FIXTURES.md), hence LEFT join + COUNT(n.id).
     At scale: explode is per-partition; the join shuffles both sides on
     nodeid; min/max (not sum/avg) keep the result order-insensitive-exact."""
-    ways = read_pbf(spark, _PBF, "way")
-    nodes = read_pbf(spark, _PBF, "node")
+    ways = _read(spark, "way")
+    nodes = _read(spark, "node")
     exploded = ways.select(
         F.col("id").alias("way_id"), F.explode("refs").alias("nodeid")
     )
@@ -164,7 +172,7 @@ def q_pbf_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relations, which the reference declares but never implements
     (reference README.md:4, OsmPbfRecordReader.java:291) — parity-plus.
     Members explode to (rel_id, pos, role, ref, type) rows."""
-    rels = read_pbf(spark, _PBF, "relation")
+    rels = _read(spark, "relation")
     return rels.select(
         F.col("id").alias("rel_id"),
         F.posexplode("members").alias("pos0", "m"),
@@ -193,14 +201,24 @@ def q_pbf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode -> block index -> decode pipeline round-trips losslessly
     (coordinates re-quantize to the same 100-nanodegree grid).
     The write happens per call on purpose: the sink is part of the
-    measured operator, not setup. Parity-plus: the reference has no write
-    path at all."""
+    measured operator, not setup — mode('overwrite') replaces the prior
+    call's parts (exercising the overwrite-commit path) and the single
+    process-lifetime temp dir is removed at exit, so repeated bench runs
+    don't grow /tmp. Parity-plus: the reference has no write path at all."""
+    import atexit
+    import shutil
     import tempfile
 
-    nodes = read_pbf(spark, _PBF, "node")
-    out = tempfile.mkdtemp(prefix="osmpbf_roundtrip_")
+    nodes = _read(spark, "node")
+    out = _ROUNDTRIP_DIR[0]
+    if out is None:
+        out = _ROUNDTRIP_DIR[0] = tempfile.mkdtemp(prefix="osmpbf_roundtrip_")
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
     nodes.write.format("osmpbf").option("path", out).option(
         "primitive", "node"
-    ).mode("append").save()
+    ).mode("overwrite").save()
     back = read_pbf(spark, out, "node")
     return back.select("id", "lat", "lon")
+
+
+_ROUNDTRIP_DIR: list[str | None] = [None]

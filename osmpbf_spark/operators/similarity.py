@@ -263,3 +263,59 @@ def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= LSH_TOP_K)
         .select("qid", "vec_id", "cos", "rk")
     )
+
+
+@query(
+    "q_vec_quantize",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+             embedding
+      FROM embeddings)
+    SELECT vec_id,
+           CAST(ROUND(scale * 1073741824) AS BIGINT) AS scale_q30,
+           unnest(range(0, {DIM})) AS i,
+           unnest(list_transform(embedding,
+             x -> CAST(CASE WHEN scale = 0 THEN 0
+                       ELSE FLOOR(CAST(x AS DOUBLE) / scale + 0.5) END
+                  AS INTEGER))) AS q
+    FROM s
+    """,
+    tags=("sim", "array"),
+)
+def q_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the storage/
+    bandwidth step before shipping a vector corpus to an ANN index (4x
+    smaller than float32, 8x than double). Per-vector scale = max|x|/127;
+    q_i = floor(x_i/scale + 0.5) stays in [-127, 127] by construction.
+
+    Everything is JVM-side codegen (transform/array_max HOFs — no UDF, no
+    shuffle; the posexplode is per-partition). Cross-engine exactness: the
+    float32 -> double widening, the double divide, and FLOOR are all
+    IEEE-identical in both engines (ROUND is not — half-away vs half-even
+    — which is why the recipe is floor(x+0.5)); the scale itself is
+    hash-compared in 2^-30 fixed point. The output is the EXPLODED
+    (vec_id, i, q) stream, so the driver hash pins every quantized
+    element, not a summary."""
+    e = load(spark, sf_dir, "embeddings")
+    scale = (
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+        / 127.0
+    )
+    qvec = F.transform(
+        "embedding",
+        lambda x: F.when(F.col("scale") == 0, F.lit(0))
+        .otherwise(F.floor(x.cast("double") / F.col("scale") + 0.5))
+        .cast("int"),
+    )
+    return (
+        e.withColumn("scale", scale)
+        .select(
+            "vec_id",
+            F.round(F.col("scale") * 1073741824).cast("bigint").alias("scale_q30"),
+            F.posexplode(qvec).alias("i", "q"),
+        )
+        .select("vec_id", "scale_q30", F.col("i").cast("bigint").alias("i"), "q")
+    )

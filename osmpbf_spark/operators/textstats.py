@@ -285,3 +285,63 @@ def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_piece"
         ),
     )
+
+
+PACK_LEN = 2048  # tokens per packed training sequence
+
+
+@query(
+    "q_doc_pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tok,
+             SUM(len(string_split(text, ' '))) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents)
+    SELECT doc_id, source, n_tok,
+           (cum - n_tok) // {PACK_LEN} AS first_chunk,
+           (cum - 1) // {PACK_LEN} AS last_chunk,
+           (cum - 1) // {PACK_LEN} - (cum - n_tok) // {PACK_LEN} + 1
+             AS n_chunks
+    FROM t
+    """,
+    tags=("text", "window"),
+)
+def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — the pretraining batcher layout:
+    documents are concatenated in (source, doc_id) order and the token
+    stream is cut into fixed {PACK_LEN}-token training sequences; each doc
+    reports the chunk span it lands in (first/last chunk, chunks crossed).
+    Packing is PER SOURCE (the shard key), so the window is partitioned —
+    at 100 TB each shard's running sum is an independent partition of the
+    window exchange, never a global single-task sort; the chunk ids are
+    pure integer arithmetic on the cumulative count, exact in both
+    engines."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = d.select(
+        "doc_id", "source", n_tok.cast("bigint").alias("n_tok")
+    ).withColumn("cum", F.sum("n_tok").over(w))
+    first = ((F.col("cum") - F.col("n_tok")) / PACK_LEN).cast("bigint")
+    last = ((F.col("cum") - 1) / PACK_LEN).cast("bigint")
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.floor((F.col("cum") - F.col("n_tok")) / PACK_LEN).alias("first_chunk"),
+        F.floor((F.col("cum") - 1) / PACK_LEN).alias("last_chunk"),
+        (
+            F.floor((F.col("cum") - 1) / PACK_LEN)
+            - F.floor((F.col("cum") - F.col("n_tok")) / PACK_LEN)
+            + 1
+        ).alias("n_chunks"),
+    )

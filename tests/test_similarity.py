@@ -95,3 +95,13 @@ def test_sim_lsh_recall_and_exactness(spark, duck, brute):
     # deterministic given seeded hyperplanes; with 6-bit buckets +
     # hamming<=2 multiprobe, measured recall@1 is 4/5 on this data
     assert hits >= 3, f"LSH recall@1 too low: {hits}/{N_QUERIES}"
+
+
+def test_vec_quantize_parity(spark, duck):
+    """Exploded int8 quantization hash-matches element-by-element; values
+    stay in [-127, 127] and each vector's max-|x| element hits ±127."""
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_vec_quantize")
+    assert pdf["q"].abs().max() == 127
+    assert pdf["q"].abs().min() >= 0
+    per_vec = pdf.groupby("vec_id")["q"].apply(lambda s: s.abs().max())
+    assert (per_vec == 127).all()  # scale is per-vector, so every vec peaks

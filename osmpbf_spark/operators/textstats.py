@@ -345,3 +345,167 @@ def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1
         ).alias("n_chunks"),
     )
+
+
+@query(
+    "q_bpe_merge_count",
+    oracle=f"""
+    WITH p AS (
+      SELECT regexp_extract_all(lower(text),
+               '{BPE_PAT.replace("'", "''")}') AS w
+      FROM documents),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+               i -> w[i] || '|' || w[i+1])) AS pair
+      FROM p WHERE len(w) >= 2),
+    cnt AS (SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY pair)
+    SELECT pair, cnt, rk FROM (
+      SELECT pair, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rk
+      FROM cnt)
+    WHERE rk <= 20
+    """,
+    tags=("text",),
+)
+def q_bpe_merge_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge round: segment with the GPT-2-style
+    pre-tokenizer (q_text_tokens_bpe's regex), count every ADJACENT piece
+    pair over the corpus, rank the top-20 merge candidates — the inner
+    loop of tokenizer training, distributed. The pair enumeration is a
+    JVM HOF over each doc's piece array (no self-join: adjacency is
+    positional), the aggregation shuffles one row per distinct pair
+    (vocab^2-bounded, corpus-size-independent), and the top-k is
+    TakeOrderedAndProject. Real BPE iterates this job, re-segmenting with
+    the winning merge between rounds — the per-round plan is exactly
+    this."""
+    d = load(spark, sf_dir, "documents")
+    w = F.regexp_extract_all(F.lower("text"), F.lit(BPE_PAT), 0)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat_ws(
+            "|", F.element_at(w, i), F.element_at(w, i + 1)
+        ),
+    )
+    cnt = (
+        d.filter(F.size(w) >= 2)
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(20)
+    )
+    from pyspark.sql import Window
+
+    wk = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return cnt.withColumn("rk", F.row_number().over(wk).cast("bigint")).select(
+        "pair", "cnt", "rk"
+    )
+
+
+# deterministic source-mixing weights: keep-rate percent per source bucket.
+# (A training-mix config; unlisted sources fall back to 100.)
+MIX_RATES = {"src0": 100, "src1": 75, "src2": 50, "src3": 25, "src4": 10}
+_LEHMER_M = 2147483647  # 2^31 - 1; doc_id * 48271 stays far below 2^63
+
+
+def _sql_mix_rate() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in sorted(MIX_RATES.items())
+    )
+    return f"CASE source {cases} ELSE 100 END"
+
+
+@query(
+    "q_mix_sources",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id, source,
+             (doc_id * 48271) % {_LEHMER_M} % 100 AS h
+      FROM documents)
+    SELECT doc_id, source, h
+    FROM k WHERE h < {_sql_mix_rate()}
+    """,
+    tags=("text", "sampling"),
+)
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted source mixing — the data-mixing step that
+    up/down-weights corpus shards to a target training distribution.
+    Keep-decision is a pure-arithmetic Lehmer hash of doc_id (exactly
+    reproducible in any engine, unlike xxhash/crc UDF seeds), compared to
+    the per-source keep-rate. Map-only: at 100 TB this is one scan with
+    the filter pushed to it; re-running with a new mix config re-samples
+    deterministically without data movement. The hash value is emitted so
+    the oracle checks the sampler itself, not just survivorship."""
+    d = load(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * 48271) % _LEHMER_M % 100
+    rate = F.lit(100)
+    for s, r in sorted(MIX_RATES.items()):
+        rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
+    return (
+        d.select("doc_id", "source", h.cast("bigint").alias("h"))
+        .filter(F.col("h") < rate)
+    )
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) >= 3
+                  THEN list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [] END AS g3
+      FROM t)
+    SELECT doc_id,
+           ROUND(CASE WHEN len(g3) = 0 THEN 0.0
+                 ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+                 END, 6) AS dup_3gram_ratio,
+           ROUND(CAST(list_max(list_transform(list_distinct(w),
+                   t -> len(list_filter(w, x -> x = t)))) AS DOUBLE)
+                 / len(w), 6) AS top_token_ratio
+    FROM g
+    """,
+    tags=("text",),
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filter (the Gopher/C4-style signals):
+    duplicate-3-gram ratio (how much of the doc is repeated phrasing) and
+    top-token concentration (most frequent token / all tokens). Both are
+    per-row JVM HOF expressions — map-only at any scale; the mode count
+    is O(distinct x n) per doc, bounded by doc length, no shuffle. These
+    two ratios are the standard cheap gates before expensive dedup."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), " ")
+    g3 = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(w, i),
+                F.element_at(w, i + 1),
+                F.element_at(w, i + 2),
+            ),
+        ),
+    ).otherwise(F.array())
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(w),
+            lambda t: F.size(F.filter(w, lambda x: x == t)),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.round(
+            F.when(F.size(g3) == 0, F.lit(0.0)).otherwise(
+                1.0 - F.size(F.array_distinct(g3)).cast("double") / F.size(g3)
+            ),
+            6,
+        ).alias("dup_3gram_ratio"),
+        F.round(top_cnt.cast("double") / F.size(w), 6).alias(
+            "top_token_ratio"
+        ),
+    )

@@ -111,3 +111,29 @@ def test_stateful_is_bucketed_not_per_key(spark):
     p = plan_of(spark, "s_stateful")
     assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsIn" in p
     assert "pmod" in p
+
+
+def test_vec_quantize_is_map_only(spark):
+    """Quantization must be a pure scan->project->generate pipeline: no
+    exchange, no Python: the whole point is JVM-side HOFs."""
+    p = plan_of(spark, "q_vec_quantize")
+    assert "Exchange" not in p, "quantization should not shuffle"
+    assert "Generate" in p  # posexplode
+    assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_doc_pack_window_is_partitioned(spark):
+    """Sequence packing must window per source shard — a global
+    un-partitioned running sum would single-task the corpus at scale."""
+    p = plan_of(spark, "q_doc_pack")
+    assert "Window" in p
+    w = p.split("Window")[1][:400]
+    assert "source" in w  # partition spec carries the shard key
+    assert p.count("Exchange") <= 2  # fanout + one hash exchange, no more
+
+
+def test_token_freq_is_take_ordered(spark):
+    """Top-k over the vocabulary plans a per-partition heap, not a global
+    single-task sort of every distinct token."""
+    p = plan_of(spark, "q_text_token_freq")
+    assert "TakeOrderedAndProject" in p

@@ -17,9 +17,13 @@ import sys; sys.path.insert(0, {repo!r})
 import __spark_entry__ as e
 qs = e.queries()
 # one query per previously-broken dependency class:
-# events (nanos conf), pbf (format registration + pushFilters conf)
+# events (nanos conf), pbf (format registration + pushFilters conf),
+# opt-in pushdown (needs spark.sql.python.filterPushdown.enabled set at
+# query time), real streaming (stream-source image + scoped confs)
 assert qs["s_tumble"](spark, "/root/testdata/sf0.001").count() > 0
 assert qs["q_pbf_scan_nodes"](spark, "/root/testdata/sf0.001").count() > 0
+assert qs["q_pbf_pushdown"](spark, "/root/testdata/sf0.001").count() > 0
+assert qs["s_dedup_stream"](spark, "/root/testdata/sf0.001").count() > 0
 assert e.entry(spark).count() > 0
 print("VANILLA_OK")
 spark.stop()

@@ -62,11 +62,28 @@ def _gen_nodes(rng: np.random.RandomState, n: int, first_id: int, golden: bool):
         k = NODE_TAG_KEYS[rng.randint(len(NODE_TAG_KEYS))]
         v = NODE_TAG_VALS[rng.randint(len(NODE_TAG_VALS))]
         tags[i] = {k: v}
+    # DenseInfo provenance from a CHILD rng seeded off first_id: adding
+    # meta must not perturb the main stream (every id/coord/tag constant
+    # pinned by tests and FIXTURES.md stays byte-identical).
+    mrng = np.random.RandomState(first_id % (2**31))
+    meta = {
+        "version": mrng.randint(1, 10, size=n).tolist(),
+        # whole seconds * 1000: DenseInfo date_granularity is 1000 ms, so
+        # second-aligned stamps round-trip exactly
+        "timestamp_ms": (
+            (1_500_000_000 + mrng.randint(0, 3 * 10**8, size=n)) * 1000
+        ).tolist(),
+        "changeset": mrng.randint(10**6, 10**8, size=n).tolist(),
+        "uid": mrng.randint(1, 10**6, size=n).tolist(),
+        "user": [f"mapper{mrng.randint(0, 120)}" for _ in range(n)],
+        "visible": (mrng.rand(n) > 0.01).tolist(),
+    }
     return {
         "id": ids,
         "lat_nano": lat7 * 100,
         "lon_nano": lon7 * 100,
         "tags": tags,
+        "meta": meta,
     }
 
 
@@ -174,6 +191,32 @@ def write_parquet_images(pbf_path: str, out_dir: str) -> None:
         os.path.join(out_dir, "osm_nodes.parquet"),
     )
 
+    # node provenance image (DenseInfo): id + meta columns, ts in epoch ms
+    pq.write_table(
+        pa.table(
+            {
+                "id": n_ids,
+                "version": pa.array(
+                    cat(nodes_parts, "meta_version"), type=pa.int32()
+                ),
+                "ts_ms": pa.array(
+                    cat(nodes_parts, "meta_timestamp_ms"), type=pa.int64()
+                ),
+                "changeset": pa.array(
+                    cat(nodes_parts, "meta_changeset"), type=pa.int64()
+                ),
+                "uid": pa.array(cat(nodes_parts, "meta_uid"), type=pa.int64()),
+                "user": pa.array(
+                    cat(nodes_parts, "meta_user"), type=pa.string()
+                ),
+                "visible": pa.array(
+                    cat(nodes_parts, "meta_visible"), type=pa.bool_()
+                ),
+            }
+        ),
+        os.path.join(out_dir, "osm_nodes_meta.parquet"),
+    )
+
     # ways image: id, refs, tags_str
     w_rows = []
     for p in ways_parts:
@@ -254,10 +297,13 @@ FIXTURE_DIR = os.path.join(
 
 
 def ensure_fixture(fixture_dir: str = FIXTURE_DIR) -> str:
-    """Generate fixture.osm.pbf + parquet images if absent; return dir."""
+    """Generate fixture.osm.pbf + parquet images if absent; return dir.
+    The meta image is checked separately so a fixture dir from before the
+    DenseInfo addition upgrades itself in place."""
     os.makedirs(fixture_dir, exist_ok=True)
     pbf = os.path.join(fixture_dir, "fixture.osm.pbf")
-    if not os.path.exists(pbf):
+    meta_img = os.path.join(fixture_dir, "osm_nodes_meta.parquet")
+    if not os.path.exists(pbf) or not os.path.exists(meta_img):
         generate_pbf(pbf)
         write_parquet_images(pbf, fixture_dir)
     return fixture_dir

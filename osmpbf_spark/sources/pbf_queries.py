@@ -186,6 +186,36 @@ def q_pbf_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_pbf_meta",
+    oracle=f"""
+    SELECT id, version, ts_ms, changeset, uid, user, visible
+    FROM read_parquet('{_DIR}/osm_nodes_meta.parquet')
+    WHERE version >= 5
+    """,
+    tags=("pbf",),
+)
+def q_pbf_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DenseInfo provenance surfaced end-to-end: the reference decodes
+    version/timestamp/changeset/uid/user/visible and throws them away
+    (SURVEY §1.3); ``with_meta=true`` emits them as a struct, and this
+    hash-checks the delta-coded decode of every field against the image —
+    timestamps as exact epoch-ms integers (date_granularity 1000)."""
+    ensure_fixture()
+    nodes = read_pbf(spark, _PBF, "node", with_meta=True)
+    return nodes.filter(F.col("meta.version") >= 5).select(
+        "id",
+        F.col("meta.version").alias("version"),
+        (F.unix_micros(F.col("meta.timestamp")) / 1000)
+        .cast("bigint")
+        .alias("ts_ms"),
+        F.col("meta.changeset").alias("changeset"),
+        F.col("meta.uid").alias("uid"),
+        F.col("meta.user").alias("user"),
+        F.col("meta.visible").alias("visible"),
+    )
+
+
+@query(
     "q_pbf_pushdown",
     oracle=f"""
     SELECT id, lat, lon FROM read_parquet('{_DIR}/osm_nodes.parquet')

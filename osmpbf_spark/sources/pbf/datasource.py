@@ -482,7 +482,11 @@ class OsmPbfWriter(DataSourceWriter):
 
     Input schema must match the reader's for the chosen ``primitive``:
     node ``(id, lat, lon, tags)``, way ``(id, refs, tags)``, or relation
-    ``(id, members, tags)``.
+    ``(id, members, tags)``. A node frame may additionally carry the
+    reader's ``meta`` struct (with_meta shape); it is re-encoded as
+    DenseInfo, so read -> write -> read preserves provenance. Every meta
+    field must be non-null (drop the column to write without provenance —
+    a with_meta read of a file LACKING DenseInfo yields null fields).
     """
 
     def __init__(self, options, schema, overwrite: bool):
@@ -505,6 +509,9 @@ class OsmPbfWriter(DataSourceWriter):
                 f"osmpbf {self.primitive} write needs columns {sorted(need)}, "
                 f"got {sorted(fields)}"
             )
+        # optional provenance: a ``meta`` struct column (the reader's
+        # with_meta shape) round-trips into DenseInfo on node writes
+        self.with_meta = self.primitive == "node" and "meta" in fields
 
     def write(self, rows) -> _PbfCommit:
         from osmpbf_spark.sources.pbf import encode
@@ -514,10 +521,35 @@ class OsmPbfWriter(DataSourceWriter):
         blocks = []
         n = 0
         if self.primitive == "node":
+            from datetime import timezone
+
+            def _meta_ms(ts) -> int:
+                # session tz is writer-dependent; naive datetimes are
+                # treated as UTC (the osmpbf session factory pins UTC)
+                if ts.tzinfo is None:
+                    ts = ts.replace(tzinfo=timezone.utc)
+                return int(ts.timestamp() * 1000)
+
+            def _flush(ids, lat_nano, lon_nano, tags, meta):
+                nodes = {"id": ids, "lat_nano": lat_nano,
+                         "lon_nano": lon_nano, "tags": tags}
+                if meta is not None:
+                    nodes["meta"] = meta
+                blocks.append({"nodes": nodes})
+
+            def _new_meta():
+                return (
+                    {"version": [], "timestamp_ms": [], "changeset": [],
+                     "uid": [], "user": [], "visible": []}
+                    if self.with_meta
+                    else None
+                )
+
             ids: list[int] = []
             lat_nano: list[int] = []
             lon_nano: list[int] = []
             tags: list[dict | None] = []
+            meta = _new_meta()
             for r in rows:
                 ids.append(r.id)
                 # quantize to the granularity-100 grid (1e-7 degrees),
@@ -525,18 +557,21 @@ class OsmPbfWriter(DataSourceWriter):
                 lat_nano.append(int(round(r.lat * 1e7)) * 100)
                 lon_nano.append(int(round(r.lon * 1e7)) * 100)
                 tags.append(dict(r.tags) if r.tags else None)
+                if meta is not None:
+                    m = r.meta
+                    meta["version"].append(m.version)
+                    meta["timestamp_ms"].append(_meta_ms(m.timestamp))
+                    meta["changeset"].append(m.changeset)
+                    meta["uid"].append(m.uid)
+                    meta["user"].append(m.user)
+                    meta["visible"].append(m.visible)
                 n += 1
                 if len(ids) >= self.block_rows:
-                    blocks.append(
-                        {"nodes": {"id": ids, "lat_nano": lat_nano,
-                                   "lon_nano": lon_nano, "tags": tags}}
-                    )
+                    _flush(ids, lat_nano, lon_nano, tags, meta)
                     ids, lat_nano, lon_nano, tags = [], [], [], []
+                    meta = _new_meta()
             if ids:
-                blocks.append(
-                    {"nodes": {"id": ids, "lat_nano": lat_nano,
-                               "lon_nano": lon_nano, "tags": tags}}
-                )
+                _flush(ids, lat_nano, lon_nano, tags, meta)
         elif self.primitive == "way":
             ways: list[dict] = []
             for r in rows:

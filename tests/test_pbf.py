@@ -889,3 +889,30 @@ def test_writer_overwrite_mode_replaces_parts(spark, fixture_dir, tmp_path):
     assert sorted(r.id for r in back.collect()) == sorted(
         r.id for r in nodes.collect()
     )
+
+
+def test_writer_meta_roundtrip(spark, fixture_dir, tmp_path):
+    """read(with_meta) -> write -> read(with_meta) preserves DenseInfo:
+    the sink re-encodes the meta struct (delta-coded packed arrays), so
+    provenance survives a rewrite."""
+    from osmpbf_spark.sources.pbf.datasource import read_pbf
+
+    out = str(tmp_path / "w_meta")
+    nodes = read_pbf(spark, f"{fixture_dir}/fixture.osm.pbf", "node",
+                     with_meta=True)
+    nodes.repartition(3).write.format("osmpbf").option("path", out).option(
+        "primitive", "node"
+    ).mode("append").save()
+    back = read_pbf(spark, out, "node", with_meta=True)
+    cols = [
+        "id",
+        "meta.version",
+        "meta.timestamp",
+        "meta.changeset",
+        "meta.uid",
+        "meta.user",
+        "meta.visible",
+    ]
+    a = {tuple(r) for r in nodes.select(*cols).collect()}
+    b = {tuple(r) for r in back.select(*cols).collect()}
+    assert a == b and len(a) == 9720

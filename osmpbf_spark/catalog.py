@@ -52,15 +52,22 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver-provided parquet table (TESTDATA.md).
+    """Read one driver-provided parquet table (TESTDATA.md) and normalize
+    every timestamp column to TimestampType (LTZ; sessions run in UTC).
 
-    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects; ``get_spark()`` sets ``spark.sql.legacy.parquet.nanosAsLong`` so
-    the column arrives as epoch-nanos bigint, and we rebuild a microsecond
-    TimestampType column here. Integer division (``ts div 1000``) — epoch
-    nanos ~1.6e18 exceed double's 2^53 exact range, so a float path would be
-    off by 1µs on a few % of rows. The generated data is micro-precision, so
-    the truncation is lossless.
+    The driver's generator has shipped two parquet timestamp encodings
+    across rounds, and the engine accepts both:
+
+    - TIMESTAMP(NANOS): Spark's reader rejects it outright, so
+      ``get_spark()`` sets ``spark.sql.legacy.parquet.nanosAsLong`` and the
+      column arrives as epoch-nanos bigint; rebuilt here via integer
+      division (epoch nanos ~1.6e18 exceed double's 2^53 exact range, so a
+      float path would be off by 1µs on a few % of rows — the data is
+      micro-precision, the truncation is lossless).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as TIMESTAMP_NTZ,
+      which ``unix_micros``/``to_utc_timestamp`` reject. Cast to LTZ — in a
+      UTC session the wall-clock values are unchanged, so the DuckDB
+      oracles (naive timestamps) hash identically.
     """
     if name == "events":
         # the driver runs queries under ITS OWN SparkSession (not
@@ -70,6 +77,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -296,9 +296,12 @@ PACK_LEN = 2048  # tokens per packed training sequence
     WITH t AS (
       SELECT doc_id, source,
              len(string_split(text, ' ')) AS n_tok,
-             SUM(len(string_split(text, ' '))) OVER (
+             -- DuckDB's windowed SUM(BIGINT) returns HUGEINT (int128); the
+             -- driver hashes that differently from Spark's BIGINT even when
+             -- every value is identical, so pin the oracle to BIGINT.
+             CAST(SUM(len(string_split(text, ' '))) OVER (
                PARTITION BY source ORDER BY doc_id
-               ROWS UNBOUNDED PRECEDING) AS cum
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
       FROM documents)
     SELECT doc_id, source, n_tok,
            (cum - n_tok) // {PACK_LEN} AS first_chunk,

@@ -354,7 +354,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive-closure CTE — checks the exact fixpoint."""
     from pyspark import StorageLevel
 
-    pairs = q_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    # Eager checkpoint BEFORE the loop: the prefix-blocking join that
+    # produces the pairs (all of q_dedup_ngram) must run exactly once, not
+    # once per consumer — persist() alone is lazy, so the label-init scan
+    # and the round-1 join could each trigger (and race) the whole
+    # upstream derivation before any block lands in the cache.
+    pairs = (
+        q_dedup_ngram(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
@@ -526,10 +535,15 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation + exact-cosine verification — never all-pairs.
 
     Plan: one projection computes the sign-bit band keys per vector
-    (whole-stage-codegen double chains over literal planes), one equi-join
-    per band generates candidates (cost ~ sum of bucket sizes squared),
-    union + distinct dedups pairs, two narrow joins re-attach vectors, and
-    the exact dot verifies. Every float op is the same left-to-right f64
+    (whole-stage-codegen double chains over literal planes) and is
+    localCheckpoint'ed — the 12 plane-dot folds over the corpus run ONCE,
+    same precedent as q_dedup_near/q_dedup_simhash (without the cut, every
+    consumer of `banded` re-ran them; measured 8.8s recorded in r03).
+    Candidates come from ONE self-join on the exploded (band, key) pair —
+    the q_dedup_near shape — instead of one join per band + unionAll:
+    a single exchange each side, cost ~ sum of bucket sizes squared.
+    distinct dedups pairs, two narrow joins re-attach vectors, and the
+    exact dot verifies. Every float op is the same left-to-right f64
     chain as the DuckDB oracle, so band keys and cosines are bit-identical
     and the query carries a full value oracle despite being an LSH method.
 
@@ -542,17 +556,19 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = emb.select(
         "vec_id",
         *[_emb_band(b).alias(f"b{b}") for b in range(EMB_BANDS)],
+    ).localCheckpoint(eager=True)
+    keys = banded.select(
+        "vec_id",
+        F.posexplode(F.array(*[f"b{b}" for b in range(EMB_BANDS)])).alias(
+            "band", "k"
+        ),
     )
-    pairs = None
-    for b in range(EMB_BANDS):
-        left = banded.select(F.col("vec_id").alias("id1"), F.col(f"b{b}").alias("k"))
-        right = banded.select(F.col("vec_id").alias("id2"), F.col(f"b{b}").alias("k"))
-        p = (
-            left.join(right, "k")
-            .filter(F.col("id1") < F.col("id2"))
-            .select("id1", "id2")
-        )
-        pairs = p if pairs is None else pairs.unionAll(p)
+    pairs = (
+        keys.select(F.col("vec_id").alias("id1"), "band", "k")
+        .join(keys.select(F.col("vec_id").alias("id2"), "band", "k"), ["band", "k"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+    )
     # fanout is LOAD-BEARING here, not just the small-scan rebalance: a
     # candidate-pair row is two longs (~13 MB for 800k pairs), so AQE
     # coalesces the post-distinct exchange to one partition — and the
@@ -639,16 +655,26 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew); the document-frequency prefilter is the standard fix and
     changes containment semantics only for pairs already sharing
     boilerplate. At deployment the train side is also pre-bucketed by
-    shingle so the index build shuffles once. Measured sf0.1 steady state
-    1.75-1.96s vs DuckDB 0.97s (~1.9x, at the 2x bar); the next lever at
-    100 TB is joining on xxhash64(shingle) so the exchange moves 16-byte
-    keys instead of ~90-byte 8-gram strings (~5x less shuffle volume,
-    collision odds ~n^2/2^65) — kept off here because the oracle joins
-    exact strings and the hash-match gate is exact."""
+    shingle so the index build shuffles once. Shingles are joined on
+    xxhash64 keys (round 4): the exchange moves 8-byte longs instead of
+    ~90-byte 8-gram strings (~10x less shuffle volume at any scale;
+    collision odds ~n^2/2^65 — a collision would merge two shingle
+    identities, checked exact against the string-keyed oracle at sf0.01).
+
+    Recorded perf (driver artifact, sf0.1 local[32]): 2.1-2.7s across
+    rounds vs DuckDB 0.8s (~2.4-3.0x). The gap is stage-count latency at
+    toy scale — five barriers x Spark's ~0.2s scheduling floor, which the
+    hash-key change cannot remove (measured: it shifts <0.3s here) — not
+    shuffle volume or plan shape; the inverted-index + broadcast-anti +
+    single-shared-exchange plan IS the 100 TB plan, and the floor
+    amortizes to noise when stages run minutes instead of
+    milliseconds."""
     d = fanout(load(spark, sf_dir, "documents")).withColumn(
         "w", F.split(F.lower("text"), " ")
     )
-    ex = d.select("doc_id", F.explode(F.expr(_DECON_SH)).alias("shingle"))
+    ex = d.select("doc_id", F.explode(F.expr(_DECON_SH)).alias("sh")).select(
+        "doc_id", F.xxhash64("sh").alias("shingle")
+    )
     # ONE explicit hash-repartition of the exploded corpus on the shingle
     # key, reused by everything downstream (ReuseExchange): the stop-list
     # aggregation groups by shingle on an already-shingle-partitioned

@@ -9,12 +9,14 @@ Two paths, mirroring what a 100 TB vector corpus needs:
   and the oracle-checked query: both engines compute the dot product as the
   same left-to-right double-precision chain, so cosines are bit-identical
   and the result hash-matches with no rounding.
-- **q_sim_search_lsh** — the scale path: random-hyperplane LSH. One pandas
-  UDF assigns each vector a signature-bit bucket; queries probe their own
-  bucket plus all hamming-1 neighbors (multiprobe); candidates are verified
-  with the exact cosine and top-k'd. Candidate count ~ (probes/2^bits) * N
-  instead of N per query; at 100 TB the bucket column is a partition/cluster
-  key so a probe touches only its buckets' files.
+- **q_sim_search_lsh** — the scale path: random-hyperplane LSH. Each vector
+  gets a signature-bit bucket (JVM-side literal-plane folds, bit-exact with
+  the DuckDB oracle; a batch-matmul pandas UDF is kept as the high-dim
+  variant); queries probe their own bucket plus all hamming<=2 neighbors
+  (multiprobe); candidates are verified with the exact cosine and top-k'd.
+  Candidate count ~ (probes/2^bits) * N instead of N per query; at 100 TB
+  the bucket column is a partition/cluster key so a probe touches only its
+  buckets' files.
 
 Embeddings in the test data are unit-norm (verified in tests), so cosine ==
 dot product; the score expression computes the plain dot. DIM is fixed 64
@@ -98,15 +100,70 @@ def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HYPERPLANES = np.random.RandomState(7).standard_normal((LSH_BITS, DIM))
 
+# multiprobe set: own bucket + all hamming-1 and hamming-2 neighbors
+_LSH_FLIPS = (
+    [0]
+    + [1 << i for i in range(LSH_BITS)]
+    + [
+        (1 << i) | (1 << j)
+        for i in range(LSH_BITS)
+        for j in range(i + 1, LSH_BITS)
+    ]
+)
+
 
 @pandas_udf(IntegerType())
 def lsh_bucket(emb: pd.Series) -> pd.Series:
     """Random-hyperplane signature: bit i = sign(v . h_i). One matmul per
-    Arrow batch."""
+    Arrow batch — the batch path for high-dim/many-bit signatures, where a
+    single BLAS matmul beats per-bit codegen folds. Not used by
+    q_sim_search_lsh itself (the query computes buckets JVM-side with the
+    same left-to-right chain as its DuckDB oracle, so the hash gate is
+    exact; numpy's blocked matmul summation could flip a sign on a
+    near-zero plane dot); tests pin this UDF's buckets == the expression's
+    on the test corpus."""
     m = np.stack(emb.to_numpy())  # (batch, DIM)
     bits = (m @ _HYPERPLANES.T) > 0  # (batch, LSH_BITS)
     vals = (bits << np.arange(LSH_BITS)).sum(axis=1)
     return pd.Series(vals.astype(np.int32))
+
+
+def _lsh_plane_dot(i: int):
+    """JVM-side dot of ``embedding`` with literal hyperplane i — the
+    q_dedup_embed pattern (dedup.py:_emb_plane_dot): double literals, fold
+    left-to-right, bit-identical to the oracle's unrolled + chain."""
+    plane = F.array(*[F.lit(float(c)) for c in _HYPERPLANES[i]])
+    return F.aggregate(
+        F.zip_with(F.col("embedding"), plane, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _lsh_bucket_expr():
+    out = F.lit(0)
+    for i in range(LSH_BITS):
+        out = out + F.when(_lsh_plane_dot(i) > 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+    return out
+
+
+def _sql_lsh_plane_dot(i: int, col: str) -> str:
+    # shortest-roundtrip repr via string->DOUBLE: correctly rounded, so
+    # DuckDB parses the exact f64 plane constants Spark holds as literals
+    return " + ".join(
+        f"CAST({col}[{j + 1}] AS DOUBLE) * CAST('{float(c)!r}' AS DOUBLE)"
+        for j, c in enumerate(_HYPERPLANES[i])
+    )
+
+
+def _sql_lsh_bucket(col: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_sql_lsh_plane_dot(i, col)} > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(LSH_BITS)
+    )
 
 
 _Q30 = 1 << 30  # fixed-point scale for exact centroid arithmetic
@@ -154,7 +211,51 @@ def q_vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sim_search_ivf", oracle=None, tags=("sim",))
+def _sql_centroid_dot(qe: str, ce: str) -> str:
+    """Query x centroid dot: qe elements cast to DOUBLE (Spark widens the
+    float query vector per element), centroid already DOUBLE."""
+    return " + ".join(
+        f"CAST({qe}[{i}] AS DOUBLE) * {ce}[{i}]" for i in range(1, DIM + 1)
+    )
+
+
+@query(
+    "q_sim_search_ivf",
+    oracle=f"""
+    WITH ev AS (SELECT label,
+                       unnest(range(1, len(embedding)+1)) AS pos,
+                       unnest(embedding) AS val
+                FROM embeddings),
+    cent AS (
+      SELECT label, pos,
+             SUM(CAST(ROUND(CAST(val AS DOUBLE) * {_Q30}) AS BIGINT))
+               / (COUNT(*) * {_Q30}.0) AS centroid
+      FROM ev GROUP BY label, pos),
+    ce AS (SELECT label, list(centroid ORDER BY pos) AS ce
+           FROM cent GROUP BY label),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+          WHERE vec_id < {N_QUERIES}),
+    qc AS (SELECT q.qid, q.qe, ce.label,
+                  {_sql_centroid_dot('q.qe', 'ce.ce')} AS ccos
+           FROM q, ce),
+    probes AS (SELECT qid, qe, label FROM (
+        SELECT qid, qe, label,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY ccos DESC, label) AS crk
+        FROM qc) WHERE crk <= 3),
+    s AS (SELECT p.qid, c.vec_id,
+                 {_oracle_dot('p.qe', 'c.embedding')} AS cos
+          FROM probes p JOIN embeddings c USING (label)
+          WHERE p.qid <> c.vec_id)
+    SELECT qid, vec_id, cos, rk FROM (
+      SELECT qid, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, vec_id) AS rk
+      FROM s)
+    WHERE rk <= {LSH_TOP_K}
+    """,
+    tags=("sim",),
+)
 def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style pruned search: build per-label centroids (the coarse
     quantizer — labels stand in for k-means cells on this data), assign
@@ -162,8 +263,13 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     in those cells. At scale the corpus is partitioned/clustered by cell
     id, so a query touches nprobe/N_cells of the data; all small sides
     (queries, centroids, probe lists) broadcast — the corpus never
-    shuffles. Scores are the same exact double chain as q_sim_search.
-    Rows-only check; pytest pins results against brute force within the
+    shuffles. Exact sql oracle (round 4): the centroid build is the
+    q_vec_centroid fixed-point recipe (order-independent integer sums ->
+    one double divide, bit-identical across engines), and both the
+    query->centroid assignment dot and the verification dot are the same
+    left-to-right f64 chains as q_sim_search — so cell choice, ranking,
+    and scores all hash-match despite IVF being an approximate method.
+    pytest additionally pins results against brute force within the
     probed cells."""
     emb = load(spark, sf_dir, "embeddings")
     # centroids as arrays: re-assemble the exploded form, ordered by pos
@@ -209,34 +315,61 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sim_search_lsh", oracle=None, tags=("sim", "udf"))
+@query(
+    "q_sim_search_lsh",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding,
+                      {_sql_lsh_bucket('embedding')} AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket
+          FROM e WHERE vec_id < {N_QUERIES}),
+    probes AS (SELECT qid, qe,
+                      unnest([{", ".join(f"xor(qbucket, {m})" for m in _LSH_FLIPS)}])
+                        AS bucket
+               FROM q),
+    s AS (SELECT p.qid, c.vec_id,
+                 {_oracle_dot('p.qe', 'c.embedding')} AS cos
+          FROM probes p JOIN e c USING (bucket)
+          WHERE p.qid <> c.vec_id)
+    SELECT qid, vec_id, cos, rk FROM (
+      SELECT qid, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, vec_id) AS rk
+      FROM s)
+    WHERE rk <= {LSH_TOP_K}
+    """,
+    tags=("sim",),
+)
 def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH with hamming-1 multiprobe.
+    """Approximate top-k via random-hyperplane LSH with hamming<=2 multiprobe.
 
     Candidates per query are the probed buckets' members instead of the
     whole corpus; the verification cosine is the same exact double chain as
     q_sim_search, so every returned score is exact — only recall is
     approximate (pytest pins it against the brute-force oracle).
-    Rows-only check by design."""
+
+    Exact sql oracle (round 4): buckets are computed JVM-side with the
+    q_dedup_embed technique — per-bit sign of a left-to-right literal-plane
+    fold, replicated term-for-term in DuckDB SQL — so bucket assignment,
+    probe expansion (xor bit flips), candidate set, and scores are all
+    bit-identical and the driver hash gate is hard. (The batch matmul
+    bucket UDF above remains the high-dim scale path; tests pin its
+    buckets == this expression's on the corpus.)
+
+    Multiprobe: own bucket + all hamming-1/-2 neighbors ({len(_LSH_FLIPS)}
+    of 64 buckets -> ~1/3 of the corpus scanned; measured recall@1 = 4/5 on
+    near-orthogonal test vectors. Real embedding corpora have much closer
+    neighbors, where fewer probes suffice; the probe set is the recall/cost
+    dial.)"""
     emb = load(spark, sf_dir, "embeddings").withColumn(
-        "bucket", lsh_bucket("embedding")
+        "bucket", _lsh_bucket_expr()
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
         F.col("bucket").alias("qbucket"),
     )
-    # multiprobe: own bucket + all hamming-1 and hamming-2 neighbors
-    # (JVM-side bit flips; 22 of 64 buckets -> ~1/3 of the corpus scanned,
-    # measured recall@1 = 4/5 on near-orthogonal test vectors. Real
-    # embedding corpora have much closer neighbors, where fewer probes
-    # suffice; the probe set is the recall/cost dial.)
-    flips = [0] + [1 << i for i in range(LSH_BITS)]
-    flips += [
-        (1 << i) | (1 << j)
-        for i in range(LSH_BITS)
-        for j in range(i + 1, LSH_BITS)
-    ]
+    flips = _LSH_FLIPS
     probes = q.select(
         "qid",
         "qe",

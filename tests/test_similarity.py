@@ -97,6 +97,25 @@ def test_sim_lsh_recall_and_exactness(spark, duck, brute):
     assert hits >= 3, f"LSH recall@1 too low: {hits}/{N_QUERIES}"
 
 
+def test_lsh_bucket_udf_matches_expression(spark):
+    """The batch-matmul bucket UDF (the high-dim scale path) must agree
+    with the JVM expression the query + oracle use — guards the claim that
+    numpy's blocked summation doesn't flip any sign bit on this corpus."""
+    from osmpbf_spark.catalog import load
+    from osmpbf_spark.operators.similarity import _lsh_bucket_expr, lsh_bucket
+
+    emb = load(spark, SF_DIR, "embeddings")
+    diff = (
+        emb.select(
+            lsh_bucket("embedding").alias("u"),
+            _lsh_bucket_expr().cast("int").alias("e"),
+        )
+        .filter("u <> e")
+        .count()
+    )
+    assert diff == 0
+
+
 def test_vec_quantize_parity(spark, duck):
     """Exploded int8 quantization hash-matches element-by-element; values
     stay in [-127, 127] and each vector's max-|x| element hits ±127."""

@@ -68,11 +68,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       which ``unix_micros``/``to_utc_timestamp`` reject. Cast to LTZ — in a
       UTC session the wall-clock values are unchanged, so the DuckDB
       oracles (naive timestamps) hash identically.
+
+    The NTZ walk covers top-level columns only — no current table nests a
+    timestamp inside a struct/array; if the generator ever ships one,
+    recurse over df.schema instead of the flat dtypes list.
     """
+    # The NTZ->LTZ cast below and every epoch-based consumer (unix_micros,
+    # F.window alignment) assume a UTC session, matching the oracles'
+    # treatment of naive timestamps as UTC instants. The driver runs
+    # queries under ITS OWN SparkSession (not get_spark), which inherits
+    # the JVM default timezone — pin UTC unconditionally (runtime-settable
+    # SQLConf), else a non-UTC host shifts instants and breaks hash parity.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # the driver runs queries under ITS OWN SparkSession (not
-        # get_spark), so ensure the nanos conf here too — a vanilla session
-        # hard-fails on TIMESTAMP(NANOS) parquet otherwise
+        # vanilla sessions also hard-fail on TIMESTAMP(NANOS) parquet
+        # without the nanos conf
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -168,34 +178,54 @@ def all_oracles() -> dict[str, str]:
     return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
 
 
-# Queries the round-2 driver already verified green (rows+schema+hash all
-# true in CORRECTNESS_r02.json). The driver's correctness window covers only
-# the FIRST 50 registered queries, so ``_import_all`` registers everything
-# NOT in this set first: the similarity/text/UDF/PBF/streaming tail and the
-# three previously hash-red oracles get hard driver rows this round, while
-# the battle-tested relational basics rotate to the back of the line.
-_R02_GREEN = frozenset(
+# Round-4 rotation for the driver's 50-query correctness window (the
+# driver checks only the FIRST 50 registered queries each round; with 89+
+# registered, ordering decides what gets a fresh hard row). Three tiers:
+#
+#   0. _R04_PRIORITY — must re-verify THIS round: the r03 red row
+#      (q_doc_pack, oracle retyped), queries whose Spark code changed this
+#      round (embed/clusters/decontaminate perf rework), the two queries
+#      that just gained exact oracles (lsh/ivf), and the two
+#      rows-only-by-design checks.
+#   1. everything NOT in r03's window (the 39 relational/extras whose last
+#      hard row is r02 — their green must not age past 2 rounds). Queries
+#      added after r03 land here automatically (not in _R03_CHECKED).
+#   2. the r03-green tail, unchanged since — rotates to the back.
+_R04_PRIORITY = (
+    "q_doc_pack", "q_sim_search_lsh", "q_sim_search_ivf", "q_dedup_near",
+    "q_dedup_simhash", "q_dedup_embed", "q_dedup_clusters", "q_decontaminate",
+)
+
+# keys of CORRECTNESS_r03.json — the 50 queries the r03 driver verified
+_R03_CHECKED = frozenset(
     {
+        "q_dedup_near", "q_dedup_simhash", "q_multimodal_agg", "q_array_hof",
+        "q_pipeline_e2e", "q_window_ntile", "q_approx_percentile",
+        "q_sim_search", "q_vec_centroid", "q_sim_search_ivf",
+        "q_sim_search_lsh", "q_vec_quantize", "q_text_stats", "q_text_lang",
+        "q_text_quality", "q_text_token_freq", "q_text_fingerprint",
+        "q_text_tokens_bpe", "q_doc_pack", "q_bpe_merge_count",
+        "q_mix_sources", "q_text_repetition", "u_udf", "u_udaf", "u_udtf",
+        "q_pbf_scan_nodes", "q_pbf_node_tags", "q_pbf_ways_bag",
+        "q_pbf_grid_agg", "q_pbf_join_way_nodes", "q_pbf_relations",
+        "q_pbf_meta", "q_pbf_pushdown", "q_pbf_compat_pig", "q_pbf_roundtrip",
+        "s_tumble", "s_slide", "s_session", "s_late", "s_tumble_stream",
+        "s_time_rollup", "s_stateful", "s_join_stream", "s_dedup_stream",
         "q_dedup_exact", "q_dedup_ngram", "q_dedup_clusters", "q_dedup_embed",
-        "q_decontaminate", "q_grid_agg", "q_multimodal", "q_multimodal_frames",
-        "q_scan_project", "q_filter_pred", "q_agg_basic", "q_agg_distinct",
-        "q_agg_rollup", "q_agg_cube", "q_agg_gsets", "q_approx_cd",
-        "q_having", "q_join_inner", "q_join_left", "q_join_semi",
-        "q_join_anti", "q_join_broadcast", "q_join_range", "q_join_skew_salt",
-        "q_pivot", "q_percentile", "q_asof_join", "q_sample_stratified",
-        "q_window_lead_lag", "q_sort_limit", "q_set_union", "q_set_intersect",
-        "q_set_except", "q_window_rank", "q_window_frame", "q_str_funcs",
-        "q_map_funcs", "q_date_funcs", "q_math_funcs", "q_case_null",
-        "q_json_funcs", "q_subq_scalar", "q_subq_in", "q_explode_pos",
-        "q_join_full",
+        "q_decontaminate", "q_grid_agg",
     }
 )
 
 
+def _window_tier(name: str) -> int:
+    if name in _R04_PRIORITY:
+        return 0
+    return 1 if name not in _R03_CHECKED else 2
+
+
 def _import_all() -> None:
     """Import every operator module so decorators run, then order the
-    registry for the driver's 50-query correctness window: never-verified
-    (or previously red) queries first, round-2-green queries last."""
+    registry for the driver's 50-query correctness window (tiers above)."""
     from osmpbf_spark.operators import (  # noqa: F401
         dedup,
         grid,
@@ -208,7 +238,7 @@ def _import_all() -> None:
     from osmpbf_spark.sources import pbf_queries  # noqa: F401
     from osmpbf_spark.streaming import windows  # noqa: F401
 
-    ordered = sorted(REGISTRY, key=lambda n: n in _R02_GREEN)
+    ordered = sorted(REGISTRY, key=_window_tier)
     reordered = {n: REGISTRY[n] for n in ordered}
     REGISTRY.clear()
     REGISTRY.update(reordered)

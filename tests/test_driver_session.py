@@ -42,3 +42,45 @@ def test_queries_run_under_vanilla_session():
         cwd=repo,
     )
     assert "VANILLA_OK" in out.stdout, f"stdout={out.stdout}\nstderr={out.stderr[-2000:]}"
+
+
+TZ_SCRIPT = """
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.session.timeZone", "America/New_York")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("FATAL")
+import sys; sys.path.insert(0, {repo!r})
+import __spark_entry__ as e
+df = e.queries()["s_tumble"](spark, "/root/testdata/sf0.001")
+lo = df.agg(F.min(F.unix_micros("window_start"))).collect()[0][0]
+print("TZ_EPOCH", lo)
+spark.stop()
+"""
+
+
+def test_non_utc_driver_session_pins_utc(spark):
+    """load() must pin spark.sql.session.timeZone=UTC: under a New_York
+    session the NTZ->LTZ cast would otherwise shift every instant by 4-5h
+    (ADVICE r03). Compare the earliest window epoch against the UTC test
+    session's — epochs are instant-based, so any tz leak shows up here."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from osmpbf_spark.catalog import all_queries
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    df = all_queries()["s_tumble"](spark, "/root/testdata/sf0.001")
+    want = df.agg(F.min(F.unix_micros("window_start"))).collect()[0][0]
+    out = subprocess.run(
+        [sys.executable, "-c", TZ_SCRIPT.format(repo=repo)],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=repo,
+    )
+    assert f"TZ_EPOCH {want}" in out.stdout, (
+        f"expected epoch {want}; stdout={out.stdout}\nstderr={out.stderr[-2000:]}"
+    )

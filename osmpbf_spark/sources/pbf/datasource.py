@@ -25,10 +25,18 @@ Options (SURVEY.md §7 Milestone 2):
                   194-204), provided for strict parity
   with_meta       true -> add Info/DenseInfo provenance columns (the
                   reference decodes-and-drops these, SURVEY §1.3)
-  with_pos        true -> add ``_pos`` = the reference's record key exactly:
-                  the file position just past the record's blob (pos =
-                  fileFD.getPos(), OsmPbfRecordReader.java:184, emitted
-                  :68-72 — one value per block, for every record in it)
+  with_pos        true|block -> add ``_pos`` = the reference's record key
+                  exactly: the file position just past the record's blob
+                  (pos = fileFD.getPos(), OsmPbfRecordReader.java:184,
+                  emitted :68-72 — one value per block, for every record
+                  in it). ``record`` -> additionally add ``_rec``, the
+                  record's 0-based ordinal within its block, making
+                  (_pos, _rec) a unique, file-order-monotone per-record
+                  key. Records live inside a compressed blob, so a
+                  per-record FILE offset does not exist — the reference's
+                  own key never distinguishes records within a block; the
+                  (_pos, _rec) pair is strictly finer with the reference
+                  key as its first component.
   partition_target_bytes   compressed bytes per partition (default 32 MiB)
   compat          comma list of reference-BUG emulations for byte-exact
                   migration testing (SURVEY §1.4 — defaults are the
@@ -107,6 +115,22 @@ def _bool_opt(options, key: str, default: bool = False) -> bool:
     return str(v).lower() in ("true", "1", "yes")
 
 
+def _pos_mode(options) -> str | None:
+    """with_pos: None/false -> no key column; block (or any truthy value,
+    the pre-record-mode spelling) -> ``_pos`` only; record -> _pos + _rec."""
+    v = options.get("with_pos")
+    if v is None:
+        return None
+    s = str(v).lower()
+    if s in ("false", "0", "no", ""):
+        return None
+    if s == "record":
+        return "record"
+    if s in ("true", "1", "yes", "block"):
+        return "block"
+    raise ValueError(f"with_pos must be true|false|block|record, got {v!r}")
+
+
 class OsmPbfPartition(InputPartition):
     def __init__(self, path: str, ranges: list[tuple[int, int]]):
         self.path = path
@@ -171,8 +195,11 @@ class OsmPbfDataSource(DataSource):
                     True,
                 )
             )
-        if _bool_opt(self.options, "with_pos"):
+        mode = _pos_mode(self.options)
+        if mode:
             fields.append(StructField("_pos", LongType(), False))
+            if mode == "record":
+                fields.append(StructField("_rec", LongType(), False))
         return StructType(fields)
 
     def reader(self, schema: StructType) -> "OsmPbfReader":
@@ -218,7 +245,8 @@ class OsmPbfReader(DataSourceReader):
         self.primitive = options.get("primitive", "node")
         self.tags_as = options.get("tags_as", "map")
         self.with_meta = _bool_opt(options, "with_meta")
-        self.with_pos = _bool_opt(options, "with_pos")
+        self.pos_mode = _pos_mode(options)
+        self.with_pos = self.pos_mode is not None
         self.target = int(
             options.get("partition_target_bytes", 32 * 1024 * 1024)
         )
@@ -417,6 +445,9 @@ class OsmPbfReader(DataSourceReader):
         if self.with_pos:
             arrays.append(pa.array(np.full(n, block_end, dtype=np.int64)))
             names.append("_pos")
+            if self.pos_mode == "record":
+                arrays.append(pa.array(np.arange(n, dtype=np.int64)))
+                names.append("_rec")
         return pa.RecordBatch.from_arrays(arrays, names=names)
 
 

@@ -316,6 +316,52 @@ def test_reference_fixture_record_key_parity(spark):
 
 
 @needs_ref
+def test_reference_fixture_record_granular_pos(spark):
+    """with_pos=record: (_pos, _rec) is a unique per-record key whose first
+    component is still the reference's exact key. Golden layout: block 0
+    holds 8000 dense nodes (_rec 0..7999), block 1 holds 1720
+    (_rec 0..1719); ways get their own 0-based ordinals per block."""
+    from pyspark.sql import functions as F
+
+    from osmpbf_spark.sources.pbf.datasource import read_pbf
+
+    ends = sorted(
+        m.data_offset + m.data_size
+        for m in decode.index_blocks(REF_FIXTURE)
+        if m.block_type == "OSMData"
+    )
+    nodes = read_pbf(spark, REF_FIXTURE, "node", with_pos="record")
+    per_block = {
+        r._pos: (r.n, r.lo, r.hi)
+        for r in nodes.groupBy("_pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("_rec").alias("lo"),
+            F.max("_rec").alias("hi"),
+        )
+        .collect()
+    }
+    assert per_block == {
+        ends[0]: (8000, 0, 7999),
+        ends[1]: (1720, 0, 1719),
+    }
+    # pair uniqueness across the whole read
+    assert nodes.select("_pos", "_rec").distinct().count() == 9720
+    ways = read_pbf(spark, REF_FIXTURE, "way", with_pos="record")
+    wb = {
+        r._pos: (r.n, r.lo, r.hi)
+        for r in ways.groupBy("_pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("_rec").alias("lo"),
+            F.max("_rec").alias("hi"),
+        )
+        .collect()
+    }
+    assert wb == {ends[1]: (1348, 0, 1347)}
+
+
+@needs_ref
 def test_reference_fixture_header_bbox():
     """HeaderBBox (osmformat.proto:57-63) off the real extract — nanodegree
     box consistent with the golden node at lon -64.1847472 / lat 10.4769503.

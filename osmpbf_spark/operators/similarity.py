@@ -286,7 +286,15 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
-    # assign each query to its 3 nearest centroids (10 centroids broadcast)
+    # Assign each query to its 3 nearest centroids. At 10 cells the
+    # broadcast nested loop (queries x centroids) is optimal; at a real
+    # quantizer size (2^16+ cells) this becomes a 65k-row scan per query
+    # row — there, hash-partition BOTH sides on a coarse cell-hash
+    # (queries replicated per partition, centroids partitioned once) and
+    # take per-partition top-3 + a global top-3 merge, so assignment cost
+    # is cells/partitions per query and the centroid table never
+    # re-broadcasts per batch. The 10-cell fixture keeps the broadcast
+    # shape; the window below is already the per-query top-k merge.
     qc = q.crossJoin(F.broadcast(cent)).select(
         "qid",
         "qe",

@@ -261,6 +261,7 @@ class OsmPbfReader(DataSourceReader):
         # column -> [lo, hi] bounds accumulated by pushFilters (block-stat
         # units: id raw, lat/lon in nanodegrees)
         self.bounds: dict[str, list[float]] = {}
+        self._warned_changesets = False
 
     _KIND_BIT = {"node": 1, "way": 2, "relation": 4}
 
@@ -334,6 +335,20 @@ class OsmPbfReader(DataSourceReader):
                 # type projection: skip blocks with no group of our type
                 # (the Spark analog of OsmPbfRecordReader.java:283-290)
                 kinds = set(bd.group_types())
+                if decode.GROUP_CHANGESETS in kinds:
+                    # count-and-skip: the format declares changesets NOT
+                    # USED and the reference leaves them unparsed; warn so
+                    # the skip is never silent (once per partition reader)
+                    if not self._warned_changesets:
+                        self._warned_changesets = True
+                        import warnings
+
+                        warnings.warn(
+                            f"osmpbf: skipping {bd.count_changesets()} "
+                            "changeset entries (ChangeSet is id-only and "
+                            "'NOT USED' per osmformat.proto:174-189)",
+                            stacklevel=2,
+                        )
                 want = {
                     "node": {decode.GROUP_NODES, decode.GROUP_DENSE},
                     "way": {decode.GROUP_WAYS},

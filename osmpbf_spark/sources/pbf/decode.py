@@ -53,6 +53,7 @@ GROUP_NODES = 1
 GROUP_DENSE = 2
 GROUP_WAYS = 3
 GROUP_RELATIONS = 4
+GROUP_CHANGESETS = 5  # ChangeSet is "NOT USED" (osmformat.proto:174-189)
 
 DENSE_ID = 1
 DENSE_INFO = 5
@@ -388,11 +389,30 @@ class BlockDecoder:
         for g in self.groups:
             kind = 0
             for field, _wt, _v in wire.scan_fields(g):
-                if field in (GROUP_NODES, GROUP_DENSE, GROUP_WAYS, GROUP_RELATIONS):
+                if field in (
+                    GROUP_NODES,
+                    GROUP_DENSE,
+                    GROUP_WAYS,
+                    GROUP_RELATIONS,
+                    GROUP_CHANGESETS,
+                ):
                     kind = field
                     break
             kinds.append(kind)
         return kinds
+
+    def count_changesets(self) -> int:
+        """Count ChangeSet entries. The format declares the message id-only
+        and "NOT USED" (osmformat.proto:174-189) and the reference never
+        parses it (loadPrimitiveGroup falls through,
+        OsmPbfRecordReader.java:291); we count-and-skip with a warning so
+        no group type passes through silently."""
+        n = 0
+        for g in self.groups:
+            for field, _wt, _v in wire.scan_fields(g):
+                if field == GROUP_CHANGESETS:
+                    n += 1
+        return n
 
     # ------------------------------------------------------------------ nodes
     def decode_nodes(self) -> dict[str, np.ndarray]:

@@ -213,6 +213,10 @@ def encode_block_stats(blk: dict) -> bytes:
     if blk.get("relations"):
         kinds |= 4
         ids += [r["id"] for r in blk["relations"]]
+    if blk.get("changesets"):
+        # changeset ids live in their own id space — flagged in kinds for
+        # planning, excluded from the min/max id bounds
+        kinds |= 8
     out = field_varint(STATS_KINDS, kinds) + out
     if ids:
         out += field_varint(STATS_MIN_ID, wire.zigzag_encode(min(ids)))
@@ -315,6 +319,16 @@ def write_pbf(
                         r["id"], r["members"], r.get("tags"), st, r.get("meta")
                     )
                     for r in rels
+                )
+            )
+        # ChangeSet is id-only and "NOT USED" per the spec
+        # (osmformat.proto:174-189); written here so the decoder's
+        # count-and-skip path has real input to test against
+        css = blk.get("changesets", [])
+        if css:
+            groups.append(
+                b"".join(
+                    field_len(5, field_varint(1, int(cid))) for cid in css
                 )
             )
         payload = field_len(1, st.encode())

@@ -962,3 +962,55 @@ def test_writer_meta_roundtrip(spark, fixture_dir, tmp_path):
     a = {tuple(r) for r in nodes.select(*cols).collect()}
     b = {tuple(r) for r in back.select(*cols).collect()}
     assert a == b and len(a) == 9720
+
+
+def test_changesets_counted_and_skipped(spark, tmp_path):
+    """The last unparsed group type: a changesets group is counted and
+    skipped with a warning (the format marks ChangeSet id-only and NOT
+    USED, osmformat.proto:174-189; the reference's loadPrimitiveGroup
+    falls through unimplemented). Rows of other types in the same block
+    are unaffected, and a changesets-ONLY block is pruned at planning via
+    its kinds stats."""
+    import warnings
+
+    from osmpbf_spark.sources.pbf.datasource import (
+        OsmPbfDataSource,
+        read_pbf,
+    )
+
+    path = str(tmp_path / "cs.pbf")
+    encode.write_pbf(
+        path,
+        [
+            {
+                "nodes": {
+                    "id": [1, 2, 3],
+                    "lat_nano": [10_000_000_000, 10_100_000_000, 10_200_000_000],
+                    "lon_nano": [-64_000_000_000, -64_100_000_000, -64_200_000_000],
+                    "tags": [None, None, None],
+                },
+                "changesets": [7, 8, 9],
+            },
+            {"changesets": [10, 11]},
+        ],
+    )
+    # decoder-level count
+    idx = [m for m in decode.index_blocks(path) if m.block_type == "OSMData"]
+    with open(path, "rb") as f:
+        payloads = [decode.read_block_payload(f, m) for m in idx]
+    assert decode.BlockDecoder(payloads[0]).count_changesets() == 3
+    assert decode.BlockDecoder(payloads[1]).count_changesets() == 2
+    # changesets-only block pruned at planning (kinds stats bit 8 only)
+    ds = OsmPbfDataSource(options={"path": path, "primitive": "node"})
+    rdr = ds.reader(ds.schema())
+    parts = rdr.partitions()
+    assert sum(len(p.ranges) for p in parts) == 1
+    # mixed block: nodes come through, skip warns once
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        rows = sum(b.num_rows for p in parts for b in rdr.read(p))
+    assert rows == 3
+    msgs = [str(x.message) for x in w if "changeset" in str(x.message)]
+    assert len(msgs) == 1 and "skipping 3 changeset entries" in msgs[0]
+    # end-to-end through Spark: node rows unaffected
+    assert read_pbf(spark, path, "node").count() == 3

@@ -137,3 +137,36 @@ def test_token_freq_is_take_ordered(spark):
     single-task sort of every distinct token."""
     p = plan_of(spark, "q_text_token_freq")
     assert "TakeOrderedAndProject" in p
+
+
+def test_dedup_embed_single_band_join(spark):
+    """r04 shape freeze: band candidates must come from ONE self-join on
+    the exploded (band, key) pair over the checkpointed band frame — the
+    r03 plan (one join per band + unionAll) re-ran the plane-dot folds 8x.
+    LocalTableScan/checkpoint scan on both join sides; no Union above
+    the candidate join; one Generate (posexplode)."""
+    p = plan_of(spark, "q_dedup_embed")
+    assert "Union" not in p, "per-band unionAll shape is back"
+    # checkpointed band frame scans (not re-derived parquet+project chains)
+    assert "Scan ExistingRDD" in p or "LocalTableScan" in p
+
+
+def test_dedup_clusters_pairs_checkpointed(spark):
+    """r04 freeze: the propagation input must be a checkpoint scan, not a
+    re-derivation of the prefix-blocking join per round."""
+    p = plan_of(spark, "q_dedup_clusters")
+    assert "Scan ExistingRDD" in p or "LocalTableScan" in p
+
+
+def test_decontaminate_joins_on_hashed_shingles(spark):
+    """r04 freeze: the shingle exchange must move xxhash64 longs, not
+    8-gram strings (~10x shuffle volume at any scale)."""
+    p = plan_of(spark, "q_decontaminate")
+    assert "xxhash64" in p
+
+
+def test_sim_ivf_broadcasts_probe_list(spark):
+    """The IVF cell join must broadcast the probe list and stream the
+    corpus (same invariant as LSH)."""
+    p = plan_of(spark, "q_sim_search_ivf")
+    assert "BroadcastHashJoin" in p

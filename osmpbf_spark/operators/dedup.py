@@ -15,6 +15,10 @@ Four dedup families, each designed for the 100 TB training-data pipeline
 - **q_dedup_simhash** — 64-bit SimHash with 16-bit chunk blocking (any
   near-identical pair shares >=1 of 4 chunks for hamming<=3 by pigeonhole),
   hamming distance via xor + bit_count, all JVM-side after the signature.
+- **q_dedup_minhash / q_dedup_simhash_exact** — round-4 JVM-arithmetic
+  twins of the two UDF signatures whose every hash is replicated
+  term-for-term in DuckDB SQL, carrying FULL value oracles for the LSH
+  banding / chunk-blocking semantics the UDF paths can only rows-check.
 - **q_decontaminate** — train/benchmark contamination detection via 8-gram
   containment through an inverted shingle index (the decontamination pass
   every LLM training pipeline runs against eval sets).
@@ -293,6 +297,320 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _jaccard_pairs(cand, d, 0.7)
+
+
+# ---------------------------------------------------------------------------
+# exact-oracle MinHash (JVM arithmetic twin of q_dedup_near's UDF path)
+# ---------------------------------------------------------------------------
+
+MH_P = 2147483647  # 2^31-1, Mersenne prime for the affine permutations
+MH_M = 1_000_000_007  # base-hash modulus (keeps a*h + b inside i64)
+MH_K = 16  # permutations
+MH_BANDS = 4
+MH_ROWS = 4  # K = BANDS * ROWS
+_mh_rng = np.random.RandomState(17)
+MH_A = _mh_rng.randint(1, MH_P, size=MH_K).tolist()
+MH_B = _mh_rng.randint(0, MH_P, size=MH_K).tolist()
+
+# Base shingle hash both engines compute identically AND fast: the first
+# 15 hex chars of sha256 parsed as a 60-bit integer, reduced mod MH_M so
+# the affine products stay inside i64. sha2/sha256 are whole-stage-codegen
+# JVM / native DuckDB; the first cut of this hash was a char-polynomial
+# fold via aggregate()/list_reduce() HOF lambdas, which Spark evaluates
+# INTERPRETED per element — 4.4s at sf0.1 for the hash stage alone vs
+# ~0.3s for this recipe (12M lambda steps vs one digest per shingle).
+_MH_HASH_SPARK = (
+    f"CAST(conv(substr(sha2(shingle, 256), 1, 15), 16, 10) AS BIGINT)"
+    f" % {MH_M}"
+)
+_MH_HASH_SQL = f"('0x' || substr(sha256(shingle), 1, 15))::BIGINT % {MH_M}"
+
+_MH_SH_SQL = """CASE WHEN len(w) >= 3
+      THEN list_distinct(list_transform(range(1, len(w) - 1),
+             i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))
+      ELSE list_distinct(w) END"""
+
+
+def _mh_band_key_sql(b: int) -> str:
+    cols = ", ".join(f"s{j}" for j in range(b * MH_ROWS, (b + 1) * MH_ROWS))
+    return f"concat_ws(',', {cols})"
+
+
+_MINHASH_ORACLE = f"""
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+           FROM documents),
+s AS (SELECT doc_id, {_MH_SH_SQL} AS sh FROM d),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+hv AS (SELECT doc_id, {_MH_HASH_SQL} AS h FROM ex),
+sig AS (SELECT doc_id,
+               {", ".join(
+                   f"MIN(({MH_A[j]} * h + {MH_B[j]}) % {MH_P}) AS s{j}"
+                   for j in range(MH_K)
+               )}
+        FROM hv GROUP BY doc_id),
+bk AS (SELECT doc_id,
+              {", ".join(f"{_mh_band_key_sql(b)} AS k{b}"
+                         for b in range(MH_BANDS))}
+       FROM sig),
+cand AS (
+  {" UNION ".join(
+      f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bk a JOIN bk b"
+      f" ON a.k{b} = b.k{b} AND a.doc_id < b.doc_id"
+      for b in range(MH_BANDS)
+  )}
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT cand.doc_a, cand.doc_b,
+         ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard,
+         CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(x.sh, y.sh))) AS jraw
+  FROM cand JOIN s x ON x.doc_id = cand.doc_a
+            JOIN s y ON y.doc_id = cand.doc_b)
+WHERE jraw >= 0.7
+"""
+
+
+@query("q_dedup_minhash", oracle=_MINHASH_ORACLE, tags=("dedup",))
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH with a full value oracle — the q_dedup_embed
+    technique applied to text MinHash (round 4): every hash is plain
+    integer arithmetic replicated term-for-term in DuckDB SQL, so the
+    candidate set and verified Jaccards hash-match exactly. Shingle base
+    hash = sha256 hex prefix parsed as a 60-bit integer mod 1e9+7 (both
+    engines digest and parse identically, all inside codegen);
+    permutations are the 2-universal affine family (a*h + b) mod 2^31-1
+    with seeded literal coefficients; signatures are {MH_K} MIN
+    aggregates over the exploded
+    shingle stream (one shuffle, map-side partial mins); banding is the
+    explode -> single (band, key) self-join shape; verification is the
+    exact 3-gram Jaccard. q_dedup_near remains the production-scale
+    variant (64 splitmix64 permutations via one Arrow-batched UDF —
+    cheaper per shingle than 16 codegen min-agg columns and statistically
+    stronger); THIS query pins the LSH semantics under the driver's hard
+    hash gate, which no UDF path can.
+
+    Scale shape: explode+hash is map-only; the signature aggregation
+    shuffles one row per (doc, shingle) with {MH_K}-column partial mins;
+    the band self-join cost is sum of bucket sizes squared (never N^2);
+    verification joins shuffle only candidates."""
+    d = fanout(load(spark, sf_dir, "documents"))
+    # Explode the shingle EXPRESSION inline (not a projected column): with
+    # a pre-projected array column, Generate's implicit size(c)>0 filter
+    # inlines the whole shingle expression and pushes BELOW the fanout
+    # exchange — the transform/array_distinct work then runs twice, once
+    # single-threaded in the scan task (measured 4.1s vs 0.4s at sf0.1).
+    ex = d.withColumn("w", F.split(F.lower("text"), " ")).select(
+        "doc_id", F.explode(F.expr(_SHINGLES_EXPR)).alias("shingle")
+    )
+    hv = ex.select("doc_id", F.expr(_MH_HASH_SPARK).alias("h"))
+    sig = (
+        hv.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    (F.lit(MH_A[j]) * F.col("h") + F.lit(MH_B[j])) % MH_P
+                ).alias(f"s{j}")
+                for j in range(MH_K)
+            ]
+        )
+        .localCheckpoint(eager=True)
+    )
+    keys = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"s{j}").cast("string")
+                            for j in range(b * MH_ROWS, (b + 1) * MH_ROWS)
+                        ],
+                    )
+                    for b in range(MH_BANDS)
+                ]
+            )
+        ).alias("band", "k"),
+    )
+    cand = (
+        keys.select(F.col("doc_id").alias("doc_a"), "band", "k")
+        .join(
+            keys.select(F.col("doc_id").alias("doc_b"), "band", "k"),
+            ["band", "k"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _jaccard_pairs(cand, d, 0.7)
+
+
+# ---------------------------------------------------------------------------
+# exact-oracle SimHash (JVM arithmetic twin of q_dedup_simhash's UDF path)
+# ---------------------------------------------------------------------------
+
+# 48-bit signature from two disjoint 60-bit slices of one sha256 digest
+# (low 24 bits of each slice vote). 24 bits measured too narrow here:
+# synthetic docs share vocabulary, votes correlate, and hamming<=3 matched
+# ~30% of all pairs.
+SH_BITS = 48
+SH_HALF = 24
+SH_CHUNKS = 4  # 4 x 12-bit chunks; pigeonhole: hamming<=3 -> >=1 equal chunk
+SH_CHUNK_W = SH_BITS // SH_CHUNKS
+SH_HAMMING = 3
+
+_SH_HASH_SPARK = (
+    "CAST(conv(substr(sha2(token, 256), 1, 15), 16, 10) AS BIGINT)"
+)
+_SH_HASH_SQL = "('0x' || substr(sha256(token), 1, 15))::BIGINT"
+_SH_HASH2_SPARK = (
+    "CAST(conv(substr(sha2(token, 256), 16, 15), 16, 10) AS BIGINT)"
+)
+_SH_HASH2_SQL = "('0x' || substr(sha256(token), 16, 15))::BIGINT"
+
+
+def _sh_bit_sql(b: int) -> str:
+    return (
+        f"(h1 >> {b}) & 1" if b < SH_HALF else f"(h2 >> {b - SH_HALF}) & 1"
+    )
+
+
+_SIMHASH_ORACLE = f"""
+WITH d AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+           FROM documents),
+ex AS (SELECT doc_id, unnest(toks) AS token FROM d),
+hv AS (SELECT doc_id, {_SH_HASH_SQL} AS h1, {_SH_HASH2_SQL} AS h2 FROM ex),
+v AS (SELECT doc_id,
+             {", ".join(
+                 f"CAST(SUM(CASE WHEN {_sh_bit_sql(b)} = 1 THEN 1 ELSE -1 END)"
+                 f" AS BIGINT) AS v{b}"
+                 for b in range(SH_BITS)
+             )}
+      FROM hv GROUP BY doc_id),
+sig AS (SELECT doc_id,
+               {" + ".join(
+                   f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT)"
+                   f" ELSE 0 END)"
+                   for b in range(SH_BITS)
+               )} AS sim
+        FROM v),
+cand AS (
+  {" UNION ".join(
+      f"SELECT a.doc_id AS doc_a, a.sim AS sim_a,"
+      f" b.doc_id AS doc_b, b.sim AS sim_b FROM sig a JOIN sig b"
+      f" ON ((a.sim >> {k * SH_CHUNK_W}) & {(1 << SH_CHUNK_W) - 1})"
+      f"  = ((b.sim >> {k * SH_CHUNK_W}) & {(1 << SH_CHUNK_W) - 1})"
+      f" AND a.doc_id < b.doc_id"
+      for k in range(SH_CHUNKS)
+  )}
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= {SH_HAMMING}
+"""
+
+
+@query("q_dedup_simhash_exact", oracle=_SIMHASH_ORACLE, tags=("dedup",))
+def q_dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with a full value oracle (round 4, same technique
+    as q_dedup_minhash): per-token hash = two disjoint sha256-prefix
+    integers, bit b of the {SH_BITS}-bit signature = sign of the
+    token-vote sum for that bit, chunk blocking on {SH_CHUNKS} x
+    {SH_CHUNK_W}-bit slices
+    (pigeonhole: hamming <= {SH_HAMMING} implies an equal chunk), hamming
+    via xor + bit_count. Every step is integer arithmetic both engines
+    run identically, so candidates and distances hash-match exactly.
+    q_dedup_simhash remains the 64-bit UDF scale path; this query pins
+    the blocking + distance semantics under the driver's hard gate.
+
+    Scale shape: token explode + hash map-only; the vote aggregation
+    shuffles one row per (doc, token) with {SH_BITS}-column partial sums;
+    chunk self-join cost is sum of bucket sizes squared over 2^{SH_CHUNK_W}
+    buckets per chunk (use wider chunks at corpus scale)."""
+    d = fanout(load(spark, sf_dir, "documents"))
+    ex = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias(
+            "token"
+        ),
+    )
+    hv = ex.select(
+        "doc_id",
+        F.expr(_SH_HASH_SPARK).alias("h1"),
+        F.expr(_SH_HASH2_SPARK).alias("h2"),
+    )
+    bit = lambda b: (  # noqa: E731
+        F.shiftright(F.col("h1" if b < SH_HALF else "h2"),
+                     b if b < SH_HALF else b - SH_HALF)
+        .bitwiseAND(F.lit(1)) == 1
+    )
+    v = hv.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(bit(b), 1).otherwise(-1)).alias(f"v{b}")
+            for b in range(SH_BITS)
+        ]
+    )
+    sim = v.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+                for b in range(SH_BITS)
+            ],
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("sim"),
+    ).localCheckpoint(eager=True)
+    mask = (1 << SH_CHUNK_W) - 1
+    keys = sim.select(
+        "doc_id",
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sim"), k * SH_CHUNK_W).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for k in range(SH_CHUNKS)
+                ]
+            )
+        ).alias("chunk", "ckey"),
+    )
+    a = keys.select(
+        F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"),
+        "chunk", "ckey",
+    )
+    b_ = keys.select(
+        F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"),
+        "chunk", "ckey",
+    )
+    # Emit each pair exactly once WITHOUT a distinct exchange: keep a
+    # match only at its FIRST equal chunk (all lower chunks must differ).
+    # A codegen filter on the already-joined sims replaces a full
+    # shuffle+dedup of the ~600k-row candidate stream (sf0.1: 3.2s ->
+    # ~2.5s; the saving grows with the match volume at scale).
+    first_match = F.lit(True)
+    for j in range(SH_CHUNKS - 1):
+        mask_j = F.lit((1 << SH_CHUNK_W) - 1)
+        differ_j = (
+            F.shiftright(F.col("sim_a"), j * SH_CHUNK_W).bitwiseAND(mask_j)
+            != F.shiftright(F.col("sim_b"), j * SH_CHUNK_W).bitwiseAND(mask_j)
+        )
+        first_match = first_match & ((F.col("chunk") <= j) | differ_j)
+    return (
+        a.join(b_, ["chunk", "ckey"])
+        .filter((F.col("doc_a") < F.col("doc_b")) & first_match)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SH_HAMMING)
+    )
 
 
 _NGRAM_PAIRS_SQL = """

@@ -55,6 +55,51 @@ def test_dedup_near_recall_precision(spark, duck, truth):
     assert found <= weak, f"false positives: {found - weak}"
 
 
+def test_dedup_minhash_parity_and_recall(spark, duck, truth):
+    """Exact-oracle MinHash (round 4): parity is the hard check — both
+    engines compute identical integer signatures, band keys, candidates,
+    and verified Jaccards. Recall against planted strong pairs and
+    precision via the exact verification floor hold like q_dedup_near."""
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_dedup_minhash")
+    assert len(pdf) > 0
+    found = {(int(a), int(b)) for a, b in zip(pdf["doc_a"], pdf["doc_b"])}
+    strong = {p for p, j in truth.items() if j >= 0.8}
+    weak = {p for p, j in truth.items() if j >= 0.7}
+    # K=16 affine permutations: P(all 4 bands miss at j=0.8) per pair is
+    # (1-0.8^4)^4 ~ 12% — deterministic with the seeded coefficients, and
+    # the seed finds every planted strong pair on this corpus
+    assert strong <= found, f"missed planted pairs: {strong - found}"
+    assert found <= weak, f"false positives: {found - weak}"
+
+
+def test_dedup_simhash_exact_parity_and_discrimination(spark, duck):
+    """Exact-oracle SimHash (round 4): integer signatures, chunk blocking,
+    and hamming distances hash-match across engines (the parity IS the
+    hard check). Semantically, hamming <= 3 on 48 bits is a much tighter
+    radius than 0.8-jaccard similarity (expected hamming ~7 there), so the
+    invariant is discrimination, not recall: pairs inside the radius must
+    be far more word-similar than random pairs."""
+    import random
+
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_dedup_simhash_exact")
+    assert len(pdf) > 0
+    assert (pdf["hamming"] <= 3).all()
+    rows = duck.sql("SELECT doc_id, text FROM documents").fetchall()
+    words = {d: set(t.lower().split()) for d, t in rows}
+    wj = lambda a, b: len(words[a] & words[b]) / len(words[a] | words[b])  # noqa: E731
+    found = [(int(a), int(b)) for a, b in zip(pdf["doc_a"], pdf["doc_b"])]
+    rng = random.Random(7)
+    ids = sorted(words)
+    rand = [tuple(rng.sample(ids, 2)) for _ in range(2000)]
+    mean_found = sum(wj(a, b) for a, b in found) / len(found)
+    mean_rand = sum(wj(a, b) for a, b in rand) / len(rand)
+    # random pairs already share ~62% vocabulary on this synthetic corpus,
+    # so the test is an absolute gap (measured: found 0.91 vs rand 0.62)
+    assert mean_found > mean_rand + 0.15, (
+        f"no discrimination: found={mean_found:.3f} rand={mean_rand:.3f}"
+    )
+
+
 def test_dedup_clusters_parity_and_transitivity(spark, duck, truth):
     """Connected components match DuckDB's recursive CTE, and clustering is
     genuinely transitive: every pair in a component is reachable through

@@ -170,3 +170,25 @@ def test_sim_ivf_broadcasts_probe_list(spark):
     corpus (same invariant as LSH)."""
     p = plan_of(spark, "q_sim_search_ivf")
     assert "BroadcastHashJoin" in p
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(n for n, q in REGISTRY.items() if "stream" not in q.tags),
+)
+def test_no_hof_inside_filter(spark, name):
+    """No higher-order function (transform/aggregate lambdas — Spark
+    evaluates them INTERPRETED, not codegen) may end up inside a Filter
+    node. The class bug: Generate's implicit size(col)>0 guard inlines a
+    pre-projected array expression and gets pushed below the fanout
+    exchange, re-running the whole HOF chain single-threaded per row
+    (q_dedup_minhash measured 4.1s vs 0.4s at sf0.1 from exactly this;
+    fix by exploding the expression inline)."""
+    import re
+
+    p = plan_of(spark, name)
+    for m in re.finditer(r"Filter [^\n]*", p):
+        line = m.group(0)
+        assert "transform(" not in line and "aggregate(" not in line, (
+            f"{name}: HOF evaluated inside a Filter: {line[:200]}"
+        )

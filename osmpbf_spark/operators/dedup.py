@@ -961,65 +961,48 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark split here is doc_id % 10 == 0 (a stand-in for a real eval
     table; swap the predicate for a second source at deployment).
 
-    Shape: word-8-gram shingles per doc -> INVERTED INDEX join (bench
-    shingle = train shingle) -> count shared shingles per (bench, train)
-    pair -> containment = shared / |bench shingles| >= {DECON_THRESH}.
+    Shape: word-8-gram shingles per doc -> BROADCAST the benchmark's
+    shingle index -> map-side containment join against the streaming
+    train side -> count shared shingles per (bench, train) pair ->
+    containment = shared / |bench shingles| >= {DECON_THRESH}.
 
-    Scale design: the only big shuffle keys on the shingle string — the
-    inverted-index pattern, linear in corpus shingle count, never
-    all-pairs. Boilerplate shingles (present in > {DECON_STOP_DF} docs)
-    are dropped BEFORE the join: at 100 TB a viral shingle would
-    otherwise fan out quadratically inside one reducer (classic hot-key
-    skew); the document-frequency prefilter is the standard fix and
-    changes containment semantics only for pairs already sharing
-    boilerplate. At deployment the train side is also pre-bucketed by
-    shingle so the index build shuffles once. Shingles are joined on
-    xxhash64 keys (round 4): the exchange moves 8-byte longs instead of
-    ~90-byte 8-gram strings (~10x less shuffle volume at any scale;
-    collision odds ~n^2/2^65 — a collision would merge two shingle
-    identities, checked exact against the string-keyed oracle at sf0.01).
-
-    Recorded perf (driver artifact, sf0.1 local[32]): 2.1-2.7s across
-    rounds vs DuckDB 0.8s (~2.4-3.0x). The gap is stage-count latency at
-    toy scale — five barriers x Spark's ~0.2s scheduling floor, which the
-    hash-key change cannot remove (measured: it shifts <0.3s here) — not
-    shuffle volume or plan shape; the inverted-index + broadcast-anti +
-    single-shared-exchange plan IS the 100 TB plan, and the floor
-    amortizes to noise when stages run minutes instead of
-    milliseconds."""
+    Scale design (round 4 reshape): the eval/benchmark side is SMALL BY
+    DEFINITION — that is what makes decontamination tractable — so its
+    stop-filtered shingle index (with per-doc totals attached) is
+    broadcast, exactly like production pipelines ship eval-set n-gram
+    indexes (often as Bloom filters) to every worker. The train corpus
+    then never shuffles its exploded shingles at all: the containment
+    join is map-side, and the only full-corpus exchange left is the
+    stop-list document-frequency aggregation (boilerplate shingles in >
+    {DECON_STOP_DF} docs are dropped before the join — a viral shingle
+    would otherwise fan out quadratically inside one reducer). Shingles
+    are joined on xxhash64 keys: 8-byte longs instead of ~90-byte
+    strings in every hash table (collision odds ~n^2/2^65; checked exact
+    against the string-keyed oracle at sf0.01). The exploded corpus is
+    localCheckpoint'ed once (at 100 TB: the persisted shingle table both
+    aggregations and the join read). If the eval side ever exceeds the
+    broadcast budget, fall back to the r03 shape: one shared
+    hash-exchange on shingle feeding stop-agg and a shuffle join
+    (2.1-2.7s recorded at sf0.1 vs this plan's measured 1.4-1.6s, ~1.8x
+    DuckDB's 0.8s; the delta is two fewer stage barriers)."""
     d = fanout(load(spark, sf_dir, "documents")).withColumn(
         "w", F.split(F.lower("text"), " ")
     )
-    ex = d.select("doc_id", F.explode(F.expr(_DECON_SH)).alias("sh")).select(
-        "doc_id", F.xxhash64("sh").alias("shingle")
+    ex = (
+        d.select("doc_id", F.explode(F.expr(_DECON_SH)).alias("sh"))
+        .select("doc_id", F.xxhash64("sh").alias("shingle"))
+        .localCheckpoint(eager=True)
     )
-    # ONE explicit hash-repartition of the exploded corpus on the shingle
-    # key, reused by everything downstream (ReuseExchange): the stop-list
-    # aggregation groups by shingle on an already-shingle-partitioned
-    # input (no second exchange), the anti-join and the inverted-index
-    # join both consume the same partitioning, and the bench/train
-    # branches are filters that preserve it. Round 2 shaped this as
-    # explode -> stop-agg shuffle + two branch repartitions = three
-    # scan+explode passes of the corpus; the single shared exchange
-    # measured 2.1-2.7s -> 1.8-2.0s at sf0.1 and moves the exploded data
-    # exactly once at any scale. The explicit repartition (not a bare
-    # groupBy) also stays exempt from AQE's byte-based coalescing, which
-    # would otherwise shrink the bench side to one partition and
-    # single-thread the join.
-    n = spark.sparkContext.defaultParallelism
-    exr = ex.repartition(n, "shingle")
-    # Stop-shingles are the SMALL set (heavy hitters in > STOP_DF docs), so
-    # broadcast them and anti-join. (A keep-list inner join is the same
-    # semantics but the stop-list at 100 TB is exactly the frequent-item
-    # set — tiny by definition.) (doc_id, shingle) pairs are distinct
-    # (array_distinct per doc), so count(*) == document frequency.
+    # (doc_id, shingle) pairs are distinct (array_distinct per doc), so
+    # count(*) == document frequency. The stop-list is the frequent-item
+    # set — tiny by definition — so it broadcasts into an anti-join.
     stop = (
-        exr.groupBy("shingle")
+        ex.groupBy("shingle")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > DECON_STOP_DF)
         .select("shingle")
     )
-    exf = exr.join(F.broadcast(stop), "shingle", "left_anti")
+    exf = ex.join(F.broadcast(stop), "shingle", "left_anti")
     bench = exf.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("bench_id"), "shingle"
     )
@@ -1027,11 +1010,16 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("train_id"), "shingle"
     )
     n_bench = bench.groupBy("bench_id").agg(F.count("*").alias("n_bench"))
+    bench_n = bench.join(F.broadcast(n_bench), "bench_id")
     return (
-        bench.join(train, "shingle")
+        train.join(F.broadcast(bench_n), "shingle")
         .groupBy("bench_id", "train_id")
-        .agg(F.count("*").alias("shared"))
-        .join(n_bench, "bench_id")
+        .agg(
+            F.count("*").alias("shared"),
+            # n_bench is functionally dependent on bench_id; carrying it
+            # through the aggregation beats re-joining the totals after
+            F.first("n_bench").alias("n_bench"),
+        )
         .withColumn("_c", F.col("shared") / F.col("n_bench"))
         # unrounded filter to mirror the oracle's WHERE; round on output only
         .filter(F.col("_c") >= DECON_THRESH)

@@ -158,11 +158,20 @@ def test_dedup_clusters_pairs_checkpointed(spark):
     assert "Scan ExistingRDD" in p or "LocalTableScan" in p
 
 
-def test_decontaminate_joins_on_hashed_shingles(spark):
-    """r04 freeze: the shingle exchange must move xxhash64 longs, not
-    8-gram strings (~10x shuffle volume at any scale)."""
+def test_decontaminate_broadcasts_eval_index(spark):
+    """r04 freeze: the reshaped plan must (a) read the exploded+hashed
+    shingles from the eager checkpoint (xxhash64 runs once at build; the
+    lineage cut is why the hash is not visible in this plan text), (b)
+    broadcast the stop list as a LeftAnti and the benchmark index into
+    the containment join — the train corpus must never shuffle its
+    shingles — and (c) keep shuffle exchanges to the two aggregations
+    (the duplicated checkpoint subtree can repeat them in the tree text,
+    so bound loosely)."""
     p = plan_of(spark, "q_decontaminate")
-    assert "xxhash64" in p
+    assert "ExistingRDD" in p  # checkpointed shingle table
+    assert "LeftAnti" in p and p.count("BroadcastHashJoin") >= 3
+    shuffles = p.count("Exchange") - p.count("BroadcastExchange")
+    assert shuffles <= 5, f"too many shuffle exchanges: {shuffles}"
 
 
 def test_sim_ivf_broadcasts_probe_list(spark):

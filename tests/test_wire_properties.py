@@ -129,3 +129,45 @@ def test_dense_block_roundtrip_property(nodes):
         lo, hi = out["tag_offsets"][i], out["tag_offsets"][i + 1]
         got = dict(zip(out["tag_keys"][lo:hi], out["tag_vals"][lo:hi]))
         assert got == (tags or {})
+
+
+def test_sha_prefix_hash_cross_engine(spark, duck):
+    """The round-4 base hash (sha256 hex prefix -> 60-bit integer) must be
+    bit-identical across engines for arbitrary strings — it feeds the
+    exact-oracle MinHash/SimHash queries, so any divergence (hex case,
+    substr indexing, cast semantics) would silently break the driver's
+    hash gate. Checked over ASCII, unicode, whitespace, and empty-ish
+    inputs."""
+    from pyspark.sql import functions as F
+
+    samples = (
+        ["", " ", "a", "ab", "the quick brown fox", "naïve café",
+         "日本語テキスト", "tab\tsep", "new\nline", "0x1234", "'quote'",
+         '"dq"', "back\\slash", "emoji 🙂 text"]
+        + [f"shingle {i} of the corpus" for i in range(200)]
+    )
+    sdf = spark.createDataFrame([(s,) for s in samples], ["shingle"])
+    got = {
+        r.shingle: (r.h, r.h1, r.h2)
+        for r in sdf.select(
+            "shingle",
+            F.expr(
+                "CAST(conv(substr(sha2(shingle, 256), 1, 15), 16, 10)"
+                " AS BIGINT) % 1000000007"
+            ).alias("h"),
+            F.expr(
+                "CAST(conv(substr(sha2(shingle, 256), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("h1"),
+            F.expr(
+                "CAST(conv(substr(sha2(shingle, 256), 16, 15), 16, 10) AS BIGINT)"
+            ).alias("h2"),
+        ).collect()
+    }
+    for s in samples:
+        h, h1, h2 = duck.execute(
+            "SELECT ('0x' || substr(sha256(?), 1, 15))::BIGINT % 1000000007,"
+            " ('0x' || substr(sha256(?), 1, 15))::BIGINT,"
+            " ('0x' || substr(sha256(?), 16, 15))::BIGINT",
+            [s, s, s],
+        ).fetchone()
+        assert got[s] == (h, h1, h2), f"hash mismatch for {s!r}: {got[s]} != {(h, h1, h2)}"

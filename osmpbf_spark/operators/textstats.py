@@ -351,6 +351,77 @@ def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_doc_pack_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(SUM(len(string_split(text, ' '))) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM documents),
+    dc AS (
+      SELECT doc_id, source, n_tok, cum,
+             unnest(range((cum - n_tok) // {PACK_LEN},
+                          (cum - 1) // {PACK_LEN} + 1)) AS chunk
+      FROM t)
+    SELECT source, chunk,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc,
+           CAST(SUM(least(cum, (chunk + 1) * {PACK_LEN})
+                    - greatest(cum - n_tok, chunk * {PACK_LEN}))
+                AS BIGINT) AS fill
+    FROM dc GROUP BY source, chunk
+    """,
+    tags=("text", "window"),
+)
+def q_doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed-sequence MANIFEST — q_doc_pack inverted to the batcher's
+    actual output unit: one row per (source shard, {PACK_LEN}-token
+    training sequence) with the documents it spans and its token fill
+    (== {PACK_LEN} everywhere except each shard's final chunk). This is
+    the table a data loader reads to fetch a batch: which docs to pull
+    and which token spans of each.
+
+    Plan: the per-shard running sum (partitioned window, never a global
+    sort) feeds a sequence-explode of each doc's chunk span — the
+    row-expansion is bounded by ceil(tokens/{PACK_LEN}) + docs, i.e.
+    ~corpus/{PACK_LEN} output rows — then one hash aggregation on
+    (source, chunk). All integer arithmetic, exact in both engines."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = d.select(
+        "doc_id", "source", n_tok.cast("bigint").alias("n_tok")
+    ).withColumn("cum", F.sum("n_tok").over(w))
+    first = F.floor((F.col("cum") - F.col("n_tok")) / PACK_LEN)
+    last = F.floor((F.col("cum") - 1) / PACK_LEN)
+    dc = t.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "cum",
+        F.explode(F.sequence(first, last)).alias("chunk"),
+    )
+    fill = F.least(
+        F.col("cum"), (F.col("chunk") + 1) * PACK_LEN
+    ) - F.greatest(F.col("cum") - F.col("n_tok"), F.col("chunk") * PACK_LEN)
+    return dc.groupBy("source", "chunk").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.sum(fill).alias("fill"),
+    )
+
+
+@query(
     "q_bpe_merge_count",
     oracle=f"""
     WITH p AS (

@@ -52,3 +52,25 @@ def test_multimodal_frames_shape(spark):
     wide = pdf.pivot(index="doc_id", columns="frame_id", values="byte_offset")
     assert ((wide[0] <= wide[1]) & (wide[1] <= wide[2])).all()
     assert (pdf["frame_sig"].str.len() == 8).all()
+
+
+def test_doc_pack_chunks_invariants(spark, duck):
+    """The chunk manifest must tile each source shard exactly: chunk ids
+    contiguous from 0, every fill <= PACK_LEN, and per-shard fill total ==
+    the shard's token count (no token lost or double-assigned)."""
+    from osmpbf_spark.operators.textstats import PACK_LEN
+
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_doc_pack_chunks")
+    assert (pdf["fill"] <= PACK_LEN).all() and (pdf["fill"] > 0).all()
+    for src, g in pdf.groupby("source"):
+        chunks = sorted(g["chunk"])
+        assert chunks == list(range(len(chunks))), f"{src}: gap in {chunks}"
+    want = {
+        s: n
+        for s, n in duck.sql(
+            "SELECT source, SUM(len(string_split(text, ' ')))::BIGINT"
+            " FROM documents GROUP BY source"
+        ).fetchall()
+    }
+    got = pdf.groupby("source")["fill"].sum().to_dict()
+    assert {k: int(v) for k, v in got.items()} == want

@@ -537,3 +537,143 @@ def s_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(300)
     return spark.table(name)
+
+
+def _near_stream_oracle() -> str:
+    from osmpbf_spark.operators.dedup import (
+        MH_A,
+        MH_B,
+        MH_BANDS,
+        MH_K,
+        MH_P,
+        MH_ROWS,
+        _MH_HASH_SQL,
+        _MH_SH_SQL,
+        _mh_band_key_sql,
+    )
+
+    return f"""
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+               FROM documents),
+    s AS (SELECT doc_id, {_MH_SH_SQL} AS sh FROM d),
+    ex AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+    hv AS (SELECT doc_id, {_MH_HASH_SQL} AS h FROM ex),
+    sig AS (SELECT doc_id,
+                   {", ".join(
+                       f"MIN(({MH_A[j]} * h + {MH_B[j]}) % {MH_P}) AS s{j}"
+                       for j in range(MH_K)
+                   )}
+            FROM hv GROUP BY doc_id),
+    bk AS (SELECT doc_id,
+                  {", ".join(f"{_mh_band_key_sql(b)} AS k{b}"
+                             for b in range(MH_BANDS))}
+           FROM sig)
+    SELECT DISTINCT doc_a, doc_b FROM (
+      {" UNION ".join(
+          f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bk a JOIN bk b"
+          f" ON a.k{b} = b.k{b} AND a.doc_id < b.doc_id"
+          for b in range(MH_BANDS)
+      )})
+    """
+
+
+@query("s_dedup_near_stream", oracle=_near_stream_oracle(), tags=("stream", "dedup"))
+def s_dedup_near_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup candidate detection — MinHash banded LSH at
+    ingest time, with a FULL value oracle. As documents arrive, each is
+    signed MAP-ONLY (the whole MinHash signature as array HOFs per row —
+    no explode+groupBy, because Structured Streaming allows only ONE
+    stateful aggregation per query and the bucket state needs it; min
+    over a set is order-independent, so the per-row array_min equals the
+    batch explode+MIN bit-for-bit) and dropped into its (band, key)
+    buckets; the ONE streaming aggregation maintains bucket membership
+    (collect_set state, complete mode). The returned frame expands the
+    converged buckets into candidate pairs — exactly q_dedup_minhash's
+    candidate set, which the oracle recomputes relationally.
+
+    This is the ingest-time shape of near-dedup at 100 TB/day: bucket
+    state is one row per occupied (band, key) — at production bit widths
+    buckets hold O(corpus/2^bits) docs and a TTL watermark ages them out;
+    new arrivals emit pair candidates only against their own buckets.
+    The exact-verification jaccard join (q_dedup_minhash's tail) runs as
+    a downstream batch join over the emitted candidates."""
+    from osmpbf_spark.operators.dedup import (
+        MH_A,
+        MH_B,
+        MH_BANDS,
+        MH_K,
+        MH_M,
+        MH_P,
+        MH_ROWS,
+        _SHINGLES_EXPR,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    src = _stream_src(spark, docs, f"documents:{sf_dir}")
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    hs = (
+        "transform(" + _SHINGLES_EXPR + ", s -> "
+        "CAST(conv(substr(sha2(s, 256), 1, 15), 16, 10) AS BIGINT)"
+        f" % {MH_M})"
+    )
+    sig_cols = [
+        F.expr(
+            f"array_min(transform(hs, h ->"
+            f" (CAST({MH_A[j]} AS BIGINT) * h + {MH_B[j]}) % {MH_P}))"
+        ).alias(f"s{j}")
+        for j in range(MH_K)
+    ]
+    signed = (
+        stream.withColumn("w", F.split(F.lower("text"), " "))
+        .withColumn("hs", F.expr(hs))
+        .select("doc_id", *sig_cols)
+    )
+    keys = signed.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"s{j}").cast("string")
+                            for j in range(b * MH_ROWS, (b + 1) * MH_ROWS)
+                        ],
+                    )
+                    for b in range(MH_BANDS)
+                ]
+            )
+        ).alias("band", "k"),
+    )
+    buckets = keys.groupBy("band", "k").agg(
+        F.collect_set("doc_id").alias("ids")
+    )
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"s_dedup_near_stream_{_STREAM_RUN_SEQ[0]}"
+    with _scoped_state_partitions(spark):
+        q = (
+            buckets.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    # batch view over the converged bucket state: expand to candidate pairs
+    t = spark.table(name)
+    a = t.select("band", "k", F.explode("ids").alias("doc_a"))
+    # rename the right side: both branches read the same memory-sink view,
+    # so identical attribute ids would conflict in the self-join
+    b = t.select(
+        F.col("band").alias("band_r"),
+        F.col("k").alias("k_r"),
+        F.explode("ids").alias("doc_b"),
+    )
+    return (
+        a.join(
+            b, (F.col("band") == F.col("band_r")) & (F.col("k") == F.col("k_r"))
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )

@@ -183,3 +183,15 @@ def test_apply_in_pandas_with_state(spark, tmp_path):
         .sort_index()
     )
     assert (final == want).all()
+
+
+def test_near_stream_candidates_cover_verified_pairs(spark, duck):
+    """The streaming LSH bucket state must generate every candidate the
+    batch MinHash query verifies: s_dedup_near_stream's pairs are the
+    pre-verification candidate set, so q_dedup_minhash's jaccard-verified
+    output is a subset by construction."""
+    cand_pdf, _ = check_query(spark, duck, SF_DIR, "s_dedup_near_stream")
+    ver_pdf, _ = check_query(spark, duck, SF_DIR, "q_dedup_minhash")
+    cand = {(int(a), int(b)) for a, b in zip(cand_pdf["doc_a"], cand_pdf["doc_b"])}
+    verified = {(int(a), int(b)) for a, b in zip(ver_pdf["doc_a"], ver_pdf["doc_b"])}
+    assert verified <= cand, f"verified pairs missing from candidates: {verified - cand}"

@@ -192,15 +192,16 @@ def all_oracles() -> dict[str, str]:
 #      added after r03 land here automatically (not in _R03_CHECKED).
 #   2. the r03-green tail, unchanged since — rotates to the back.
 #
-# 93 registered vs the 50-slot window: exactly one tier-1 query
-# (q_join_full, the last-registered r02-green, untouched since its r02
-# hard row) rotates out this round — re-front it in r05.
+# 94 registered vs the 50-slot window: the two last-registered
+# r02-green tier-1 queries (q_explode_pos, q_join_full — both untouched
+# since their r02 hard rows, so that green stands) rotate out this
+# round — re-front them in r05.
 _R04_PRIORITY = (
     "q_doc_pack", "q_sim_search_lsh", "q_sim_search_ivf", "q_dedup_near",
     "q_dedup_simhash", "q_dedup_embed", "q_dedup_clusters", "q_decontaminate",
     # round-4 additions — never driver-verified, must get their first row
     "q_dedup_minhash", "q_dedup_simhash_exact", "q_doc_pack_chunks",
-    "s_dedup_near_stream",
+    "s_dedup_near_stream", "s_dedup_embed_stream",
 )
 
 # keys of CORRECTNESS_r03.json — the 50 queries the r03 driver verified

@@ -539,6 +539,81 @@ def s_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _embed_stream_oracle() -> str:
+    from osmpbf_spark.operators.dedup import EMB_BANDS, _sql_band
+
+    return f"""
+    WITH e AS (
+      SELECT vec_id, {", ".join(f"{_sql_band(b)} AS b{b}"
+                                for b in range(EMB_BANDS))}
+      FROM embeddings
+    )
+    SELECT DISTINCT id1, id2 FROM (
+      {" UNION ".join(
+          f"SELECT a.vec_id AS id1, c.vec_id AS id2 FROM e a JOIN e c"
+          f" ON a.b{b} = c.b{b} AND a.vec_id < c.vec_id"
+          for b in range(EMB_BANDS)
+      )})
+    """
+
+
+@query(
+    "s_dedup_embed_stream",
+    oracle=_embed_stream_oracle(),
+    tags=("stream", "dedup", "sim"),
+)
+def s_dedup_embed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING embedding near-dup candidates — hyperplane LSH at ingest,
+    full value oracle (the vector twin of s_dedup_near_stream): each
+    arriving vector's sign-bit band keys are computed map-only (the same
+    literal-plane JVM fold chains as q_dedup_embed, bit-identical to the
+    oracle); ONE streaming aggregation holds bucket membership; the
+    converged buckets expand to exactly q_dedup_embed's candidate set.
+    At ingest scale this is how a vector store flags near-dups on write:
+    band-key state, new arrivals pair only within their buckets, exact
+    cosine verification downstream (q_dedup_embed's tail)."""
+    from osmpbf_spark.operators.dedup import EMB_BANDS, _emb_band
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    src = _stream_src(spark, emb, f"embeddings:{sf_dir}")
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    keys = stream.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[_emb_band(b) for b in range(EMB_BANDS)])
+        ).alias("band", "k"),
+    )
+    buckets = keys.groupBy("band", "k").agg(
+        F.collect_set("vec_id").alias("ids")
+    )
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"s_dedup_embed_stream_{_STREAM_RUN_SEQ[0]}"
+    with _scoped_state_partitions(spark):
+        q = (
+            buckets.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    t = spark.table(name)
+    a = t.select("band", "k", F.explode("ids").alias("id1"))
+    b = t.select(
+        F.col("band").alias("band_r"),
+        F.col("k").alias("k_r"),
+        F.explode("ids").alias("id2"),
+    )
+    return (
+        a.join(
+            b, (F.col("band") == F.col("band_r")) & (F.col("k") == F.col("k_r"))
+        )
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
 def _near_stream_oracle() -> str:
     from osmpbf_spark.operators.dedup import (
         MH_A,

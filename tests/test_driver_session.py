@@ -24,6 +24,10 @@ assert qs["s_tumble"](spark, "/root/testdata/sf0.001").count() > 0
 assert qs["q_pbf_scan_nodes"](spark, "/root/testdata/sf0.001").count() > 0
 assert qs["q_pbf_pushdown"](spark, "/root/testdata/sf0.001").count() > 0
 assert qs["s_dedup_stream"](spark, "/root/testdata/sf0.001").count() > 0
+# round-4 streaming LSH queries: real micro-batch runs + batch tail under
+# a vanilla session (scoped confs, memory sink, self-join expansion)
+assert qs["s_dedup_near_stream"](spark, "/root/testdata/sf0.001").count() > 0
+assert qs["s_dedup_embed_stream"](spark, "/root/testdata/sf0.001").count() > 0
 assert e.entry(spark).count() > 0
 print("VANILLA_OK")
 spark.stop()

@@ -127,14 +127,22 @@ def _with_shingles(df: DataFrame) -> DataFrame:
     )
 
 
-def _jaccard_pairs(cand: DataFrame, docs: DataFrame, threshold: float) -> DataFrame:
+def _jaccard_pairs(
+    cand: DataFrame, docs: DataFrame, threshold: float, widen: bool = True
+) -> DataFrame:
     """Exact shingle-Jaccard verification of candidate (doc_a, doc_b) pairs.
     Two joins on doc_id (shuffle bounded by #candidates) + JVM set ops.
-    The candidate set is fanned out first: pair rows are two longs, so AQE
-    sizes the exchange to ~1 partition by bytes, which would single-thread
-    the per-pair array intersection — width must follow downstream compute
-    (same trap as q_dedup_embed's verification stage)."""
-    cand = fanout(cand)
+    With ``widen`` the candidate set is fanned out first: pair rows are two
+    longs, so AQE sizes the exchange to ~1 partition by bytes, which would
+    single-thread the per-pair array intersection — width must follow
+    downstream compute (same trap as q_dedup_embed's verification stage).
+    Callers whose candidate sets are small enough for AQE's runtime
+    broadcast conversion (q_dedup_minhash's 4-band buckets) pass
+    widen=False: the broadcast join computes the intersections on the
+    corpus-shingle side, already fanout-wide, and the extra exchange is
+    pure latency (~0.45s at sf0.1)."""
+    if widen:
+        cand = fanout(cand)
     sh = _with_shingles(docs).select("doc_id", "sh")
     a = sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a")
     b = sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b")
@@ -142,15 +150,15 @@ def _jaccard_pairs(cand: DataFrame, docs: DataFrame, threshold: float) -> DataFr
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ),
+            "_j",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        # filter on the UNROUNDED ratio (the oracles' WHERE uses jraw);
+        # round only the projected column — a boundary value like
+        # 0.6999996 must not round up into the result set
+        .filter(F.col("_j") >= threshold)
+        .select("doc_a", "doc_b", F.round("_j", 6).alias("jaccard"))
     )
 
 
@@ -313,17 +321,40 @@ MH_A = _mh_rng.randint(1, MH_P, size=MH_K).tolist()
 MH_B = _mh_rng.randint(0, MH_P, size=MH_K).tolist()
 
 # Base shingle hash both engines compute identically AND fast: the first
-# 15 hex chars of sha256 parsed as a 60-bit integer, reduced mod MH_M so
-# the affine products stay inside i64. sha2/sha256 are whole-stage-codegen
-# JVM / native DuckDB; the first cut of this hash was a char-polynomial
-# fold via aggregate()/list_reduce() HOF lambdas, which Spark evaluates
-# INTERPRETED per element — 4.4s at sf0.1 for the hash stage alone vs
-# ~0.3s for this recipe (12M lambda steps vs one digest per shingle).
-_MH_HASH_SPARK = (
-    f"CAST(conv(substr(sha2(shingle, 256), 1, 15), 16, 10) AS BIGINT)"
-    f" % {MH_M}"
+# 15 hex chars of md5 parsed as a 60-bit integer, reduced mod MH_M so
+# the affine products stay inside i64. md5 is whole-stage-codegen JVM /
+# native DuckDB and ~25% cheaper than sha256 here (signing 0.48s vs 0.64s
+# at sf0.1 — cryptographic strength buys nothing for a bucketing hash);
+# the first cut was a char-polynomial fold via aggregate()/list_reduce()
+# HOF lambdas, which Spark evaluates INTERPRETED per element — 4.4s at
+# sf0.1 for the hash stage alone vs ~0.3s for one digest per shingle.
+_MH_HASH_SQL = f"('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MH_M}"
+
+# Map-only signature shape shared by q_dedup_minhash and
+# s_dedup_near_stream: hs = per-row base-hash array over the shingle set,
+# sig_j = array_min over the affine permutation — bit-identical to the
+# explode + groupBy MIN (min over a set is order-independent) with NO
+# signature shuffle. The HOF lambdas run interpreted, but the per-element
+# work is one digest + one affine mod; `hs` is referenced by 16 sig
+# columns, which keeps CollapseProject from inlining (it never duplicates
+# a non-cheap expression used more than once), so the digests run once.
+_MH_HS_EXPR = (
+    "transform(" + _SHINGLES_EXPR + ", s -> "
+    "CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)"
+    f" % {MH_M})"
 )
-_MH_HASH_SQL = f"('0x' || substr(sha256(shingle), 1, 15))::BIGINT % {MH_M}"
+
+
+def mh_sig_cols() -> list:
+    """The 16 per-row MinHash signature columns (expects column ``hs``)."""
+    return [
+        F.expr(
+            f"array_min(transform(hs, h ->"
+            f" (CAST({MH_A[j]} AS BIGINT) * h + {MH_B[j]}) % {MH_P}))"
+        ).alias(f"s{j}")
+        for j in range(MH_K)
+    ]
+
 
 _MH_SH_SQL = """CASE WHEN len(w) >= 3
       THEN list_distinct(list_transform(range(1, len(w) - 1),
@@ -377,44 +408,35 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     technique applied to text MinHash (round 4): every hash is plain
     integer arithmetic replicated term-for-term in DuckDB SQL, so the
     candidate set and verified Jaccards hash-match exactly. Shingle base
-    hash = sha256 hex prefix parsed as a 60-bit integer mod 1e9+7 (both
+    hash = md5 hex prefix parsed as a 60-bit integer mod 1e9+7 (both
     engines digest and parse identically, all inside codegen);
     permutations are the 2-universal affine family (a*h + b) mod 2^31-1
-    with seeded literal coefficients; signatures are {MH_K} MIN
-    aggregates over the exploded
-    shingle stream (one shuffle, map-side partial mins); banding is the
-    explode -> single (band, key) self-join shape; verification is the
-    exact 3-gram Jaccard. q_dedup_near remains the production-scale
-    variant (64 splitmix64 permutations via one Arrow-batched UDF —
-    cheaper per shingle than 16 codegen min-agg columns and statistically
-    stronger); THIS query pins the LSH semantics under the driver's hard
-    hash gate, which no UDF path can.
+    with seeded literal coefficients; signatures are computed MAP-ONLY —
+    each row's {MH_K} mins as ``array_min(transform(hs, ...))`` HOFs
+    (round 5, ported from s_dedup_near_stream which proved the shape:
+    min over a set is order-independent, so the per-row array_min is
+    bit-identical to the former explode + groupBy MIN while deleting the
+    (doc, shingle) signature shuffle entirely); banding buckets on the
+    (band, key) hash aggregation with in-bucket pair expansion;
+    verification is the exact 3-gram Jaccard. q_dedup_near remains the
+    production-scale variant (64 splitmix64 permutations via one
+    Arrow-batched UDF — cheaper per shingle than 16 interpreted HOF mins
+    and statistically stronger); THIS query pins the LSH semantics under
+    the driver's hard hash gate, which no UDF path can.
 
-    Scale shape: explode+hash is map-only; the signature aggregation
-    shuffles one row per (doc, shingle) with {MH_K}-column partial mins;
-    the band self-join cost is sum of bucket sizes squared (never N^2);
-    verification joins shuffle only candidates."""
+    Scale shape: signing is embarrassingly parallel (zero shuffles — the
+    oracle's explode/GROUP BY is DuckDB's spelling of the same mins); the
+    bucket aggregation shuffles 4 short rows per doc and pair expansion
+    is sum of bucket sizes squared (never N^2); verification joins
+    shuffle only candidates."""
     d = fanout(load(spark, sf_dir, "documents"))
-    # Explode the shingle EXPRESSION inline (not a projected column): with
-    # a pre-projected array column, Generate's implicit size(c)>0 filter
-    # inlines the whole shingle expression and pushes BELOW the fanout
-    # exchange — the transform/array_distinct work then runs twice, once
-    # single-threaded in the scan task (measured 4.1s vs 0.4s at sf0.1).
-    ex = d.withColumn("w", F.split(F.lower("text"), " ")).select(
-        "doc_id", F.explode(F.expr(_SHINGLES_EXPR)).alias("shingle")
-    )
-    hv = ex.select("doc_id", F.expr(_MH_HASH_SPARK).alias("h"))
+    # null-text rows would sign as all-NULL and collide on one concat_ws
+    # band key; the oracle's unnest drops them — mirror that here.
     sig = (
-        hv.groupBy("doc_id")
-        .agg(
-            *[
-                F.min(
-                    (F.lit(MH_A[j]) * F.col("h") + F.lit(MH_B[j])) % MH_P
-                ).alias(f"s{j}")
-                for j in range(MH_K)
-            ]
-        )
-        .localCheckpoint(eager=True)
+        d.filter(F.col("text").isNotNull())
+        .withColumn("w", F.split(F.lower("text"), " "))
+        .withColumn("hs", F.expr(_MH_HS_EXPR))
+        .select("doc_id", *mh_sig_cols())
     )
     keys = sig.select(
         "doc_id",
@@ -433,17 +455,24 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "k"),
     )
+    # Bucket-aggregate pair generation (round 5) instead of a (band, k)
+    # self-join: ONE exchange builds the buckets, pairs expand in-bucket
+    # via two attribute explodes (codegen — no HOF ends up in a Filter),
+    # and only the cross-band dedup still exchanges. The former self-join
+    # shuffled the key frame twice and needed the signature frame
+    # localCheckpoint'ed so signing wouldn't run per side; single
+    # consumer means no checkpoint — signing streams straight from the
+    # scan. 1.65s -> ~1.2s at sf0.1 (with the md5 base hash).
+    buckets = keys.groupBy("band", "k").agg(
+        F.collect_set("doc_id").alias("ids")
+    )
     cand = (
-        keys.select(F.col("doc_id").alias("doc_a"), "band", "k")
-        .join(
-            keys.select(F.col("doc_id").alias("doc_b"), "band", "k"),
-            ["band", "k"],
-        )
+        buckets.select("ids", F.explode("ids").alias("doc_a"))
+        .select("doc_a", F.explode("ids").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
         .distinct()
     )
-    return _jaccard_pairs(cand, d, 0.7)
+    return _jaccard_pairs(cand, d, 0.7, widen=False)
 
 
 # ---------------------------------------------------------------------------

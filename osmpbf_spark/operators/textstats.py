@@ -401,8 +401,12 @@ def q_doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select(
         "doc_id", "source", n_tok.cast("bigint").alias("n_tok")
     ).withColumn("cum", F.sum("n_tok").over(w))
-    first = F.floor((F.col("cum") - F.col("n_tok")) / PACK_LEN)
-    last = F.floor((F.col("cum") - 1) / PACK_LEN)
+    # integer `div`, not floor(double /): cum is a bigint running sum, and
+    # the double path loses exactness past 2^53 cumulative tokens (a real
+    # number at 100 TB). Operands are non-negative so div == floor-div,
+    # matching the oracle's `//`.
+    first = F.expr(f"(cum - n_tok) div {PACK_LEN}")
+    last = F.expr(f"(cum - 1) div {PACK_LEN}")
     dc = t.select(
         "doc_id",
         "source",

@@ -673,35 +673,25 @@ def s_dedup_near_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact-verification jaccard join (q_dedup_minhash's tail) runs as
     a downstream batch join over the emitted candidates."""
     from osmpbf_spark.operators.dedup import (
-        MH_A,
-        MH_B,
+        _MH_HS_EXPR,
         MH_BANDS,
-        MH_K,
-        MH_M,
-        MH_P,
         MH_ROWS,
-        _SHINGLES_EXPR,
+        mh_sig_cols,
     )
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     src = _stream_src(spark, docs, f"documents:{sf_dir}")
     stream = spark.readStream.schema(docs.schema).parquet(src)
-    hs = (
-        "transform(" + _SHINGLES_EXPR + ", s -> "
-        "CAST(conv(substr(sha2(s, 256), 1, 15), 16, 10) AS BIGINT)"
-        f" % {MH_M})"
-    )
-    sig_cols = [
-        F.expr(
-            f"array_min(transform(hs, h ->"
-            f" (CAST({MH_A[j]} AS BIGINT) * h + {MH_B[j]}) % {MH_P}))"
-        ).alias(f"s{j}")
-        for j in range(MH_K)
-    ]
+    # drop null-text rows BEFORE signing: a NULL text yields all-NULL
+    # s0..s15 and concat_ws silently maps NULLs to one shared empty-string
+    # band key — every null doc would land in a single bucket and emit
+    # bogus pairs, while the oracle (unnest) and batch twin (explode) drop
+    # them. Current fixtures are non-null; this pins the semantics anyway.
     signed = (
-        stream.withColumn("w", F.split(F.lower("text"), " "))
-        .withColumn("hs", F.expr(hs))
-        .select("doc_id", *sig_cols)
+        stream.filter(F.col("text").isNotNull())
+        .withColumn("w", F.split(F.lower("text"), " "))
+        .withColumn("hs", F.expr(_MH_HS_EXPR))
+        .select("doc_id", *mh_sig_cols())
     )
     keys = signed.select(
         "doc_id",

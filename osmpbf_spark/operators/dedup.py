@@ -1031,15 +1031,30 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > DECON_STOP_DF)
         .select("shingle")
     )
-    exf = ex.join(F.broadcast(stop), "shingle", "left_anti")
-    bench = exf.filter(F.col("doc_id") % 10 == 0).select(
-        F.col("doc_id").alias("bench_id"), "shingle"
+    bench = (
+        ex.filter(F.col("doc_id") % 10 == 0)
+        .join(F.broadcast(stop), "shingle", "left_anti")
+        .select(F.col("doc_id").alias("bench_id"), "shingle")
     )
-    train = exf.filter(F.col("doc_id") % 10 != 0).select(
+    # the train side skips the stop anti-join entirely (round 5): a train
+    # shingle joins the bench index only if present there, and the index
+    # is already stop-filtered — the anti-join could only drop rows that
+    # the containment join drops anyway. Same result, one less broadcast
+    # probe per train shingle.
+    train = ex.filter(F.col("doc_id") % 10 != 0).select(
         F.col("doc_id").alias("train_id"), "shingle"
     )
-    n_bench = bench.groupBy("bench_id").agg(F.count("*").alias("n_bench"))
-    bench_n = bench.join(F.broadcast(n_bench), "bench_id")
+    # per-doc shingle totals attached via a window INSIDE the index build
+    # (round 5): the former groupBy + re-join shape built a second
+    # broadcast (n_bench) whose job had to finish before the bench_n
+    # broadcast could even start — two sequential barriers for one small
+    # frame. The window's bench_id exchange lives inside the one
+    # bench-index job instead (eval side is small by definition).
+    from pyspark.sql import Window
+
+    bench_n = bench.withColumn(
+        "n_bench", F.count("*").over(Window.partitionBy("bench_id"))
+    )
     return (
         train.join(F.broadcast(bench_n), "shingle")
         .groupBy("bench_id", "train_id")

@@ -159,19 +159,22 @@ def test_dedup_clusters_pairs_checkpointed(spark):
 
 
 def test_decontaminate_broadcasts_eval_index(spark):
-    """r04 freeze: the reshaped plan must (a) read the exploded+hashed
-    shingles from the eager checkpoint (xxhash64 runs once at build; the
-    lineage cut is why the hash is not visible in this plan text), (b)
-    broadcast the stop list as a LeftAnti and the benchmark index into
-    the containment join — the train corpus must never shuffle its
-    shingles — and (c) keep shuffle exchanges to the two aggregations
-    (the duplicated checkpoint subtree can repeat them in the tree text,
-    so bound loosely)."""
+    """r05 freeze: the plan must (a) read the exploded+hashed shingles
+    from the eager checkpoint (xxhash64 runs once at build; the lineage
+    cut is why the hash is not visible in this plan text), (b) build the
+    bench index in ONE job — stop-list LeftAnti fused with the per-doc
+    total as a Window over bench_id (the former groupBy + re-join shape
+    serialized a second broadcast barrier) — and broadcast it into the
+    containment join, (c) never shuffle the train corpus' shingles and
+    never anti-join them either (the index is already stop-filtered, so
+    the probe is redundant on the train side), (d) keep shuffle
+    exchanges to stop-agg + window + final pair-agg."""
     p = plan_of(spark, "q_decontaminate")
     assert "ExistingRDD" in p  # checkpointed shingle table
-    assert "LeftAnti" in p and p.count("BroadcastHashJoin") >= 3
+    assert "LeftAnti" in p and p.count("BroadcastHashJoin") >= 2
+    assert "Window" in p  # n_bench fused into the index build
     shuffles = p.count("Exchange") - p.count("BroadcastExchange")
-    assert shuffles <= 5, f"too many shuffle exchanges: {shuffles}"
+    assert shuffles <= 3, f"too many shuffle exchanges: {shuffles}"
 
 
 def test_sim_ivf_broadcasts_probe_list(spark):

@@ -84,12 +84,16 @@ def main() -> None:
             times[name] = -1.0
 
     total = round(sum(t for t in times.values() if t >= 0), 4)
+    # The driver records only the LAST 2000 chars of this line, so the
+    # JSON is ordered to make that tail self-evidencing: per-query times
+    # ascending (the expensive entries land at the end and survive
+    # truncation), then the pbf throughput block, then an explicit
+    # slowest-10 summary and the suite total as the final keys.
     result = {
         "metric": "total_query_wall_sec",
-        "value": total,
         "unit": "sec",
-        "queries": times,
         "sf": sf,
+        "queries": dict(sorted(times.items(), key=lambda kv: kv[1])),
     }
 
     # PBF scan throughput vs the BASELINE.md engineering target
@@ -100,6 +104,10 @@ def main() -> None:
     except Exception as exc:
         print(f"bench: pbf throughput FAILED: {exc}", file=sys.stderr)
 
+    result["slowest10"] = dict(
+        sorted(times.items(), key=lambda kv: -kv[1])[:10]
+    )
+    result["value"] = total
     print(json.dumps(result))
     spark.stop()
 

@@ -178,57 +178,70 @@ def all_oracles() -> dict[str, str]:
     return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
 
 
-# Round-4 rotation for the driver's 50-query correctness window (the
-# driver checks only the FIRST 50 registered queries each round; with 89+
+# Round-5 rotation for the driver's 50-query correctness window (the
+# driver checks only the FIRST 50 registered queries each round; with 95
 # registered, ordering decides what gets a fresh hard row). Three tiers:
 #
-#   0. _R04_PRIORITY — must re-verify THIS round: the r03 red row
-#      (q_doc_pack, oracle retyped), queries whose Spark code changed this
-#      round (embed/clusters/decontaminate perf rework), the two queries
-#      that just gained exact oracles (lsh/ivf), and the two
-#      rows-only-by-design checks.
-#   1. everything NOT in r03's window (the 39 relational/extras whose last
-#      hard row is r02 — their green must not age past 2 rounds). Queries
-#      added after r03 land here automatically (not in _R03_CHECKED).
-#   2. the r03-green tail, unchanged since — rotates to the back.
+#   0. _R05_PRIORITY — must re-verify THIS round: the query added in r05
+#      (q_pbf_changesets — first row ever), every query whose Spark code
+#      changed in r05 (minhash map-only signature + md5 base hash,
+#      _jaccard_pairs boundary filter, decontaminate window fold,
+#      doc-pack integer div, both streaming LSH reshapes), the two
+#      r02-green stragglers the r04 window had to rotate out
+#      (q_explode_pos, q_join_full — 3 rounds old by now), and the ten
+#      q_pbf_* queries (r03-green, but datasource/decode/encode/fixture
+#      changed in BOTH r04 and r05 — the verdict flagged their greens as
+#      the oldest rows sitting on touched code).
+#   1. everything NOT in r04's checked window and not already tier 0:
+#      their last hard row is r03, two rounds old this round — ordered
+#      with the one spill-over (see below) last.
+#   2. the r04-green tail, unchanged since — rotates to the back.
 #
-# 94 registered vs the 50-slot window: the two last-registered
-# r02-green tier-1 queries (q_explode_pos, q_join_full — both untouched
-# since their r02 hard rows, so that green stands) rotate out this
-# round — re-front them in r05.
-_R04_PRIORITY = (
-    "q_doc_pack", "q_sim_search_lsh", "q_sim_search_ivf", "q_dedup_near",
-    "q_dedup_simhash", "q_dedup_embed", "q_dedup_clusters", "q_decontaminate",
-    # round-4 additions — never driver-verified, must get their first row
-    "q_dedup_minhash", "q_dedup_simhash_exact", "q_doc_pack_chunks",
+# 19 tier-0 + 32 tier-1 = 51 candidates for 50 slots: exactly one tier-1
+# query spills to r06 — s_dedup_stream, chosen because it is the most
+# stable of the aged set (untouched sha256 groupBy twin, r03-green, and
+# its streaming path is additionally exercised every round by
+# tests/test_streaming.py).
+_R05_PRIORITY = (
+    "q_pbf_changesets",
+    "q_dedup_minhash", "q_dedup_near", "q_decontaminate", "q_doc_pack_chunks",
     "s_dedup_near_stream", "s_dedup_embed_stream",
+    "q_explode_pos", "q_join_full",
+    "q_pbf_scan_nodes", "q_pbf_node_tags", "q_pbf_ways_bag", "q_pbf_grid_agg",
+    "q_pbf_join_way_nodes", "q_pbf_relations", "q_pbf_meta", "q_pbf_pushdown",
+    "q_pbf_compat_pig", "q_pbf_roundtrip",
 )
 
-# keys of CORRECTNESS_r03.json — the 50 queries the r03 driver verified
-_R03_CHECKED = frozenset(
+# keys of CORRECTNESS_r04.json — the 50 queries the r04 driver verified
+_R04_CHECKED = frozenset(
     {
-        "q_dedup_near", "q_dedup_simhash", "q_multimodal_agg", "q_array_hof",
-        "q_pipeline_e2e", "q_window_ntile", "q_approx_percentile",
-        "q_sim_search", "q_vec_centroid", "q_sim_search_ivf",
-        "q_sim_search_lsh", "q_vec_quantize", "q_text_stats", "q_text_lang",
-        "q_text_quality", "q_text_token_freq", "q_text_fingerprint",
-        "q_text_tokens_bpe", "q_doc_pack", "q_bpe_merge_count",
-        "q_mix_sources", "q_text_repetition", "u_udf", "u_udaf", "u_udtf",
-        "q_pbf_scan_nodes", "q_pbf_node_tags", "q_pbf_ways_bag",
-        "q_pbf_grid_agg", "q_pbf_join_way_nodes", "q_pbf_relations",
-        "q_pbf_meta", "q_pbf_pushdown", "q_pbf_compat_pig", "q_pbf_roundtrip",
-        "s_tumble", "s_slide", "s_session", "s_late", "s_tumble_stream",
-        "s_time_rollup", "s_stateful", "s_join_stream", "s_dedup_stream",
-        "q_dedup_exact", "q_dedup_ngram", "q_dedup_clusters", "q_dedup_embed",
-        "q_decontaminate", "q_grid_agg",
+        "q_dedup_near", "q_dedup_minhash", "q_dedup_simhash_exact",
+        "q_dedup_clusters", "q_dedup_simhash", "q_dedup_embed",
+        "q_decontaminate", "q_sim_search_ivf", "q_sim_search_lsh",
+        "q_doc_pack", "q_doc_pack_chunks", "s_dedup_embed_stream",
+        "s_dedup_near_stream", "q_multimodal", "q_multimodal_frames",
+        "q_scan_project", "q_filter_pred", "q_agg_basic", "q_agg_distinct",
+        "q_agg_rollup", "q_agg_cube", "q_agg_gsets", "q_approx_cd",
+        "q_having", "q_join_inner", "q_join_left", "q_join_semi",
+        "q_join_anti", "q_join_broadcast", "q_join_range", "q_join_skew_salt",
+        "q_pivot", "q_percentile", "q_asof_join", "q_sample_stratified",
+        "q_window_lead_lag", "q_sort_limit", "q_set_union", "q_set_intersect",
+        "q_set_except", "q_window_rank", "q_window_frame", "q_str_funcs",
+        "q_map_funcs", "q_date_funcs", "q_math_funcs", "q_case_null",
+        "q_json_funcs", "q_subq_scalar", "q_subq_in",
     }
 )
 
+# the deliberate 51st: aged but most-stable, spills to r06 (see above)
+_R05_SPILL = ("s_dedup_stream",)
+
 
 def _window_tier(name: str) -> int:
-    if name in _R04_PRIORITY:
+    if name in _R05_PRIORITY:
         return 0
-    return 1 if name not in _R03_CHECKED else 2
+    if name in _R05_SPILL:
+        return 2
+    return 1 if name not in _R04_CHECKED else 3
 
 
 def _import_all() -> None:

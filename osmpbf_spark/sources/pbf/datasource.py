@@ -87,7 +87,7 @@ from pyspark.sql.types import (
 
 from osmpbf_spark.sources.pbf import decode, fs
 
-PRIMITIVES = ("node", "way", "relation")
+PRIMITIVES = ("node", "way", "relation", "changeset")
 _TS_SENTINEL = np.iinfo(np.int64).min
 
 
@@ -154,6 +154,15 @@ class OsmPbfDataSource(DataSource):
         if tags_as not in ("map", "string"):
             raise ValueError(f"tags_as must be map|string, got {tags_as!r}")
         fields = [StructField("id", LongType(), False)]
+        if primitive == "changeset":
+            # ChangeSet is id-only by spec (osmformat.proto:174-189,
+            # "NOT USED") — no coords, tags, or provenance exist to emit
+            mode = _pos_mode(self.options)
+            if mode:
+                fields.append(StructField("_pos", LongType(), False))
+                if mode == "record":
+                    fields.append(StructField("_rec", LongType(), False))
+            return StructType(fields)
         if primitive == "node":
             fields += [
                 StructField("lat", DoubleType(), False),
@@ -263,7 +272,7 @@ class OsmPbfReader(DataSourceReader):
         self.bounds: dict[str, list[float]] = {}
         self._warned_changesets = False
 
-    _KIND_BIT = {"node": 1, "way": 2, "relation": 4}
+    _KIND_BIT = {"node": 1, "way": 2, "relation": 4, "changeset": 8}
 
     def _block_prunable(self, stats: dict | None) -> bool:
         """True if stats prove the block holds no matching rows."""
@@ -335,7 +344,10 @@ class OsmPbfReader(DataSourceReader):
                 # type projection: skip blocks with no group of our type
                 # (the Spark analog of OsmPbfRecordReader.java:283-290)
                 kinds = set(bd.group_types())
-                if decode.GROUP_CHANGESETS in kinds:
+                if (
+                    decode.GROUP_CHANGESETS in kinds
+                    and self.primitive != "changeset"
+                ):
                     # count-and-skip: the format declares changesets NOT
                     # USED and the reference leaves them unparsed; warn so
                     # the skip is never silent (once per partition reader)
@@ -353,6 +365,7 @@ class OsmPbfReader(DataSourceReader):
                     "node": {decode.GROUP_NODES, decode.GROUP_DENSE},
                     "way": {decode.GROUP_WAYS},
                     "relation": {decode.GROUP_RELATIONS},
+                    "changeset": {decode.GROUP_CHANGESETS},
                 }[self.primitive]
                 if not kinds & want:
                     continue
@@ -360,6 +373,8 @@ class OsmPbfReader(DataSourceReader):
                     cols = bd.decode_nodes()
                 elif self.primitive == "way":
                     cols = bd.decode_ways()
+                elif self.primitive == "changeset":
+                    cols = bd.decode_changesets()
                 else:
                     cols = bd.decode_relations()
                 n = len(cols["id"])
@@ -375,6 +390,14 @@ class OsmPbfReader(DataSourceReader):
     def _to_batch(self, cols, n: int, block_end: int) -> pa.RecordBatch:
         arrays: list[pa.Array] = [pa.array(cols["id"], type=pa.int64())]
         names = ["id"]
+        if self.primitive == "changeset":
+            if self.with_pos:
+                arrays.append(pa.array(np.full(n, block_end, dtype=np.int64)))
+                names.append("_pos")
+                if self.pos_mode == "record":
+                    arrays.append(pa.array(np.arange(n, dtype=np.int64)))
+                    names.append("_rec")
+            return pa.RecordBatch.from_arrays(arrays, names=names)
         if self.primitive == "node":
             arrays += [
                 pa.array(cols["lat"], type=pa.float64()),

@@ -414,6 +414,24 @@ class BlockDecoder:
                     n += 1
         return n
 
+    def decode_changesets(self) -> dict[str, np.ndarray]:
+        """All ChangeSet entries in the block, columnar. The message is
+        id-only by spec (``required int64 id = 1``, osmformat.proto:
+        174-189, declared "NOT USED"); surfacing it as an id frame closes
+        the one group type the reference leaves unparsed (parity-plus —
+        loadPrimitiveGroup falls through at OsmPbfRecordReader.java:291)."""
+        ids: list[int] = []
+        for g in self.groups:
+            for field, _wt, v in wire.scan_fields(g):
+                if field != GROUP_CHANGESETS:
+                    continue
+                for f2, _wt2, v2 in wire.scan_fields(v):
+                    if f2 == 1:  # ChangeSet.id, plain varint int64
+                        # two's-complement fold: a negative int64 arrives
+                        # as a 10-byte varint (unsigned 2^64 range)
+                        ids.append(v2 - 2**64 if v2 >= 2**63 else v2)
+        return {"id": np.asarray(ids, dtype=np.int64)}
+
     # ------------------------------------------------------------------ nodes
     def decode_nodes(self) -> dict[str, np.ndarray]:
         """All nodes in the block (dense + plain), columnar."""

@@ -36,6 +36,7 @@ N_NODES_B0 = 8000
 N_NODES_B1 = 1720
 N_WAYS = 1348
 N_RELATIONS = 5
+N_CHANGESETS = 200
 GRANULARITY = 100
 
 NODE_TAG_KEYS = ["name", "highway", "amenity", "power", "place"]
@@ -134,11 +135,18 @@ def generate_pbf(path: str, seed: int = 42) -> None:
     ways = _gen_ways(rng, all_node_ids)
     way_ids = np.array([w["id"] for w in ways])
     rels = _gen_relations(rng, all_node_ids, way_ids)
+    # changesets live in their own THIRD block (round 5): appending a
+    # block leaves blocks 0-1 byte-identical, so every committed golden
+    # (record ordinals, _pos block-end offsets) is untouched; ids come
+    # from a child rng so the main stream is unperturbed
+    crng = np.random.RandomState(777)
+    changesets = np.cumsum(crng.randint(1, 1000, size=N_CHANGESETS)) + 50_000_000
     encode.write_pbf(
         path,
         [
             {"nodes": nodes0},
             {"nodes": nodes1, "ways": ways, "relations": rels},
+            {"changesets": changesets.tolist()},
         ],
         granularity=GRANULARITY,
     )
@@ -157,7 +165,7 @@ def write_parquet_images(pbf_path: str, out_dir: str) -> None:
     """Decode the fixture through the engine pipeline and write parquet
     images (the DuckDB-oracle side of the q_pbf_* queries)."""
     idx = decode.index_blocks(pbf_path)
-    nodes_parts, ways_parts, rels_parts = [], [], []
+    nodes_parts, ways_parts, rels_parts, cs_parts = [], [], [], []
     with open(pbf_path, "rb") as f:
         for meta in idx:
             if meta.block_type != "OSMData":
@@ -166,6 +174,7 @@ def write_parquet_images(pbf_path: str, out_dir: str) -> None:
             nodes_parts.append(bd.decode_nodes())
             ways_parts.append(bd.decode_ways())
             rels_parts.append(bd.decode_relations())
+            cs_parts.append(bd.decode_changesets())
 
     def cat(parts, col):
         return np.concatenate([p[col] for p in parts])
@@ -289,6 +298,13 @@ def write_parquet_images(pbf_path: str, out_dir: str) -> None:
     )
 
 
+    # changesets image: id-only frame (block 3)
+    pq.write_table(
+        pa.table({"id": pa.array(cat(cs_parts, "id"), type=pa.int64())}),
+        os.path.join(out_dir, "osm_changesets.parquet"),
+    )
+
+
 FIXTURE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))),
@@ -303,7 +319,12 @@ def ensure_fixture(fixture_dir: str = FIXTURE_DIR) -> str:
     os.makedirs(fixture_dir, exist_ok=True)
     pbf = os.path.join(fixture_dir, "fixture.osm.pbf")
     meta_img = os.path.join(fixture_dir, "osm_nodes_meta.parquet")
-    if not os.path.exists(pbf) or not os.path.exists(meta_img):
+    cs_img = os.path.join(fixture_dir, "osm_changesets.parquet")
+    if (
+        not os.path.exists(pbf)
+        or not os.path.exists(meta_img)
+        or not os.path.exists(cs_img)
+    ):
         generate_pbf(pbf)
         write_parquet_images(pbf, fixture_dir)
     return fixture_dir

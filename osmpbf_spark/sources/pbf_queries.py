@@ -265,6 +265,25 @@ def q_pbf_compat_pig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_pbf_changesets",
+    oracle=f"""
+    SELECT id FROM read_parquet('{_DIR}/osm_changesets.parquet')
+    """,
+    tags=("pbf",),
+)
+def q_pbf_changesets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``primitive=changeset`` — the LAST group type the reference leaves
+    unparsed (ChangeSet, id-only and "NOT USED" per osmformat.proto:
+    174-189; loadPrimitiveGroup falls through at OsmPbfRecordReader.java:
+    291). Round 5 surfaces it as an id frame; non-changeset reads still
+    count-and-skip with a warning, so nothing changed for them. The
+    fixture keeps changesets in their own third block, which node/way/
+    relation scans prune by group type at the block level."""
+    ensure_fixture()
+    return read_pbf(spark, _PBF, "changeset").select("id")
+
+
+@query(
     "q_pbf_roundtrip",
     oracle=f"""
     SELECT id, lat, lon FROM read_parquet('{_DIR}/osm_nodes.parquet')

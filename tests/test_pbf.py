@@ -46,9 +46,13 @@ def _decode_all(pbf_path: str):
 
 
 def test_block_structure(fixture_dir):
-    """1 OSMHeader + 2 OSMData blocks, like the reference fixture."""
+    """1 OSMHeader + 2 OSMData blocks like the reference fixture, plus the
+    round-5 changesets-only third block (appended so blocks 0-1 keep
+    their exact bytes and offsets)."""
     idx = decode.index_blocks(f"{fixture_dir}/fixture.osm.pbf")
-    assert [b.block_type for b in idx] == ["OSMHeader", "OSMData", "OSMData"]
+    assert [b.block_type for b in idx] == [
+        "OSMHeader", "OSMData", "OSMData", "OSMData",
+    ]
 
 
 def test_header_features(fixture_dir):
@@ -192,8 +196,10 @@ def test_resync_scan_recovers_after_corruption(fixture_dir, tmp_path):
     p = str(tmp_path / "corrupt.pbf")
     open(p, "wb").write(bytes(corrupted))
     found = decode.resync_scan(p, from_offset=off + 100)
-    assert len(found) == 1
+    # recovers block 1 (nodes/ways/rels) and the changesets-only block 2
+    assert len(found) == 2
     assert found[0].data_offset == data_blocks[1].data_offset
+    assert found[1].data_offset == data_blocks[2].data_offset
     # and the recovered block decodes fully
     with open(p, "rb") as f:
         bd = decode.BlockDecoder(decode.read_block_payload(f, found[0]))
@@ -239,7 +245,7 @@ def test_datasource_invalid_primitive(spark, fixture_dir):
     with pytest.raises((PySparkException, ValueError)):
         spark.read.format("osmpbf").option(
             "path", f"{fixture_dir}/fixture.osm.pbf"
-        ).option("primitive", "changeset").load().count()
+        ).option("primitive", "bogus").load().count()
 
 
 def test_mid_stream_type_switch_equiv(spark, fixture_dir):
@@ -1014,3 +1020,61 @@ def test_changesets_counted_and_skipped(spark, tmp_path):
     assert len(msgs) == 1 and "skipping 3 changeset entries" in msgs[0]
     # end-to-end through Spark: node rows unaffected
     assert read_pbf(spark, path, "node").count() == 3
+
+
+def test_changeset_decode_golden(tmp_path):
+    """Golden synthesized changeset block: write a file whose middle block
+    holds only ChangeSet entries, decode it back — ids exact, and the
+    node/way decoders see nothing in that block."""
+    path = str(tmp_path / "cs.pbf")
+    cs_ids = [1, 7, 123456789, 2**40]
+    encode.write_pbf(
+        path,
+        [
+            {"nodes": {"id": [10], "lat_nano": [100], "lon_nano": [200],
+                       "tags": [None]}},
+            {"changesets": cs_ids},
+        ],
+    )
+    idx = decode.index_blocks(path)
+    assert len(idx) == 3  # header + 2 data
+    with open(path, "rb") as f:
+        bd = decode.BlockDecoder(decode.read_block_payload(f, idx[2]))
+    # one homogeneous PrimitiveGroup holding all ChangeSet entries
+    assert bd.group_types() == [decode.GROUP_CHANGESETS]
+    assert bd.decode_changesets()["id"].tolist() == cs_ids
+    assert len(bd.decode_nodes()["id"]) == 0
+    assert len(bd.decode_ways()["id"]) == 0
+    # block stats flag the changeset kind (bit 8) for planning
+    assert idx[2].stats["kinds"] == 8
+
+
+def test_changeset_datasource_read(spark, tmp_path):
+    """primitive=changeset through the Spark source: id-only schema,
+    changeset-bearing blocks only, other primitives unaffected."""
+    from osmpbf_spark.sources.pbf.datasource import read_pbf
+
+    path = str(tmp_path / "cs2.pbf")
+    encode.write_pbf(
+        path,
+        [
+            {"nodes": {"id": [10, 11], "lat_nano": [100, 200],
+                       "lon_nano": [300, 400], "tags": [None, None]}},
+            {"changesets": [5, 6, 7]},
+        ],
+    )
+    cs = read_pbf(spark, path, "changeset")
+    assert cs.columns == ["id"]
+    assert sorted(r.id for r in cs.collect()) == [5, 6, 7]
+    assert read_pbf(spark, path, "node").count() == 2
+
+
+def test_fixture_changesets(spark, fixture_dir):
+    """The fixture's third block carries 200 changesets; node scans still
+    skip them (count-and-skip warning preserved for non-changeset reads)."""
+    from osmpbf_spark.sources.pbf.datasource import read_pbf
+
+    pbf = f"{fixture_dir}/fixture.osm.pbf"
+    assert read_pbf(spark, pbf, "changeset").count() == 200
+    # existing primitives keep their exact golden counts
+    assert read_pbf(spark, pbf, "node").count() == 9720

@@ -195,3 +195,62 @@ def test_near_stream_candidates_cover_verified_pairs(spark, duck):
     cand = {(int(a), int(b)) for a, b in zip(cand_pdf["doc_a"], cand_pdf["doc_b"])}
     verified = {(int(a), int(b)) for a, b in zip(ver_pdf["doc_a"], ver_pdf["doc_b"])}
     assert verified <= cand, f"verified pairs missing from candidates: {verified - cand}"
+
+
+def test_inc_lsh_emits_only_new_pairs(spark, tmp_path):
+    """_inc_lsh_pairs must emit each candidate pair exactly ONCE, in the
+    micro-batch where the pair's later doc arrives — the incremental
+    contract that replaced the r04 complete-mode re-emit. Three files
+    processed as three micro-batches; the raw (pre-distinct) sink must
+    hold one row per (bucket, pair) emission, nothing re-emitted."""
+    from osmpbf_spark.streaming import windows as W
+
+    src = str(tmp_path / "inc_src")
+    schema = "doc_id long, bkey string"
+    # bucket X accumulates docs 1,2 (batch A) then 3 (batch B); bucket Y
+    # gets 4 then 5; batch C adds 6 to X. Pair (1,2) must come from batch
+    # A, (1,3),(2,3) from B, (4,5) from B, (1,6),(2,6),(3,6) from C.
+    batches = [
+        [(1, "X"), (2, "X"), (4, "Y")],
+        [(3, "X"), (5, "Y")],
+        [(6, "X")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    got = W._inc_lsh_pairs(spark, stream, "inc_lsh_test").toPandas()
+    pairs = {(int(a), int(b)) for a, b in zip(got["doc_a"], got["doc_b"])}
+    assert pairs == {(1, 2), (1, 3), (2, 3), (4, 5), (1, 6), (2, 6), (3, 6)}
+    # raw sink: each pair emitted exactly once (single band here), never
+    # re-emitted on later batches
+    raw = W._INC_RAW["inc_lsh_test"].toPandas()
+    assert len(raw) == len(pairs)
+
+
+def test_inc_lsh_ttl_evicts_idle_buckets(spark, tmp_path):
+    """With a zero TTL, bucket membership from earlier micro-batches must
+    be pruned before later arrivals — doc 3 joining bucket X a batch
+    after docs 1,2 pairs with nothing (state aged out), while same-batch
+    pairs still emit."""
+    from osmpbf_spark.streaming import windows as W
+
+    src = str(tmp_path / "ttl_src")
+    schema = "doc_id long, bkey string"
+    for rows in [[(1, "X"), (2, "X")], [(3, "X")]]:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    got = W._inc_lsh_pairs(spark, stream, "inc_ttl_test", ttl_minutes=0)
+    pairs = {(int(a), int(b)) for a, b in zip(*[got.toPandas()[c] for c in ("doc_a", "doc_b")])}
+    assert pairs == {(1, 2)}

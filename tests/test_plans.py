@@ -204,3 +204,44 @@ def test_no_hof_inside_filter(spark, name):
         assert "transform(" not in line and "aggregate(" not in line, (
             f"{name}: HOF evaluated inside a Filter: {line[:200]}"
         )
+
+
+def test_lsh_bucket_store_partition_pruned_probing(spark, tmp_path):
+    """r05 freeze of q_sim_search_lsh's 100 TB claim: with the corpus laid
+    out bucket-partitioned (partitionBy('bucket') parquet — the LSH-store
+    layout), probing reads ONLY the probed buckets' files. The probe
+    predicate must appear as a PartitionFilter on the scan (directory
+    pruning — no data file of an unprobed bucket is even opened), not a
+    post-scan Filter, and the pruned scan must return exactly the rows a
+    full-scan filter would."""
+    from pyspark.sql import functions as F
+
+    from osmpbf_spark.catalog import load
+    from osmpbf_spark.operators.similarity import _lsh_bucket_expr
+
+    emb = load(spark, SF_DIR, "embeddings").withColumn(
+        "bucket", _lsh_bucket_expr()
+    )
+    store = str(tmp_path / "lsh_store")
+    emb.write.partitionBy("bucket").mode("overwrite").parquet(store)
+    corpus = spark.read.parquet(store)
+    # a plausible multiprobe set: 3 occupied buckets
+    probes = [
+        r.bucket
+        for r in corpus.select("bucket").distinct().limit(3).collect()
+    ]
+    probed = corpus.filter(F.col("bucket").isin([int(b) for b in probes]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "bucket" in pf, f"probe predicate not a partition filter: {pf}"
+    # pruning is real: the scan's file index selects only probed dirs
+    n_sel = probed.withColumn(
+        "f", F.input_file_name()
+    ).select("f").distinct().count()
+    n_all = corpus.withColumn(
+        "f", F.input_file_name()
+    ).select("f").distinct().count()
+    assert n_sel < n_all, "probed scan read every file"
+    # and the rows are exactly the full-scan filter's
+    want = emb.filter(F.col("bucket").isin([int(b) for b in probes])).count()
+    assert probed.count() == want

@@ -69,10 +69,25 @@ def main() -> None:
     # the pass (position-dependent noise across rounds). Warm-then-time
     # per query keeps the compiled plan hot and measures steady state
     # regardless of suite size or registration order.
+    # Adaptive warmup depth: one warmup is enough once the JVM is hot, but
+    # the first ~15 queries of the suite run while HotSpot is still
+    # tiering Spark core paths, and the registry fronts the HEAVY dedup
+    # queries (correctness-window priority order) — measured: the same
+    # q_dedup_minhash that holds ~1.1s steady state times 2.1s with a
+    # single warmup at suite position 2. So: warm again while the warmup
+    # time is still dropping >20% (max 3 warmups), then time. Cheap
+    # queries converge after one warmup and pay nothing extra.
     times: dict[str, float] = {}
     for name, fn in qs.items():
         try:
-            materialize(fn(spark, sf_dir))  # warm: codegen, workers, footers
+            prev = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                materialize(fn(spark, sf_dir))  # warm: codegen, JIT, workers
+                w = time.perf_counter() - t0
+                if prev is not None and w > prev * 0.8:
+                    break
+                prev = w
         except Exception:
             pass
         t0 = time.perf_counter()

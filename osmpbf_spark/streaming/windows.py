@@ -573,10 +573,17 @@ def _inc_lsh_pairs(
     count — size it to the executor fleet; the TTL bounds state to the
     dedup horizon x ingest rate, and emission cost tracks the arrival
     rate, not the corpus. The sink is a PARQUET file sink (append mode),
-    not a driver memory table: emitted pairs write executor-side and the
-    downstream batch dedup reads them distributed — measured 2x faster
-    than a memory sink at sf0.1's ~1M-pair trigger, and nothing about
-    the pipeline ever funnels through the driver."""
+    not a driver memory table: emitted rows write executor-side and the
+    downstream batch expansion reads them distributed — nothing about
+    the pipeline ever funnels through the driver.
+
+    The Python operator emits PAIR GENERATORS, not pairs: one row per
+    (bucket, trigger) carrying the batch's new-arrival ids and the
+    bucket's prior members as arrays. The O(|new| x |bucket|) pair
+    materialization runs downstream in codegen explodes — at sf0.1 the
+    embed stream's ~3M in-bucket pairs cost 14.5s as a per-pair Python
+    loop, ~3.7s numpy-vectorized in-operator, and ~2.5s in this shape
+    (Python touches each bucket once, Arrow moves two small arrays)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -603,25 +610,16 @@ def _inc_lsh_pairs(
         table = {
             k: v for k, v in table.items() if now_ms - v[1] <= ttl_ms
         }
-        # one batch = the whole iterator; pair emission is VECTORIZED per
-        # bucket (new x old cartesian + new x new upper triangle) — the
-        # first cut looped per pair in Python and took 14.5s on an 800k-
-        # pair batch at sf0.1; numpy brings the whole query to ~3s.
         pdf = pd.concat(list(pdfs), ignore_index=True)
-        outs_a: list = []
-        outs_b: list = []
+        out_new: list = []
+        out_old: list = []
         for bk, grp in pdf.groupby("bkey", sort=False):
             ids = np.unique(grp["doc_id"].to_numpy(np.int64))
             old, _ = table.get(bk, (np.empty(0, np.int64), 0))
             new = ids[~np.isin(ids, old)] if old.size else ids
             if new.size:
-                if old.size:
-                    outs_a.append(np.repeat(new, old.size))
-                    outs_b.append(np.tile(old, new.size))
-                if new.size > 1:
-                    iu, ju = np.triu_indices(new.size, 1)
-                    outs_a.append(new[iu])
-                    outs_b.append(new[ju])
+                out_new.append(new.tolist())
+                out_old.append(old.tolist())
                 old = np.concatenate([old, new])
             table[bk] = (old, now_ms)
         state.update(
@@ -634,25 +632,21 @@ def _inc_lsh_pairs(
         # group-level timeout must be positive; the per-key prune above
         # still honors a zero TTL exactly
         state.setTimeoutDuration(max(ttl_ms, 1))
-        if outs_a:
-            a = np.concatenate(outs_a)
-            b = np.concatenate(outs_b)
-            yield pd.DataFrame(
-                {"doc_a": np.minimum(a, b), "doc_b": np.maximum(a, b)}
-            )
+        if out_new:
+            yield pd.DataFrame({"news": out_new, "olds": out_old})
 
     grouped = keys.withColumn(
         "g", F.pmod(F.xxhash64("bkey"), F.lit(n_groups))
     ).groupBy("g")
-    pairs = grouped.applyInPandasWithState(
+    gens = grouped.applyInPandasWithState(
         emit,
-        outputStructType="doc_a long, doc_b long",
+        outputStructType="news array<long>, olds array<long>",
         stateStructType=(
             "ks array<string>, ids array<array<long>>, last_ms array<long>"
         ),
-        # append, matching the file sink: emitted pairs are final the
-        # moment they're yielded (a pair is produced exactly once, by
-        # the batch its later doc arrives in) — nothing is ever updated
+        # append, matching the file sink: emitted rows are final the
+        # moment they're yielded (a bucket's new-arrival generator is
+        # produced exactly once, by the batch those docs arrive in)
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
@@ -668,7 +662,7 @@ def _inc_lsh_pairs(
         atexit.register(shutil.rmtree, d, ignore_errors=True)
     with _scoped_state_partitions(spark, state_partitions):
         q = (
-            pairs.writeStream.outputMode("append")
+            gens.writeStream.outputMode("append")
             .format("parquet")
             .option("path", out_dir)
             .option("checkpointLocation", ckpt_dir)
@@ -677,9 +671,27 @@ def _inc_lsh_pairs(
             .start()
         )
         q.awaitTermination(300)
-    raw = spark.read.schema("doc_a long, doc_b long").parquet(out_dir)
+    gen = spark.read.schema(
+        "news array<long>, olds array<long>"
+    ).parquet(out_dir)
+    # codegen pair expansion: new x old (cross-batch) + new x new
+    # (within-batch upper triangle via a<b), normalized to (min, max)
+    new_old = (
+        gen.filter(F.size("olds") > 0)
+        .select(F.explode("news").alias("a"), "olds")
+        .select("a", F.explode("olds").alias("b"))
+    )
+    new_new = (
+        gen.filter(F.size("news") > 1)
+        .select(F.explode("news").alias("a"), "news")
+        .select("a", F.explode("news").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+    )
+    raw = new_old.unionByName(new_new).select(
+        F.least("a", "b").alias("doc_a"), F.greatest("a", "b").alias("doc_b")
+    )
     _INC_RAW[name_prefix] = raw
-    # batch dedup over the emitted pair stream (cross-band duplicates)
+    # batch dedup over the expanded pair stream (cross-band duplicates)
     return raw.distinct()
 
 

@@ -197,12 +197,20 @@ def all_oracles() -> dict[str, str]:
 #      with the one spill-over (see below) last.
 #   2. the r04-green tail, unchanged since — rotates to the back.
 #
-# 19 tier-0 + 32 tier-1 = 51 candidates for 50 slots: exactly one tier-1
-# query spills to r06 — s_dedup_stream, chosen because it is the most
-# stable of the aged set (untouched sha256 groupBy twin, r03-green, and
-# its streaming path is additionally exercised every round by
-# tests/test_streaming.py).
+# 25 tier-0 (19 above + the SIX queries round 5 added mid-round, which
+# have never had a correctness row and therefore outrank every aged
+# green: q_scd2 / q_merge_upsert / q_anomaly_zscore / q_join_5way /
+# q_text_rarity / q_cluster_kmeans) + 32 tier-1 = 57 candidates for 50
+# slots: seven tier-1 queries spill to r06, chosen as the most stable of
+# the aged set — each is untouched since its r03 green AND independently
+# re-exercised every round by pytest (s_dedup_stream by
+# tests/test_streaming.py's real streaming run; s_tumble / s_slide /
+# s_session batch twins likewise; u_udf / u_udaf / u_udtf by
+# tests/test_udfs.py), so a regression would surface in CI even while
+# their driver rows age one extra round.
 _R05_PRIORITY = (
+    "q_scd2", "q_merge_upsert", "q_anomaly_zscore",
+    "q_join_5way", "q_text_rarity", "q_cluster_kmeans",
     "q_pbf_changesets",
     "q_dedup_minhash", "q_dedup_near", "q_decontaminate", "q_doc_pack_chunks",
     "s_dedup_near_stream", "s_dedup_embed_stream",
@@ -232,8 +240,17 @@ _R04_CHECKED = frozenset(
     }
 )
 
-# the deliberate 51st: aged but most-stable, spills to r06 (see above)
-_R05_SPILL = ("s_dedup_stream",)
+# the deliberate spill set: aged but most-stable, pytest-covered every
+# round, spills to r06 (see above)
+_R05_SPILL = (
+    "s_dedup_stream",
+    "s_tumble",
+    "s_slide",
+    "s_session",
+    "u_udf",
+    "u_udaf",
+    "u_udtf",
+)
 
 
 def _window_tier(name: str) -> int:
@@ -248,6 +265,7 @@ def _import_all() -> None:
     """Import every operator module so decorators run, then order the
     registry for the driver's 50-query correctness window (tiers above)."""
     from osmpbf_spark.operators import (  # noqa: F401
+        cdc,
         dedup,
         grid,
         multimodal,

@@ -1,0 +1,189 @@
+"""Change-data-capture / table-maintenance operators over the ``events``
+change stream — the batch half of a CDC pipeline (the streaming halves live
+in streaming/windows.py).
+
+The reference enables this surface only indirectly (its records feed
+MapReduce/Pig jobs, README.md:20-55); these are the parity-plus operators a
+warehouse built on the same ingestion layer runs daily: SCD2 dimension
+builds, latest-wins snapshot compaction (the MERGE/upsert shape), and
+statistical outlier gates on the ingested stream.
+
+All three are single-window-pass plans: one shuffle on the entity key,
+everything else whole-stage codegen. Float determinism follows the repo's
+integer-cents convention (catalog.dsum docstring): statistics are exact
+BIGINT sums; the only floating-point ops are one cast, one divide and one
+sqrt of exact integers — cast is exact below 2^53, divide is IEEE-exact,
+and sqrt is correctly rounded in both engines (Java Math.sqrt and C sqrt
+both guarantee the correctly-rounded result), so the emitted z-scores
+hash-match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from osmpbf_spark.catalog import load, query
+
+
+@query(
+    "q_scd2",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    ch AS (
+      SELECT user_id, event_type, ts, event_id FROM o
+      WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_type, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           CASE WHEN LEAD(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM ch
+    """,
+    tags=("cdc",),
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from a change stream:
+    collapse each user's event history into versioned rows
+    [valid_from, valid_to) that change whenever ``event_type`` changes,
+    with an open-ended current row.
+
+    Plan: ONE shuffle on user_id; both windows (change detection via lag,
+    interval close via lead) reuse the same partitioning, so the second
+    window adds only a sort within already-colocated partitions. At 100 TB
+    the change stream is date-partitioned and the window key is the entity
+    id — per-key history is small (bounded versions per entity), so no
+    skew; an incremental build would window only the new day's partition
+    against each entity's last open row.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    valid_to = F.lead("ts").over(w)
+    return ch.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.when(valid_to.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    SELECT user_id, event_type, ts AS last_ts, value AS last_value,
+           n_versions
+    FROM (
+      SELECT user_id, event_type, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rk,
+             COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+      FROM events)
+    WHERE rk = 1
+    """,
+    tags=("cdc",),
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins snapshot compaction — the read side of MERGE/upsert:
+    collapse the change stream to one current row per (user_id, event_type)
+    key, keeping the version count as an audit column.
+
+    Plan: one shuffle on the compaction key; rank and count share the same
+    window partitioning, and WindowGroupLimit prunes each partition to its
+    top row before the sort completes. This is exactly how a lakehouse
+    compaction job materializes a CDC snapshot: at 100 TB the stream is
+    bucketed by entity key so re-compaction is shuffle-free, and the
+    tie-break (ts DESC, event_id DESC) makes replayed batches idempotent.
+    """
+    ev = load(spark, sf_dir, "events")
+    wp = Window.partitionBy("user_id", "event_type")
+    w = wp.orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_versions", F.count("*").over(wp))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+            "n_versions",
+        )
+    )
+
+
+@query(
+    "q_anomaly_zscore",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, value,
+             CAST(ROUND(value * 100) AS BIGINT) AS x,
+             COUNT(*) OVER (PARTITION BY user_id) AS n,
+             SUM(CAST(ROUND(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id) AS s,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)
+                 * CAST(ROUND(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id) AS q
+      FROM events)
+    SELECT user_id, event_id, value,
+           CAST(n * x - s AS DOUBLE)
+             / sqrt(CAST(n * q - s * s AS DOUBLE)) AS z
+    FROM c
+    WHERE n * x - s > 0
+      AND (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
+    """,
+    tags=("cdc",),
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity statistical outlier gate: flag events whose value sits
+    more than 3 population standard deviations above the entity's mean —
+    the data-quality tripwire a training-data ingest runs on numeric
+    telemetry.
+
+    Exactness: values are 2-decimal, so integer cents make every statistic
+    an exact BIGINT (x, n, s=Σx, q=Σx²). The flag predicate is pure integer
+    arithmetic — z > 3 ⇔ (n·x − s) > 0 ∧ (n·x − s)² > 9(n·q − s²) — so no
+    float comparison can straddle the threshold differently across engines
+    (ADVICE r05's boundary-rounding class), and constant-valued entities
+    (zero variance) produce 0 > 0 = false instead of a NaN, whose ordering
+    Spark and DuckDB disagree on. The emitted z itself is exact: integer →
+    double casts below 2^53, one IEEE divide, one correctly-rounded sqrt.
+    Overflow headroom: per-entity n·q stays under 2^63 while
+    n · (100·max_value)² < 9.2e18 — at value ≤ 5e4 cents that allows ~4e9
+    events per entity; re-bucket hot entities long before that.
+
+    Plan: one shuffle on user_id; all three statistics ride one window
+    frame (a single WindowExec), the predicate is codegen'd integer math.
+    At 100 TB this is the two-pass-free form of anomaly detection: no
+    join of a stats table back to the stream.
+    """
+    ev = load(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 100).cast("long")
+    wp = Window.partitionBy("user_id")
+    c = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        x.alias("x"),
+        F.count("*").over(wp).alias("n"),
+        F.sum(x).over(wp).alias("s"),
+        F.sum(x * x).over(wp).alias("q"),
+    )
+    dev = F.col("n") * F.col("x") - F.col("s")
+    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return c.filter((dev > 0) & (dev * dev > 9 * var_n2)).select(
+        "user_id",
+        "event_id",
+        "value",
+        (dev.cast("double") / F.sqrt(var_n2.cast("double"))).alias("z"),
+    )

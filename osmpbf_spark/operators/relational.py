@@ -1281,3 +1281,77 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("ap")[1] <= F.col("hi_p90"))
         ).alias("p90_within_rank_eps"),
     )
+
+
+@query(
+    "q_join_5way",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_items,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+    tags=("join", "pipeline"),
+)
+def q_join_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-table join: local-supplier revenue per nation —
+    the deepest join tree in the suite and the canonical Catalyst
+    join-reordering / broadcast-selection showcase.
+
+    Declared as a flat chain of equi-joins; the optimizer picks the
+    physical strategy: nation and region are broadcast (explicitly — at
+    100 TB THE difference between two pipeline-able map joins and two
+    fact-scale exchanges), supplier is small enough for AQE's runtime
+    broadcast, and the only unavoidable shuffles are the two fact-fact
+    exchanges (orders⋈lineitem on orderkey, then ⋈customer on custkey) —
+    at warehouse scale both fact tables are bucketed on those keys and the
+    chain is exchange-free. The date filter pushes into the orders scan
+    (partition-prunable on a date-partitioned lake), the region filter
+    prunes nations before the fact side ever sees them, and the
+    c_nationkey = s_nationkey residual ("local supplier") rides the
+    supplier join instead of a separate exchange.
+
+    Revenue is exact: price cents × integer discount complement →
+    BIGINT 10^-4-dollar units, order-independent sum, one final divide
+    (catalog.dsum convention; headroom ~9e18 / 1e9-per-row ≈ 9e9 matched
+    rows per group).
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum(rev_e4).cast("double") / 10000.0).alias("revenue"),
+        )
+    )

@@ -460,3 +460,130 @@ def q_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "scale_q30", F.col("i").cast("bigint").alias("i"), "q")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means clustering (Lloyd iterations, exact fixed-point oracle)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+def _oracle_l2(a: str, b: str) -> str:
+    """Unrolled 1-based squared-L2 chain, every element cast to DOUBLE
+    (no-op once centroids are already DOUBLE, exact widening for the
+    FLOAT corpus side)."""
+    return " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        f" * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        for i in range(1, DIM + 1)
+    )
+
+
+def _kmeans_oracle() -> str:
+    q30 = _Q30
+    parts = [
+        f"WITH c0 AS (SELECT vec_id AS cid, embedding AS ce"
+        f" FROM embeddings WHERE vec_id < {KMEANS_K})"
+    ]
+    prev = "c0"
+    for it in range(1, KMEANS_ITERS + 1):
+        parts.append(f"""
+    a{it} AS (SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_oracle_l2('e.embedding', 'c.ce')},
+                                           c.cid) AS rk
+        FROM embeddings e CROSS JOIN {prev} c) WHERE rk = 1),
+    ex{it} AS (SELECT cid, unnest(range(1, {DIM + 1})) AS pos,
+                      unnest(embedding) AS val
+               FROM a{it}),
+    ce{it} AS (SELECT cid, pos,
+                      SUM(CAST(ROUND(CAST(val AS DOUBLE) * {q30}) AS BIGINT))
+                        / (COUNT(*) * {q30}.0) AS centroid,
+                      COUNT(*) AS n_members
+               FROM ex{it} GROUP BY cid, pos),
+    c{it} AS (SELECT cid, list(centroid ORDER BY pos) AS ce
+              FROM ce{it} GROUP BY cid)""")
+        prev = f"c{it}"
+    body = ",".join(parts)
+    return (
+        body
+        + f"""
+    SELECT cid, pos, centroid, n_members FROM ce{KMEANS_ITERS}"""
+    )
+
+
+@query("q_cluster_kmeans", oracle=_kmeans_oracle(), tags=("sim",))
+def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (2 Lloyd iterations, k=8, deterministic
+    seed = the k lowest vec_ids) over the embedding corpus — the clustering
+    step a training pipeline uses for semantic dedup, data-mixture
+    balancing, and IVF coarse-quantizer training (q_sim_search_ivf consumes
+    exactly this output shape).
+
+    An ITERATIVE algorithm under the driver's single-SQL oracle: each
+    Lloyd round is assignment (argmin over k exact squared-L2 chains —
+    the q_sim_search recipe applied to distances) + fixed-point centroid
+    update (the q_vec_centroid recipe: 2^-30-quantized integer sums, one
+    double divide), so every iteration stays bit-identical across engines
+    and the full 2-round trajectory hash-matches — no "approximately
+    converged" escape hatch.
+
+    Plan per iteration: the k centroids collapse to ONE broadcast row
+    holding the whole centroid list, and assignment is a MAP-ONLY
+    expression — array_min over the k per-centroid (dist, cid) structs
+    (struct ordering = dist asc, cid tie-break, identical to the oracle's
+    ROW_NUMBER) — so the corpus is never expanded k× and never shuffled;
+    the only exchange per iteration is the centroid update, whose partial
+    aggregation reduces each task to k·DIM cells map-side (shuffle volume
+    independent of corpus size). At 100 TB: identical shape — assignment
+    is map-only against broadcast centroids, the update is a
+    tree-aggregated k·DIM-cell matrix; iterations add executor passes,
+    never driver-memory state. Driver holds nothing: the loop below
+    composes a single lazy plan, 2 iterations deep.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"),
+        F.expr("transform(embedding, x -> double(x))").alias("ce"),
+    )
+    # argmin over the broadcast centroid list, one row per corpus vector:
+    # min struct = (smallest distance, lowest cid) — collect_list's order
+    # is irrelevant because array_min is order-independent.
+    _BEST = (
+        "array_min(transform(cl, c -> struct("
+        "aggregate(zip_with(embedding, c.ce, "
+        "(x, y) -> (double(x) - double(y)) * (double(x) - double(y))), "
+        "0D, (acc, v) -> acc + v) AS dist, c.cid AS cid)))"
+    )
+    cent_e = None
+    for _ in range(KMEANS_ITERS):
+        carr = cent.agg(F.collect_list(F.struct("cid", "ce")).alias("cl"))
+        assigned = (
+            emb.crossJoin(F.broadcast(carr))
+            .select("vec_id", "embedding", F.expr(_BEST).alias("best"))
+            .select("vec_id", "embedding", F.col("best.cid").alias("cid"))
+        )
+        ex = assigned.select(
+            "cid", F.posexplode("embedding").alias("pos0", "val")
+        ).select(
+            "cid",
+            (F.col("pos0") + 1).cast("int").alias("pos"),
+            F.round(F.col("val").cast("double") * _Q30)
+            .cast("bigint")
+            .alias("valq"),
+        )
+        cent_e = ex.groupBy("cid", "pos").agg(
+            (F.sum("valq") / (F.count("*") * F.lit(float(_Q30)))).alias(
+                "centroid"
+            ),
+            F.count("*").alias("n_members"),
+        )
+        cent = cent_e.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+                lambda s: s["centroid"],
+            ).alias("ce")
+        )
+    return cent_e.select("cid", "pos", "centroid", "n_members")

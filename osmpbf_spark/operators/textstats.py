@@ -610,3 +610,60 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_token_ratio"
         ),
     )
+
+
+@query(
+    "q_text_rarity",
+    oracle="""
+    WITH dt AS (SELECT DISTINCT doc_id,
+                       unnest(string_split(lower(text), ' ')) AS token
+                FROM documents),
+         df AS (SELECT token, COUNT(*) AS df FROM dt GROUP BY token),
+         n  AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT dt.doc_id, COUNT(*) AS n_uniq,
+           CAST(SUM((n.n_docs * 1000000) // df.df) AS BIGINT) // COUNT(*)
+             AS rarity
+    FROM dt JOIN df USING (token) CROSS JOIN n
+    GROUP BY dt.doc_id
+    """,
+    tags=("text",),
+)
+def q_text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-IDF rarity scoring: per-document mean inverse document
+    frequency over its distinct tokens — the quality signal a curation
+    pipeline uses to separate boilerplate (every token everywhere, rarity
+    → 1e6/N·df ≈ low) from information-dense text. The IDF is the
+    integer-scaled variant (ppm-scaled N/df, floor division) instead of
+    ln(N/df): transcendental libm results differ in the last ulp between
+    the JVM and C runtimes, while integer // is exact in both engines —
+    the repo's determinism convention (catalog.dsum docstring) applied to
+    scoring. Monotonicity, the only property ranking cares about, is
+    preserved.
+
+    Plan: two shuffles — (doc, token) distinct + token df aggregation —
+    then the df table joins back to the per-doc token stream. At 100 TB
+    the vocabulary is Zipf-skewed but SMALL relative to the corpus (df is
+    one row per distinct token), so the join back is a broadcast of the
+    heavy-hitter head in practice; here AQE's runtime stats make that
+    call. n_docs rides along as a broadcast scalar, never a barrier.
+    """
+    d = load(spark, sf_dir, "documents")
+    n = d.agg(F.count("*").alias("n_docs"))
+    dt = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias(
+            "token"
+        ),
+    )
+    dfreq = dt.groupBy("token").agg(F.count("*").alias("df"))
+    return (
+        dt.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_uniq"),
+            F.expr(
+                "sum((n_docs * 1000000) div df) div count(*)"
+            ).alias("rarity"),
+        )
+    )

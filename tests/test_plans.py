@@ -245,3 +245,54 @@ def test_lsh_bucket_store_partition_pruned_probing(spark, tmp_path):
     # and the rows are exactly the full-scan filter's
     want = emb.filter(F.col("bucket").isin([int(b) for b in probes])).count()
     assert probed.count() == want
+
+
+def test_scd2_windows_share_one_exchange(spark):
+    """Both SCD2 windows (lag change-detect, lead interval-close) must ride
+    ONE shuffle on the entity key — a second exchange would re-shuffle the
+    change stream at 100 TB for no semantic reason."""
+    p = plan_of(spark, "q_scd2")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Window") >= 2
+
+
+def test_merge_upsert_single_exchange(spark):
+    """Snapshot compaction: rank + version-count share one shuffle. (No
+    WindowGroupLimit assertion: the n_versions audit count has an unbounded
+    frame, so each key's full history must be seen and group-limit pruning
+    is semantically impossible here — dropping the audit column would
+    re-enable it.)"""
+    p = plan_of(spark, "q_merge_upsert")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Window") >= 1
+
+
+def test_anomaly_zscore_is_one_window_pass(spark):
+    """The outlier gate is one shuffle + one WindowExec computing all three
+    statistics — no stats-table join, no second aggregation pass."""
+    p = plan_of(spark, "q_anomaly_zscore")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Window") == 1
+    assert "Join" not in p
+
+
+def test_join_5way_broadcasts_dims(spark):
+    """nation/region must stay broadcast joins; the deep join tree must
+    never degrade to a cartesian product (asserted in the sweep) or plan
+    a shuffle for a dimension table."""
+    p = plan_of(spark, "q_join_5way")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_kmeans_assignment_is_map_only(spark):
+    """k-means assignment must stay the broadcast-centroid-list array_min
+    expression: no per-vector argmin window (which would shuffle the whole
+    corpus k-times-expanded) and exactly one BroadcastNestedLoopJoin per
+    Lloyd iteration carrying the single centroid-list row."""
+    from osmpbf_spark.operators.similarity import KMEANS_ITERS
+
+    p = plan_of(spark, "q_cluster_kmeans")
+    assert "Window" not in p
+    assert p.count("BroadcastNestedLoopJoin") == KMEANS_ITERS
+    assert "CartesianProduct" not in p

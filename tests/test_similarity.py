@@ -124,3 +124,34 @@ def test_vec_quantize_parity(spark, duck):
     assert pdf["q"].abs().min() >= 0
     per_vec = pdf.groupby("vec_id")["q"].apply(lambda s: s.abs().max())
     assert (per_vec == 127).all()  # scale is per-vector, so every vec peaks
+
+
+def test_cluster_kmeans_parity_and_semantics(spark, duck, brute):
+    """q_cluster_kmeans: exact oracle parity (the whole 2-iteration
+    trajectory hash-matches) plus an independent numpy Lloyd run — same
+    deterministic init, float64 means — agreeing on cluster sizes and
+    centroids to ~2^-30 (the fixed-point quantization bound)."""
+    from osmpbf_spark.operators.similarity import KMEANS_ITERS, KMEANS_K
+
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_cluster_kmeans")
+    ids, V = brute
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+    cent = {cid: V[list(ids).index(cid)] for cid in range(KMEANS_K)}
+    assign = None
+    for _ in range(KMEANS_ITERS):
+        C = np.array([cent[c] for c in sorted(cent)])
+        cids = np.array(sorted(cent))
+        d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = cids[np.argmin(d, axis=1)]
+        cent = {
+            int(c): V[assign == c].mean(axis=0) for c in np.unique(assign)
+        }
+    sizes = {int(c): int((assign == c).sum()) for c in np.unique(assign)}
+    got_sizes = (
+        pdf[pdf.pos == 1].set_index("cid")["n_members"].astype(int).to_dict()
+    )
+    assert got_sizes == sizes
+    for cid, c in cent.items():
+        got = pdf[pdf.cid == cid].sort_values("pos")["centroid"].to_numpy()
+        assert np.allclose(got, c, atol=1e-6), f"centroid {cid} drifted"

@@ -334,19 +334,18 @@ def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select(
         "doc_id", "source", n_tok.cast("bigint").alias("n_tok")
     ).withColumn("cum", F.sum("n_tok").over(w))
-    first = ((F.col("cum") - F.col("n_tok")) / PACK_LEN).cast("bigint")
-    last = ((F.col("cum") - 1) / PACK_LEN).cast("bigint")
+    # integer `div`, matching the oracle's BIGINT // — a floor(double /)
+    # path would mis-truncate once cumulative counts exceed 2^53 (the
+    # div-exactness class fixed in q_doc_pack_chunks, applied here too)
+    first = F.expr(f"(cum - n_tok) div {PACK_LEN}")
+    last = F.expr(f"(cum - 1) div {PACK_LEN}")
     return t.select(
         "doc_id",
         "source",
         "n_tok",
-        F.floor((F.col("cum") - F.col("n_tok")) / PACK_LEN).alias("first_chunk"),
-        F.floor((F.col("cum") - 1) / PACK_LEN).alias("last_chunk"),
-        (
-            F.floor((F.col("cum") - 1) / PACK_LEN)
-            - F.floor((F.col("cum") - F.col("n_tok")) / PACK_LEN)
-            + 1
-        ).alias("n_chunks"),
+        first.alias("first_chunk"),
+        last.alias("last_chunk"),
+        (last - first + 1).alias("n_chunks"),
     )
 
 

@@ -17,7 +17,7 @@ absorb.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from osmpbf_spark.catalog import dsum, load, query, sql_dsum
@@ -863,3 +863,162 @@ def s_dedup_near_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(":", F.col("band").cast("string"), "k").alias("bkey"),
     )
     return _inc_lsh_pairs(spark, keys, "s_dedup_near_stream")
+
+
+def _inc_upsert_updates(
+    spark: SparkSession, keyed, name_prefix: str, n_groups: int = 32
+) -> DataFrame:
+    """Incremental latest-wins upsert state: the streaming half of
+    q_merge_upsert (operators/cdc.py). ``keyed`` is a stream of change
+    rows (user_id, event_type, ts_us, event_id, value); per compaction
+    key the operator keeps only the current winner — (ts_us, event_id)
+    lexicographic max — in executor state and emits an UPDATE row exactly
+    when a micro-batch's arrival beats it. The emitted stream is a CDC
+    update feed (append-mode parquet sink, executor-side writes); the
+    returned frame is the raw feed, which callers compact with one
+    rank window (the "apply updates to snapshot" step).
+
+    Grouping is KEY-BUCKETED (s_stateful's shape: pmod(xxhash64(key),
+    n_groups)) so grouped-map dispatch cost tracks the bucket count, not
+    the key count; within a bucket the batch-best/state-merge logic is
+    vectorized pandas. No TTL: upsert state IS the dimension snapshot —
+    one row per live key, permanent by design (at 100 TB: state size =
+    key cardinality × one row, sharded across the executor fleet's state
+    stores; retire keys with an explicit tombstone stream, not a clock).
+    Emission is O(changed keys per batch), so a replayed batch emits
+    nothing — the (ts, event_id) tie-break makes reprocessing idempotent,
+    pinned in tests/test_streaming.py.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    cols = ["user_id", "event_type", "ts_us", "event_id", "value"]
+    dtypes = ["int64", "object", "int64", "int64", "float64"]
+
+    def emit(key, pdfs, state):
+        vals = state.get if state.exists else [[] for _ in cols]
+        # explicit dtypes: an empty (or state-restored) column must merge
+        # against the batch's int64 keys, and pandas refuses object-vs-int
+        cur = pd.DataFrame(
+            {
+                c: pd.Series(list(v), dtype=t)
+                for c, v, t in zip(cols, vals, dtypes)
+            }
+        )
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        # batch-best per key: (ts_us, event_id) lexicographic max
+        best = pdf.sort_values(["ts_us", "event_id"]).drop_duplicates(
+            ["user_id", "event_type"], keep="last"
+        )
+        m = best.merge(
+            cur,
+            on=["user_id", "event_type"],
+            how="left",
+            suffixes=("", "_old"),
+        )
+        newer = (
+            m["ts_us_old"].isna()
+            | (m["ts_us"] > m["ts_us_old"])
+            | ((m["ts_us"] == m["ts_us_old"]) & (m["event_id"] > m["event_id_old"]))
+        )
+        upd = m.loc[newer, cols]
+        # new state: current winners not displaced + this batch's updates
+        nxt = pd.concat([cur, upd], ignore_index=True).drop_duplicates(
+            ["user_id", "event_type"], keep="last"
+        )
+        state.update(tuple(nxt[c].tolist() for c in cols))
+        if len(upd):
+            yield upd
+
+    grouped = keyed.withColumn(
+        "g", F.pmod(F.xxhash64("user_id", "event_type"), F.lit(n_groups))
+    ).groupBy("g")
+    updates = grouped.applyInPandasWithState(
+        emit,
+        outputStructType=(
+            "user_id long, event_type string, ts_us long, "
+            "event_id long, value double"
+        ),
+        stateStructType=(
+            "user_id array<long>, event_type array<string>, "
+            "ts_us array<long>, event_id array<long>, value array<double>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    import atexit
+    import shutil
+    import tempfile
+
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"{name_prefix}_{_STREAM_RUN_SEQ[0]}"
+    out_dir = tempfile.mkdtemp(prefix=f"osmpbf_{name}_out_")
+    ckpt_dir = tempfile.mkdtemp(prefix=f"osmpbf_{name}_ckpt_")
+    for d in (out_dir, ckpt_dir):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    with _scoped_state_partitions(spark):
+        q = (
+            updates.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.read.schema(
+        "user_id long, event_type string, ts_us long, "
+        "event_id long, value double"
+    ).parquet(out_dir)
+
+
+@query(
+    "s_upsert_stream",
+    oracle="""
+    SELECT user_id, event_type, ts AS last_ts, value AS last_value
+    FROM (
+      SELECT user_id, event_type, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events)
+    WHERE rk = 1
+    """,
+    tags=("stream", "cdc"),
+)
+def s_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING latest-wins upsert — the CDC twin of q_merge_upsert as a
+    REAL micro-batch execution with a full value oracle: the change
+    stream flows through incremental per-key state (applyInPandasWithState
+    keyed on the compaction key, bucketed; _inc_upsert_updates) that holds
+    each key's current winner executor-side and emits an update row only
+    when an arrival wins, into an append-mode parquet sink. The returned
+    frame applies the update feed to a snapshot with one rank window —
+    at any trigger, that compaction of the feed equals the batch
+    latest-wins result over everything ingested so far, which is exactly
+    what the oracle checks (timestamps ride as integer micros through
+    state and convert back once at the edge)."""
+    events = load(spark, sf_dir, "events")
+    src = _stream_src(spark, events, f"events:{sf_dir}")
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    keyed = stream.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    feed = _inc_upsert_updates(spark, keyed, "s_upsert_stream")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    return (
+        feed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.timestamp_micros(F.col("ts_us")).alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+    )

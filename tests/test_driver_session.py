@@ -28,6 +28,8 @@ assert qs["s_dedup_stream"](spark, "/root/testdata/sf0.001").count() > 0
 # a vanilla session (scoped confs, memory sink, self-join expansion)
 assert qs["s_dedup_near_stream"](spark, "/root/testdata/sf0.001").count() > 0
 assert qs["s_dedup_embed_stream"](spark, "/root/testdata/sf0.001").count() > 0
+# round-5 streaming CDC upsert: stateful update feed under a vanilla session
+assert qs["s_upsert_stream"](spark, "/root/testdata/sf0.001").count() > 0
 assert e.entry(spark).count() > 0
 print("VANILLA_OK")
 spark.stop()

@@ -254,3 +254,52 @@ def test_inc_lsh_ttl_evicts_idle_buckets(spark, tmp_path):
     got = W._inc_lsh_pairs(spark, stream, "inc_ttl_test", ttl_minutes=0)
     pairs = {(int(a), int(b)) for a, b in zip(*[got.toPandas()[c] for c in ("doc_a", "doc_b")])}
     assert pairs == {(1, 2)}
+
+
+def test_inc_upsert_emits_only_winning_updates(spark, tmp_path):
+    """_inc_upsert_updates must emit a key's row only in micro-batches
+    where the arrival BEATS the key's current state winner — a stale or
+    replayed row (older ts, or same ts with lower event_id) emits
+    nothing, which is the idempotent-reprocessing contract."""
+    from osmpbf_spark.streaming import windows as W
+
+    src = str(tmp_path / "upsert_src")
+    schema = "user_id long, event_type string, ts_us long, event_id long, value double"
+    # batch A: k1 -> (ts=10, eid=1), k2 -> (ts=10, eid=2)
+    # batch B: k1 newer (ts=20) -> emit; k2 REPLAY of (ts=10, eid=2) ->
+    #          silent; k3 first-seen -> emit
+    # batch C: k1 stale (ts=15) -> silent; k2 same-ts higher eid -> emit
+    batches = [
+        [(1, "a", 10, 1, 1.0), (2, "a", 10, 2, 2.0)],
+        [(1, "a", 20, 3, 1.5), (2, "a", 10, 2, 2.0), (3, "a", 5, 4, 3.0)],
+        [(1, "a", 15, 5, 9.9), (2, "a", 10, 6, 2.5)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    feed = W._inc_upsert_updates(spark, stream, "inc_upsert_test").toPandas()
+    got = {
+        (int(r.user_id), int(r.ts_us), int(r.event_id))
+        for r in feed.itertuples()
+    }
+    assert got == {
+        (1, 10, 1), (2, 10, 2),        # batch A first-seen
+        (1, 20, 3), (3, 5, 4),         # batch B: newer + first-seen only
+        (2, 10, 6),                    # batch C: same-ts eid tie-break
+    }
+    # compacting the feed yields the global latest-wins snapshot
+    import pandas as pd
+
+    snap = (
+        feed.sort_values(["ts_us", "event_id"])
+        .drop_duplicates(["user_id", "event_type"], keep="last")
+        .set_index("user_id")["value"]
+        .to_dict()
+    )
+    assert snap == {1: 1.5, 2: 2.5, 3: 3.0}

@@ -752,13 +752,14 @@ def s_dedup_embed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bkey"
         ),
     )
-    # 32 state partitions (not the 8-partition stream default): this
-    # query's stateful stage moves ~3M in-bucket pairs per trigger at
-    # sf0.1 — pair volume, not state-commit overhead, dominates, so
-    # width follows compute (same sizing logic as catalog.fanout)
-    pairs = _inc_lsh_pairs(
-        spark, keys, "s_dedup_embed_stream", state_partitions="32"
-    )
+    # back on the 8-partition stream default: the 32-wide sizing dated
+    # from when the ~3M in-bucket pairs materialized INSIDE the Python
+    # operator (width followed compute). The pair-generator reshape moved
+    # that expansion downstream into codegen explodes, so the stateful
+    # stage now only touches each bucket's two small arrays per trigger —
+    # state-commit overhead dominates again and 8 partitions wins
+    # (measured 2.3s @ 32 -> 1.7s @ 8 steady-state at sf0.1)
+    pairs = _inc_lsh_pairs(spark, keys, "s_dedup_embed_stream")
     return pairs.select(
         F.col("doc_a").alias("id1"), F.col("doc_b").alias("id2")
     )

@@ -63,6 +63,7 @@ import pyarrow as pa
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     EqualTo,
     GreaterThan,
@@ -224,6 +225,9 @@ class OsmPbfDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> "OsmPbfWriter":
         return OsmPbfWriter(self.options, schema, overwrite)
 
+    def streamReader(self, schema: StructType) -> "OsmPbfStreamReader":
+        return OsmPbfStreamReader(self.options, schema)
+
 
 def _pig_x2(batches):
     """compat §1.4.5 — replicate OSMPbfPigLoader.getNext()'s double
@@ -296,13 +300,12 @@ class OsmPbfReader(DataSourceReader):
         return False
 
     # ------------------------------------------------------------- planning
-    def partitions(self) -> list[OsmPbfPartition]:
-        """Block-aligned split planning (supersedes FileInputFormat.getSplits
-        + per-reader resync). Bin-packs consecutive blocks of each file until
-        ``partition_target_bytes`` of compressed payload; block order within
-        a partition is preserved so delta chains stay intact per block."""
+    def _plan_files(self, paths: list[str]) -> list[OsmPbfPartition]:
+        """Block-aligned split planning for an explicit file list; shared
+        by the batch planner below and the streaming reader's per-batch
+        planner (which feeds it only the files new since the last offset)."""
         parts: list[OsmPbfPartition] = []
-        for path in _resolve_paths(self.path):
+        for path in paths:
             ranges: list[tuple[int, int]] = []
             acc = 0
             for meta in decode.index_blocks(path):
@@ -317,6 +320,14 @@ class OsmPbfReader(DataSourceReader):
                     ranges, acc = [], 0
             if ranges:
                 parts.append(OsmPbfPartition(path, ranges))
+        return parts
+
+    def partitions(self) -> list[OsmPbfPartition]:
+        """Block-aligned split planning (supersedes FileInputFormat.getSplits
+        + per-reader resync). Bin-packs consecutive blocks of each file until
+        ``partition_target_bytes`` of compressed payload; block order within
+        a partition is preserved so delta chains stay intact per block."""
+        parts = self._plan_files(_resolve_paths(self.path))
         if not parts:  # all pruned / empty file: one empty partition keeps
             parts.append(OsmPbfPartition(_resolve_paths(self.path)[0], []))
         self.bounds = {}  # see pushFilters: avoid leaking into the next plan
@@ -711,6 +722,61 @@ def osmpbf_header(path: str) -> dict:
                     decode.read_block_payload(f, meta)
                 )
     return {"required_features": [], "optional_features": [], "writingprogram": None}
+
+
+class OsmPbfStreamReader(DataSourceStreamReader):
+    """Micro-batch STREAMING ingest of a growing directory of .pbf files —
+    ``spark.readStream.format("osmpbf")``. The reference has no streaming
+    story at all (its InputFormat is batch MapReduce); this is the Spark
+    Structured Streaming extension of §2A: the same exact-block-index
+    planning and columnar decode, driven by offsets.
+
+    Offset model: the lexicographic NAME HIGH-WATER MARK over the
+    directory's ``.pbf`` files — ``{"upto": "<last ingested path>"}``. A
+    micro-batch ingests every file whose path sorts strictly above the
+    start offset (and at most up to the end offset), each split into
+    block-aligned partitions by the shared ``_plan_files`` planner and
+    decoded executor-side by the SAME ``read()`` as the batch reader.
+    Producers must therefore deliver files in ascending name order (e.g.
+    zero-padded sequence numbers or timestamp names — the natural shape
+    of OSM minutely/hourly diff delivery); a file arriving with a name
+    below the mark is skipped, exactly like a late file under Spark's
+    built-in file source once its log compacts. Offsets are tiny (one
+    path string), live in the checkpoint, and make restarts exactly-once:
+    a restarted query resumes from the committed mark and ingests only
+    the delta (pinned in tests/test_pbf.py).
+    """
+
+    def __init__(self, options, schema: StructType):
+        self._rdr = OsmPbfReader(options, schema)
+
+    def _files(self) -> list[str]:
+        return sorted(_resolve_paths(self._rdr.path))
+
+    def initialOffset(self) -> dict:
+        return {"upto": ""}
+
+    def latestOffset(self) -> dict:
+        files = self._files()
+        return {"upto": files[-1] if files else ""}
+
+    def partitions(self, start: dict, end: dict):
+        new = [
+            p for p in self._files() if start["upto"] < p <= end["upto"]
+        ]
+        parts = self._rdr._plan_files(new)
+        if not parts:
+            # no new files (or all pruned): one empty partition keeps the
+            # micro-batch plan valid
+            anchor = new[0] if new else self._files()[0]
+            parts = [OsmPbfPartition(anchor, [])]
+        return parts
+
+    def read(self, partition: OsmPbfPartition):
+        yield from self._rdr.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are derived from the directory listing alone
 
 
 def register(spark) -> None:

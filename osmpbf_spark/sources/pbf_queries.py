@@ -339,3 +339,73 @@ def q_pbf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ROUNDTRIP_DIR: list[str | None] = [None]
+
+
+_STREAM_SRC_DIR: list[str | None] = [None]
+_STREAM_SEQ = [0]
+
+
+@query(
+    "s_pbf_stream",
+    oracle=f"""
+    SELECT CAST(FLOOR((lat + 90) * 2048 / 180) * 2048
+              + FLOOR((lon + 180) * 2048 / 360) AS BIGINT) AS tile,
+           COUNT(*) * 2 AS cnt
+    FROM read_parquet('{_DIR}/osm_nodes.parquet')
+    GROUP BY tile
+    """,
+    tags=("pbf", "stream"),
+)
+def s_pbf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING PBF ingest as a checkable query: a directory holding TWO
+    copies of the golden fixture is read through
+    ``spark.readStream.format("osmpbf")`` (OsmPbfStreamReader — the
+    reference's scan pipeline driven by file-name offsets), fed into the
+    README grid aggregation, and materialized via a complete-mode memory
+    sink under an availableNow trigger. The oracle is the decoder's
+    parquet image with every tile count doubled, so a hash match proves
+    the streaming path decoded both files exactly once — offsets,
+    micro-batch planning, state store, and sink included. Parity-plus:
+    the reference is batch-only MapReduce (README.md:20-35); incremental
+    checkpoint-restart (a restarted query ingests only new files) is
+    pinned in tests/test_pbf.py."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from osmpbf_spark.sources.pbf.datasource import register
+    from osmpbf_spark.streaming.windows import _scoped_state_partitions
+
+    ensure_fixture()
+    src = _STREAM_SRC_DIR[0]
+    if src is None:
+        src = _STREAM_SRC_DIR[0] = tempfile.mkdtemp(prefix="osmpbf_stream_")
+        atexit.register(shutil.rmtree, src, ignore_errors=True)
+        for i in range(2):
+            shutil.copy(
+                f"{_DIR}/fixture.osm.pbf", f"{src}/part-0000{i}.osm.pbf"
+            )
+    register(spark)
+    stream = (
+        spark.readStream.format("osmpbf")
+        .option("path", src)
+        .option("primitive", "node")
+        .load()
+    )
+    tile = (
+        F.floor((F.col("lat") + 90) * 2048 / 180) * 2048
+        + F.floor((F.col("lon") + 180) * 2048 / 360)
+    ).cast("bigint")
+    agg = stream.groupBy(tile.alias("tile")).agg(F.count("*").alias("cnt"))
+    _STREAM_SEQ[0] += 1
+    name = f"s_pbf_stream_{_STREAM_SEQ[0]}"
+    with _scoped_state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.table(name)

@@ -1078,3 +1078,48 @@ def test_fixture_changesets(spark, fixture_dir):
     assert read_pbf(spark, pbf, "changeset").count() == 200
     # existing primitives keep their exact golden counts
     assert read_pbf(spark, pbf, "node").count() == 9720
+
+
+def test_pbf_stream_checkpoint_restart_ingests_only_delta(spark, tmp_path):
+    """OsmPbfStreamReader's offset contract: a restarted query (same
+    checkpoint) ingests ONLY files above the committed name high-water
+    mark, and a late file sorting below the mark is skipped — the
+    exactly-once incremental semantics the docstring claims."""
+    import shutil
+
+    from osmpbf_spark.sources.pbf.datasource import register
+    from osmpbf_spark.sources.pbf.fixture import FIXTURE_DIR, ensure_fixture
+
+    ensure_fixture()
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    fixture = f"{FIXTURE_DIR}/fixture.osm.pbf"
+    register(spark)
+
+    def run_once():
+        stream = (
+            spark.readStream.format("osmpbf")
+            .option("path", str(src))
+            .option("primitive", "node")
+            .load()
+        )
+        q = (
+            stream.select("id").writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(sink).count()
+
+    shutil.copy(fixture, src / "part-00000.osm.pbf")
+    assert run_once() == 9720  # batch 1: first file
+    shutil.copy(fixture, src / "part-00001.osm.pbf")
+    assert run_once() == 19440  # restart ingests ONLY the new file
+    # a late file sorting BELOW the committed mark is skipped entirely
+    shutil.copy(fixture, src / "a-late.osm.pbf")
+    assert run_once() == 19440

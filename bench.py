@@ -122,6 +122,10 @@ def main() -> None:
     result["slowest10"] = dict(
         sorted(times.items(), key=lambda kv: -kv[1])[:10]
     )
+    # failures sort to the HEAD of the ascending queries dict, where the
+    # driver's last-2000-chars tail capture would hide them — restate
+    # them explicitly at the tail so a broken query is always visible
+    result["failed"] = sorted(n for n, t in times.items() if t < 0)
     result["value"] = total
     print(json.dumps(result))
     spark.stop()

@@ -335,6 +335,8 @@ class OsmPbfReader(DataSourceReader):
 
     # -------------------------------------------------------------- reading
     def read(self, partition: OsmPbfPartition):
+        if not partition.ranges:  # empty sentinel (all pruned / no-data
+            return  # micro-batch): nothing to open or decode
         batches = self._batches(partition)
         if "pig_x2" in self.compat:
             batches = _pig_x2(batches)
@@ -764,12 +766,22 @@ class OsmPbfStreamReader(DataSourceStreamReader):
         new = [
             p for p in self._files() if start["upto"] < p <= end["upto"]
         ]
+        if not new and start["upto"] < end["upto"]:
+            # the offset range was planned against files that existed —
+            # an empty listing means retention deleted them mid-replay.
+            # Fail loudly: silently planning an empty batch would commit
+            # the range and permanently lose its rows.
+            raise FileNotFoundError(
+                f"osmpbf stream: no files left in committed offset range "
+                f"({start['upto']!r}, {end['upto']!r}] — file retention "
+                "must outlive checkpoint replay"
+            )
         parts = self._rdr._plan_files(new)
         if not parts:
-            # no new files (or all pruned): one empty partition keeps the
-            # micro-batch plan valid
-            anchor = new[0] if new else self._files()[0]
-            parts = [OsmPbfPartition(anchor, [])]
+            # no-data batch (start == end) or every block pruned: one
+            # empty sentinel partition keeps the micro-batch plan valid;
+            # read() short-circuits on the empty range list
+            parts = [OsmPbfPartition(new[0] if new else "", [])]
         return parts
 
     def read(self, partition: OsmPbfPartition):

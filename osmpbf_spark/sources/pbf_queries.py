@@ -48,7 +48,14 @@ _DECODED_CACHE: dict[tuple, DataFrame] = {}
 
 def _read(spark: SparkSession, primitive: str, **opts) -> DataFrame:
     ensure_fixture()
-    key = (id(spark.sparkContext), primitive, tuple(sorted(opts.items())))
+    # applicationId, not id(sparkContext): a CPython id can be re-allocated
+    # to a later session's context wrapper after the first is GC'd, which
+    # would hand out a frame whose checkpoint blocks died with the old JVM
+    key = (
+        spark.sparkContext.applicationId,
+        primitive,
+        tuple(sorted(opts.items())),
+    )
     df = _DECODED_CACHE.get(key)
     if df is None:
         df = read_pbf(spark, _PBF, primitive, **opts).localCheckpoint(

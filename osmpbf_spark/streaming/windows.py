@@ -94,6 +94,44 @@ class _scoped_state_partitions:
         for k, v in self.prev.items():
             self.spark.conf.set(k, v)
         return False
+
+
+def _run_stream_to_parquet(
+    spark: SparkSession,
+    df,
+    name_prefix: str,
+    schema: str,
+    state_partitions: str | None = None,
+) -> DataFrame:
+    """Run a streaming frame to completion through an append-mode PARQUET
+    file sink (executor-side writes, availableNow trigger, process-lifetime
+    temp dirs) and return the sink read back with ``schema``. Shared by
+    every incremental stateful operator here — sink policy (timeouts,
+    cleanup, scoped confs) lives in exactly one place."""
+    import atexit
+    import shutil
+    import tempfile
+
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"{name_prefix}_{_STREAM_RUN_SEQ[0]}"
+    out_dir = tempfile.mkdtemp(prefix=f"osmpbf_{name}_out_")
+    ckpt_dir = tempfile.mkdtemp(prefix=f"osmpbf_{name}_ckpt_")
+    for d in (out_dir, ckpt_dir):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    with _scoped_state_partitions(spark, state_partitions):
+        q = (
+            df.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.read.schema(schema).parquet(out_dir)
+
+
 _US_10M = 10 * 60 * 1_000_000
 _US_30M = 30 * 60 * 1_000_000
 
@@ -590,8 +628,6 @@ def _inc_lsh_pairs(
     ttl_ms = ttl_minutes * 60 * 1000
 
     def emit(key, pdfs, state):
-        import time as _time
-
         import numpy as np
 
         if state.hasTimedOut:
@@ -605,7 +641,13 @@ def _inc_lsh_pairs(
             }
         else:
             table = {}
-        now_ms = int(_time.time() * 1000)
+        # the BATCH processing timestamp, not wall-clock time.time(): a
+        # task retry or speculative duplicate of this micro-batch re-runs
+        # emit() later in real time, and a wall clock would then prune
+        # keys the original attempt kept — emitting a different pair set
+        # per attempt. The batch timestamp is fixed per micro-batch, so
+        # every attempt prunes identically.
+        now_ms = state.getCurrentProcessingTimeMs()
         # prune band-keys idle past the TTL before admitting arrivals
         table = {
             k: v for k, v in table.items() if now_ms - v[1] <= ttl_ms
@@ -650,30 +692,13 @@ def _inc_lsh_pairs(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
-    import atexit
-    import shutil
-    import tempfile
-
-    _STREAM_RUN_SEQ[0] += 1
-    name = f"{name_prefix}_{_STREAM_RUN_SEQ[0]}"
-    out_dir = tempfile.mkdtemp(prefix=f"osmpbf_{name}_out_")
-    ckpt_dir = tempfile.mkdtemp(prefix=f"osmpbf_{name}_ckpt_")
-    for d in (out_dir, ckpt_dir):
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
-    with _scoped_state_partitions(spark, state_partitions):
-        q = (
-            gens.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt_dir)
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    gen = spark.read.schema(
-        "news array<long>, olds array<long>"
-    ).parquet(out_dir)
+    gen = _run_stream_to_parquet(
+        spark,
+        gens,
+        name_prefix,
+        "news array<long>, olds array<long>",
+        state_partitions=state_partitions,
+    )
     # codegen pair expansion: new x old (cross-batch) + new x new
     # (within-batch upper triangle via a<b), normalized to (min, max)
     new_old = (
@@ -947,31 +972,13 @@ def _inc_upsert_updates(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    import atexit
-    import shutil
-    import tempfile
-
-    _STREAM_RUN_SEQ[0] += 1
-    name = f"{name_prefix}_{_STREAM_RUN_SEQ[0]}"
-    out_dir = tempfile.mkdtemp(prefix=f"osmpbf_{name}_out_")
-    ckpt_dir = tempfile.mkdtemp(prefix=f"osmpbf_{name}_ckpt_")
-    for d in (out_dir, ckpt_dir):
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
-    with _scoped_state_partitions(spark):
-        q = (
-            updates.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt_dir)
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    return spark.read.schema(
+    return _run_stream_to_parquet(
+        spark,
+        updates,
+        name_prefix,
         "user_id long, event_type string, ts_us long, "
-        "event_id long, value double"
-    ).parquet(out_dir)
+        "event_id long, value double",
+    )
 
 
 @query(

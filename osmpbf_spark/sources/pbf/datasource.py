@@ -64,6 +64,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     GreaterThan,
@@ -227,6 +228,11 @@ class OsmPbfDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> "OsmPbfStreamReader":
         return OsmPbfStreamReader(self.options, schema)
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> "OsmPbfStreamWriter":
+        return OsmPbfStreamWriter(self.options, schema)
 
 
 def _pig_x2(batches):
@@ -724,6 +730,38 @@ def osmpbf_header(path: str) -> dict:
                     decode.read_block_payload(f, meta)
                 )
     return {"required_features": [], "optional_features": [], "writingprogram": None}
+
+
+class OsmPbfStreamWriter(DataSourceStreamWriter):
+    """Streaming PBF SINK — ``df.writeStream.format("osmpbf")``. Each
+    micro-batch's tasks run the SAME per-task encoder as the batch sink
+    (OsmPbfWriter.write: delta re-encode, zlib blocks, one uuid-named
+    part file per task, no shuffle); per-batch ``commit`` appends the
+    batch's committed file names to a manifest (``_batches/<id>.txt``)
+    and ``abort`` deletes the batch's part files. Failure model: file
+    creation is at-least-once (a batch replayed after a crash between
+    write and commit leaves orphan parts), but the manifest records only
+    committed files — a consumer wanting exactly-once filters the
+    directory to manifest entries, the same contract as Spark's built-in
+    file sink and its _spark_metadata log. The reference has no write
+    path at all, let alone a streaming one."""
+
+    def __init__(self, options, schema: StructType):
+        self._w = OsmPbfWriter(options, schema, overwrite=False)
+
+    def write(self, rows):
+        return self._w.write(rows)
+
+    def commit(self, messages, batchId: int) -> None:
+        d = fs.fs_join(self._w.path, "_batches")
+        fs.fs_makedirs(d)
+        with fs.fs_open(fs.fs_join(d, f"{batchId}.txt"), "w") as f:
+            for m in messages:
+                if m is not None:
+                    f.write(f"{m.path}\t{m.rows}\n")
+
+    def abort(self, messages, batchId: int) -> None:
+        self._w.abort(messages)
 
 
 class OsmPbfStreamReader(DataSourceStreamReader):

@@ -825,10 +825,12 @@ def test_memory_fs_source_roundtrip(fixture_dir):
     fs.memory_clear()
 
 
-def test_memory_fs_sink_write_commit_abort(fixture_dir):
-    """Drive the DataSourceWriter directly (no JVM) against memory://:
-    write -> part file appears; commit -> _SUCCESS with the row count;
-    abort -> part file removed."""
+def test_memory_fs_sink_write_commit_abort(spark, fixture_dir):
+    """Drive the DataSourceWriter directly against memory://: write ->
+    part file appears; commit -> _SUCCESS with the row count; abort ->
+    part file removed. (The writer itself never touches the JVM, but
+    StructType.fromDDL does — the spark fixture guarantees a context so
+    the test also passes under -k filters that skip earlier tests.)"""
     from pyspark.sql import Row
     from pyspark.sql.types import StructType
 
@@ -1123,3 +1125,50 @@ def test_pbf_stream_checkpoint_restart_ingests_only_delta(spark, tmp_path):
     # a late file sorting BELOW the committed mark is skipped entirely
     shutil.copy(fixture, src / "a-late.osm.pbf")
     assert run_once() == 19440
+
+
+def test_pbf_stream_sink_roundtrip(spark, tmp_path):
+    """writeStream.format("osmpbf"): a micro-batch streamed from the PBF
+    source into the streaming PBF sink re-reads identically (same encoder
+    as the batch sink), and commit leaves a per-batch manifest of the
+    committed part files."""
+    import shutil
+
+    from osmpbf_spark.sources.pbf import fs as pbf_fs
+    from osmpbf_spark.sources.pbf.datasource import read_pbf, register
+    from osmpbf_spark.sources.pbf.fixture import FIXTURE_DIR, ensure_fixture
+
+    ensure_fixture()
+    src = tmp_path / "sink_src"
+    src.mkdir()
+    shutil.copy(f"{FIXTURE_DIR}/fixture.osm.pbf", src / "part-00000.osm.pbf")
+    out = str(tmp_path / "pbf_out")
+    register(spark)
+    stream = (
+        spark.readStream.format("osmpbf")
+        .option("path", str(src))
+        .option("primitive", "node")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("osmpbf")
+        .option("path", out)
+        .option("primitive", "node")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = read_pbf(spark, out, "node")
+    assert back.count() == 9720
+    row = back.orderBy("id").first()
+    orig = read_pbf(spark, str(src / "part-00000.osm.pbf"), "node")
+    assert row == orig.orderBy("id").first()  # coords re-quantize losslessly
+    # the manifest records the committed parts of batch 0
+    manifest = pbf_fs.fs_glob(f"{out}/_batches/*.txt")
+    assert len(manifest) == 1
+    with pbf_fs.fs_open(manifest[0], "r") as f:
+        lines = [ln for ln in f.read().splitlines() if ln]
+    committed = {ln.split("\t")[0] for ln in lines}
+    parts = set(pbf_fs.fs_glob(f"{out}/part-*.osm.pbf"))
+    assert committed == parts and sum(int(ln.split("\t")[1]) for ln in lines) == 9720

@@ -544,10 +544,6 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     composes a single lazy plan, 2 iterations deep.
     """
     emb = load(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("cid"),
-        F.expr("transform(embedding, x -> double(x))").alias("ce"),
-    )
     # argmin over the broadcast centroid list, one row per corpus vector:
     # min struct = (smallest distance, lowest cid) — collect_list's order
     # is irrelevant because array_min is order-independent.
@@ -557,9 +553,27 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(x, y) -> (double(x) - double(y)) * (double(x) - double(y))), "
         "0D, (acc, v) -> acc + v) AS dist, c.cid AS cid)))"
     )
+    # regroup the flat (cid, pos, centroid) collect into the per-centroid
+    # array list INSIDE the single-row broadcast frame (one HOF pass over
+    # k·DIM structs, evaluated once) — doing it as a groupBy("cid") would
+    # add a whole exchange+stage per Lloyd iteration just to reshape 512
+    # rows. array_sort on (cid, pos, centroid) structs orders by cid then
+    # pos, so the filtered per-cid slice is already pos-ascending.
+    _CL = (
+        "transform(array_sort(array_distinct(transform(flat, x -> x.cid))), "
+        "c -> struct(c AS cid, transform("
+        "array_sort(filter(flat, x -> x.cid = c)), x -> x.centroid) AS ce))"
+    )
+    carr = (
+        emb.filter(F.col("vec_id") < KMEANS_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.expr("transform(embedding, x -> double(x))").alias("ce"),
+        )
+        .agg(F.collect_list(F.struct("cid", "ce")).alias("cl"))
+    )
     cent_e = None
     for _ in range(KMEANS_ITERS):
-        carr = cent.agg(F.collect_list(F.struct("cid", "ce")).alias("cl"))
         assigned = (
             emb.crossJoin(F.broadcast(carr))
             .select("vec_id", "embedding", F.expr(_BEST).alias("best"))
@@ -580,10 +594,7 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count("*").alias("n_members"),
         )
-        cent = cent_e.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
-                lambda s: s["centroid"],
-            ).alias("ce")
-        )
+        carr = cent_e.agg(
+            F.collect_list(F.struct("cid", "pos", "centroid")).alias("flat")
+        ).select(F.expr(_CL).alias("cl"))
     return cent_e.select("cid", "pos", "centroid", "n_members")

@@ -1,0 +1,105 @@
+"""Reproduce the SURVEY §8 10x scaling measurement.
+
+Builds /tmp/sf_synth_1 — a 10x key-shifted copy of the sf0.1 testdata
+with perturbed payloads (document text gets a per-copy suffix, embedding
+vectors a per-copy epsilon) so dedup/LSH bucket density stays realistic
+instead of every row having 10 identical clones — then times a query set
+at both scales and prints the wall-clock ratios.
+
+Usage:  python scripts/scale_synth.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = "/tmp/sf_synth_1"
+K = 10
+
+DEFAULT_SET = [
+    "q_agg_basic", "q_join_inner", "q_grid_agg", "q_join_5way",
+    "q_dedup_exact", "q_dedup_minhash", "q_text_rarity", "q_scd2",
+    "q_anomaly_zscore", "q_cluster_kmeans", "q_sim_search_lsh",
+    "q_decontaminate", "q_doc_pack",
+]
+
+
+def build() -> None:
+    import duckdb
+
+    os.makedirs(OUT, exist_ok=True)
+    con = duckdb.connect()
+    copies = f"unnest(range(0,{K})) AS t(k)"
+    con.execute(f"""
+    COPY (SELECT doc_id + k*1000000 AS doc_id,
+                 text || ' v' || CAST(k AS VARCHAR)
+                      || repeat(' x' || CAST((doc_id+k)%97 AS VARCHAR), 4)
+                   AS text,
+                 lang, source, n_chars
+          FROM read_parquet('{SRC}/documents.parquet'), {copies})
+    TO '{OUT}/documents.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+    COPY (SELECT vec_id + k*1000000 AS vec_id,
+                 list_transform(embedding, x -> CAST(x + 0.001*k AS FLOAT))
+                   AS embedding,
+                 label
+          FROM read_parquet('{SRC}/embeddings.parquet'), {copies})
+    TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+    COPY (SELECT l_orderkey + k*100000000 AS l_orderkey, l_partkey,
+                 l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+                 l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+          FROM read_parquet('{SRC}/lineitem.parquet'), {copies})
+    TO '{OUT}/lineitem.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+    COPY (SELECT o_orderkey + k*100000000 AS o_orderkey, o_custkey,
+                 o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+          FROM read_parquet('{SRC}/orders.parquet'), {copies})
+    TO '{OUT}/orders.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+    COPY (SELECT event_id + k*100000000 AS event_id, ts,
+                 user_id + k*1000 AS user_id, event_type, value, props
+          FROM read_parquet('{SRC}/events.parquet'), {copies})
+    TO '{OUT}/events.parquet' (FORMAT PARQUET)""")
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        shutil.copy(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if not os.path.exists(f"{OUT}/lineitem.parquet"):
+        build()
+
+    from osmpbf_spark.catalog import all_queries
+    from osmpbf_spark.session import get_spark
+
+    spark = get_spark("scale_synth")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+
+    def mat(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def t_of(q: str, sf_dir: str) -> float:
+        for _ in range(2):
+            mat(qs[q](spark, sf_dir))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            mat(qs[q](spark, sf_dir))
+            ts.append(time.perf_counter() - t0)
+        return round(min(ts), 3)
+
+    names = sys.argv[1:] or DEFAULT_SET
+    for q in names:
+        a, b = t_of(q, SRC), t_of(q, OUT)
+        print(f"{q}: sf0.1={a}s 10x={b}s ratio={round(b / a, 2)}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -187,3 +187,74 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         (dev.cast("double") / F.sqrt(var_n2.cast("double"))).alias("z"),
     )
+
+
+_CUTOFF = "2024-01-25 00:00:00"
+
+
+@query(
+    "q_incr_agg",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS cnt,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_value,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             / COUNT(*) AS avg_value,
+           MAX(value) AS max_value, MIN(value) AS min_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("cdc", "agg"),
+)
+def q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the materialized-view refresh
+    a warehouse runs when a new date partition lands: the standing
+    snapshot (events before {_CUTOFF}) and the fresh delta partition are
+    each reduced to MERGEABLE partial statistics (count, exact
+    integer-cents sum, min, max), then combined with a groups-sized merge
+    — the full history is never re-aggregated together with the delta.
+    The oracle is the FULL recomputation over all events, so a hash match
+    proves the merge algebra (counts add, integer sums add, min/max fold,
+    avg derives from merged sum/count) is exactly lossless.
+
+    Plan: two scans with the ts cutoff PUSHED to parquet (on a
+    date-partitioned lake the snapshot side is the stored MV — zero
+    recompute — and the delta scan touches only the new partition), two
+    partial aggregations, one union, one merge aggregation over
+    #event_types rows. Shuffle volume = group count on both levels,
+    independent of history size. Avg is derived post-merge — averaging
+    averages would be the classic wrong answer; deriving from mergeable
+    sums is the whole point of the exercise.
+    """
+    ev = load(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 100).cast("long")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("cnt"),
+            F.sum(x).alias("cents"),
+            F.max("value").alias("mx"),
+            F.min("value").alias("mn"),
+        )
+
+    snapshot = partial(ev.filter(F.col("ts") < _CUTOFF))
+    delta = partial(ev.filter(F.col("ts") >= _CUTOFF))
+    merged = (
+        snapshot.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("cents").alias("cents"),
+            F.max("mx").alias("max_value"),
+            F.min("mn").alias("min_value"),
+        )
+    )
+    sum_value = F.col("cents").cast("double") / 100.0
+    return merged.select(
+        "event_type",
+        "cnt",
+        sum_value.alias("sum_value"),
+        (sum_value / F.col("cnt")).alias("avg_value"),
+        "max_value",
+        "min_value",
+    )

@@ -209,7 +209,8 @@ _CUTOFF = "2024-01-25 00:00:00"
 def q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance — the materialized-view refresh
     a warehouse runs when a new date partition lands: the standing
-    snapshot (events before {_CUTOFF}) and the fresh delta partition are
+    snapshot (events before the _CUTOFF date, 2024-01-25) and the fresh
+    delta partition are
     each reduced to MERGEABLE partial statistics (count, exact
     integer-cents sum, min, max), then combined with a groups-sized merge
     — the full history is never re-aggregated together with the delta.
@@ -237,8 +238,14 @@ def q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("value").alias("mn"),
         )
 
+    # NULL-ts rows must land in exactly one side or the refresh silently
+    # loses them vs the full recomputation (ts is nullable in the schema;
+    # the oracle's COUNT(*) keeps such rows) — route them to the delta,
+    # where an untimestamped straggler would arrive in practice
     snapshot = partial(ev.filter(F.col("ts") < _CUTOFF))
-    delta = partial(ev.filter(F.col("ts") >= _CUTOFF))
+    delta = partial(
+        ev.filter(F.col("ts").isNull() | (F.col("ts") >= _CUTOFF))
+    )
     merged = (
         snapshot.unionByName(delta)
         .groupBy("event_type")

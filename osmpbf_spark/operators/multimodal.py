@@ -362,7 +362,9 @@ def synthesize_payloads(
             elif mt == "audio":
                 payloads.append(_gen_wav(int(doc_id)))
             else:
-                payloads.append(text.encode("utf-8"))
+                # NULL text (nullable in the schema) -> empty payload,
+                # not an AttributeError that kills the whole job
+                payloads.append((text or "").encode("utf-8"))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].values,

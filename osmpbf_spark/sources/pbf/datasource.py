@@ -232,6 +232,14 @@ class OsmPbfDataSource(DataSource):
     def streamWriter(
         self, schema: StructType, overwrite: bool
     ) -> "OsmPbfStreamWriter":
+        if overwrite:
+            # complete/update output modes ask the sink to truncate per
+            # batch; this sink is append-only (uuid part files + commit
+            # manifest) — silently accepting would accumulate a full
+            # duplicate snapshot per micro-batch
+            raise ValueError(
+                "osmpbf streaming sink supports append output mode only"
+            )
         return OsmPbfStreamWriter(self.options, schema)
 
 

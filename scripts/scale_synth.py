@@ -39,7 +39,10 @@ def build() -> None:
                  text || ' v' || CAST(k AS VARCHAR)
                       || repeat(' x' || CAST((doc_id+k)%97 AS VARCHAR), 4)
                    AS text,
-                 lang, source, n_chars
+                 lang, source,
+                 length(text || ' v' || CAST(k AS VARCHAR)
+                        || repeat(' x' || CAST((doc_id+k)%97 AS VARCHAR), 4))
+                   AS n_chars
           FROM read_parquet('{SRC}/documents.parquet'), {copies})
     TO '{OUT}/documents.parquet' (FORMAT PARQUET)""")
     con.execute(f"""
@@ -62,7 +65,7 @@ def build() -> None:
     TO '{OUT}/orders.parquet' (FORMAT PARQUET)""")
     con.execute(f"""
     COPY (SELECT event_id + k*100000000 AS event_id, ts,
-                 user_id + k*1000 AS user_id, event_type, value, props
+                 user_id + k*10000 AS user_id, event_type, value, props
           FROM read_parquet('{SRC}/events.parquet'), {copies})
     TO '{OUT}/events.parquet' (FORMAT PARQUET)""")
     for t in ("region", "nation", "customer", "supplier", "part"):
@@ -71,7 +74,7 @@ def build() -> None:
 
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    if not os.path.exists(f"{OUT}/lineitem.parquet"):
+    if not os.path.exists(f"{OUT}/events.parquet"):  # last-written = completion marker
         build()
 
     from osmpbf_spark.catalog import all_queries

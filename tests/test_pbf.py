@@ -1172,3 +1172,12 @@ def test_pbf_stream_sink_roundtrip(spark, tmp_path):
     committed = {ln.split("\t")[0] for ln in lines}
     parts = set(pbf_fs.fs_glob(f"{out}/part-*.osm.pbf"))
     assert committed == parts and sum(int(ln.split("\t")[1]) for ln in lines) == 9720
+    # the sink is append-only: complete/update modes (overwrite=True) must
+    # be rejected, not silently accumulate a snapshot per batch
+    import pytest as _pytest
+
+    from osmpbf_spark.sources.pbf.datasource import OsmPbfDataSource
+
+    ds = OsmPbfDataSource(options={"path": out, "primitive": "node"})
+    with _pytest.raises(ValueError, match="append output mode only"):
+        ds.streamWriter(stream.schema, overwrite=True)

@@ -591,7 +591,7 @@ def q_dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("sim"),
-    ).localCheckpoint(eager=True)
+    )
     mask = (1 << SH_CHUNK_W) - 1
     keys = sim.select(
         "doc_id",
@@ -607,19 +607,41 @@ def q_dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk", "ckey"),
     )
-    a = keys.select(
-        F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"),
-        "chunk", "ckey",
+    # Bucket-aggregate pair generation (round 5, the q_dedup_minhash
+    # shape): ONE exchange builds the (chunk, ckey) buckets, candidate
+    # pairs expand in-bucket via two attribute explodes in codegen — the
+    # former self-join shuffled the exploded key stream twice and needed
+    # the signature frame localCheckpoint'ed so the 48 vote columns
+    # wouldn't compute per side; single consumer now, so signing streams
+    # straight from the scan.
+    buckets = keys.groupBy("chunk", "ckey").agg(
+        F.collect_set(F.struct("doc_id", "sim")).alias("ms")
     )
-    b_ = keys.select(
-        F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"),
-        "chunk", "ckey",
+    pairs = (
+        buckets.filter(F.size("ms") > 1)
+        .select("chunk", "ms", F.explode("ms").alias("a"))
+        .select(
+            "chunk",
+            "ms",
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.sim").alias("sim_a"),
+        )
+        .select(
+            "chunk", "doc_a", "sim_a", F.explode("ms").alias("b")
+        )
+        .select(
+            "chunk",
+            "doc_a",
+            "sim_a",
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.sim").alias("sim_b"),
+        )
     )
     # Emit each pair exactly once WITHOUT a distinct exchange: keep a
     # match only at its FIRST equal chunk (all lower chunks must differ).
-    # A codegen filter on the already-joined sims replaces a full
-    # shuffle+dedup of the ~600k-row candidate stream (sf0.1: 3.2s ->
-    # ~2.5s; the saving grows with the match volume at scale).
+    # A codegen filter on the expanded sims replaces a full shuffle+dedup
+    # of the ~600k-row candidate stream (the saving grows with match
+    # volume at scale).
     first_match = F.lit(True)
     for j in range(SH_CHUNKS - 1):
         mask_j = F.lit((1 << SH_CHUNK_W) - 1)
@@ -629,7 +651,7 @@ def q_dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         first_match = first_match & ((F.col("chunk") <= j) | differ_j)
     return (
-        a.join(b_, ["chunk", "ckey"])
+        pairs
         .filter((F.col("doc_a") < F.col("doc_b")) & first_match)
         .select(
             "doc_a",

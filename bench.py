@@ -58,6 +58,25 @@ def main() -> None:
 
     qs = e.queries()
 
+    # JVM presoak: the registry fronts the HEAVY dedup queries (priority
+    # order for the driver's correctness window), so the first timed
+    # entries otherwise run while HotSpot is still tiering Spark's core
+    # scan/exchange/codegen paths and read 1.5-2x high — position noise
+    # in the artifact, not real cost (measured: q_dedup_minhash 2.1s at
+    # suite position 2 vs ~1.1s steady). Three tiny generic jobs tier
+    # those paths once (~2s), after which the per-query adaptive warmup
+    # converges in one pass.
+    presoak = spark.range(0, 2_000_000, numPartitions=16)
+    for _ in range(3):
+        (
+            presoak.selectExpr("id % 1000 AS k", "id AS v")
+            .groupBy("k")
+            .sum("v")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
     # Interleaved warmup: warm each query IMMEDIATELY before timing it.
     # A separated warm-all-then-time-all scheme stops warming anything at
     # this suite size: ~160 plan executions blow through Spark's bounded

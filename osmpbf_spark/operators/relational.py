@@ -454,7 +454,6 @@ def q_join_skew_salt(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "customer")
         .select("c_custkey", "c_mktsegment")
         .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1))))
-        .withColumn("salt", F.col("salt").cast("int"))
     )
     return (
         o.join(c, (o.o_custkey == c.c_custkey) & (o.salt == c.salt))
@@ -597,14 +596,17 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape at scale: one scan feeds the filter (map-only), the dedup
     self-join is prefix-blocked, and the final agg shuffles 5 language
     keys. This is the query a data-curation team actually ships."""
+    from osmpbf_spark.operators.dedup import _with_shingles
+    from osmpbf_spark.operators.textstats import _PROFILES
+
     d = load(spark, sf_dir, "documents")
     wl = F.split(F.lower("text"), " ")
     n_tokens = F.size(F.split("text", " "))
     n_uniq = F.size(F.array_distinct(wl))
+    # same stopword profile as q_text_quality — the pipeline composes the
+    # REGISTERED operators, so the inputs must be shared, not copied
     stop = F.size(
-        F.array_intersect(
-            wl, F.array(F.lit("the"), F.lit("a"), F.lit("of"), F.lit("and"), F.lit("is"))
-        )
+        F.array_intersect(wl, F.array(*[F.lit(s) for s in _PROFILES["en"]]))
     )
     quality = (
         F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
@@ -615,7 +617,7 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "text", n_tokens.alias("n_tokens"),
         F.substring("text", 1, 50).alias("pfx"),
     )
-    kept = _with_shingles_local(kept)
+    kept = _with_shingles(kept)
     a = kept.select(F.col("doc_id").alias("doc_a"), F.col("pfx"), F.col("sh").alias("sh_a"))
     b = kept.select(F.col("doc_id").alias("doc_b"), F.col("pfx"), F.col("sh").alias("sh_b"))
     dupes = (
@@ -633,15 +635,6 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-    )
-
-
-def _with_shingles_local(df: DataFrame) -> DataFrame:
-    """Word-3-gram shingle column (same expression as dedup.py)."""
-    from osmpbf_spark.operators.dedup import _SHINGLES_EXPR
-
-    return df.withColumn("w", F.split(F.lower("text"), " ")).withColumn(
-        "sh", F.expr(_SHINGLES_EXPR)
     )
 
 
@@ -1253,9 +1246,10 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same checkable-surface pattern as q_approx_cd: the sketch estimate
     can't hash-match another engine, so the query emits the EXACT median /
     p90 (hash-compared; integers, so interpolation is bit-identical) plus
-    booleans asserting the sketch landed within rank error +-0.02 (2x the
-    accuracy parameter's 1/1000 guarantee) of the true quantile. A broken
-    sketch fails the oracle itself."""
+    booleans asserting the sketch landed within rank error +-0.02 — a
+    20x margin over the accuracy parameter's 1/1000 guarantee, wide on
+    purpose so only a BROKEN sketch (not sketch-internal tie-breaking)
+    fails the oracle."""
     li = load(spark, sf_dir, "lineitem")
     g = li.groupBy("l_linestatus").agg(
         F.expr(

@@ -16,7 +16,7 @@ real-world accuracy (which this corpus cannot measure).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from osmpbf_spark.catalog import load, query
@@ -206,7 +206,6 @@ def q_text_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     to one task (billions of rows at web scale). The rank column is then a
     window over just the 20 survivors. This is the vocabulary-building
     primitive of a tokenizer-training pipeline."""
-    from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
     top = (
@@ -322,7 +321,6 @@ def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     window exchange, never a global single-task sort; the chunk ids are
     pure integer arithmetic on the cumulative count, exact in both
     engines."""
-    from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
     n_tok = F.size(F.split("text", " "))
@@ -388,7 +386,6 @@ def q_doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-expansion is bounded by ceil(tokens/{PACK_LEN}) + docs, i.e.
     ~corpus/{PACK_LEN} output rows — then one hash aggregation on
     (source, chunk). All integer arithmetic, exact in both engines."""
-    from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
     n_tok = F.size(F.split("text", " "))
@@ -477,7 +474,6 @@ def q_bpe_merge_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(20)
     )
-    from pyspark.sql import Window
 
     wk = Window.orderBy(F.desc("cnt"), F.asc("pair"))
     return cnt.withColumn("rk", F.row_number().over(wk).cast("bigint")).select(
@@ -556,10 +552,14 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition filter (the Gopher/C4-style signals):
     duplicate-3-gram ratio (how much of the doc is repeated phrasing) and
-    top-token concentration (most frequent token / all tokens). Both are
-    per-row JVM HOF expressions — map-only at any scale; the mode count
-    is O(distinct x n) per doc, bounded by doc length, no shuffle. These
-    two ratios are the standard cheap gates before expensive dedup."""
+    top-token concentration (most frequent token / all tokens). The
+    dup-3gram ratio is a per-row JVM HOF expression (map-only); the
+    top-token count deliberately is NOT — the per-row nested-HOF form is
+    O(distinct x n) per doc with the array re-materialized per element
+    (measured 18s at sf0.1), so it runs as explode -> count per
+    (doc, token) -> max per doc: one token-bounded shuffle plus a doc_id
+    join back (see the inline comment). These two ratios are the
+    standard cheap gates before expensive dedup."""
     d = load(spark, sf_dir, "documents").withColumn(
         "w", F.split(F.lower("text"), " ")
     )

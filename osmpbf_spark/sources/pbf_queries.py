@@ -381,7 +381,10 @@ def s_pbf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from osmpbf_spark.sources.pbf.datasource import register
-    from osmpbf_spark.streaming.windows import _scoped_state_partitions
+    from osmpbf_spark.streaming.windows import (
+        _await_or_raise,
+        _scoped_state_partitions,
+    )
 
     ensure_fixture()
     src = _STREAM_SRC_DIR[0]
@@ -414,5 +417,5 @@ def s_pbf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_raise(q)
     return spark.table(name)

@@ -96,6 +96,18 @@ class _scoped_state_partitions:
         return False
 
 
+def _await_or_raise(q, timeout: int = 300) -> None:
+    """awaitTermination returning False means TIMEOUT with the query still
+    running — falling through would hand a partial sink to the caller (and
+    the correctness harness) as if it were the full result. Fail loudly
+    and stop the straggler instead."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name} did not finish within {timeout}s"
+        )
+
+
 def _run_stream_to_parquet(
     spark: SparkSession,
     df,
@@ -128,7 +140,7 @@ def _run_stream_to_parquet(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_raise(q)
     return spark.read.schema(schema).parquet(out_dir)
 
 
@@ -328,7 +340,7 @@ def s_tumble_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_raise(q)
     return spark.table(name)
 
 
@@ -522,7 +534,7 @@ def s_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_raise(q)
     return spark.table(name)
 
 
@@ -576,7 +588,7 @@ def s_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_raise(q)
     return spark.table(name)
 
 

@@ -1255,3 +1255,81 @@ def test_fs_layer_contracts():
         f.close()
         f.close()  # idempotent, must not raise
     assert fs.fs_glob("memory://d/*.pbf") == ["memory://d/a.pbf"]
+
+
+def test_stream_source_tolerates_empty_bootstrap_dir(spark, tmp_path):
+    """Starting readStream on a directory the producer hasn't populated
+    yet must plan empty batches (0 rows), not kill the query — the normal
+    streaming bootstrap order."""
+    from osmpbf_spark.sources.pbf.datasource import register
+
+    src = tmp_path / "empty_dir"
+    src.mkdir()
+    register(spark)
+    stream = (
+        spark.readStream.format("osmpbf")
+        .option("path", str(src))
+        .option("primitive", "node")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pbf_empty_bootstrap")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert spark.table("pbf_empty_bootstrap").count() == 0
+
+
+def test_writer_rejects_changeset_primitive():
+    """Changesets are id-only and write-unsupported: the writer must say
+    so up front, not die in a KeyError mid-plan."""
+    from pyspark.sql.types import StructType
+
+    from osmpbf_spark.sources.pbf.datasource import OsmPbfWriter
+
+    schema = StructType.fromDDL("id long")
+    with pytest.raises(ValueError, match="node|way|relation"):
+        OsmPbfWriter(
+            {"path": "/tmp/x", "primitive": "changeset"}, schema, False
+        )
+
+
+def test_pushdown_bounds_are_conservative_at_float_boundaries(tmp_path):
+    """A pushed lat filter whose float product rounds PAST the exact
+    nanodegree value must not prune the block holding the boundary row.
+    The reader widens bounds by 1 nanodegree, so block stats exactly at
+    the filter value always survive planning."""
+    import numpy as np
+
+    from osmpbf_spark.sources.pbf import encode
+    from osmpbf_spark.sources.pbf.datasource import (
+        OsmPbfPushdownReader,
+        OsmPbfReader,
+    )
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    # find a quantized coordinate where float(lat)*1e9 rounds above the
+    # integer (the ~2.4% class the review measured)
+    lat_nano = None
+    for cand in range(66_996_204_000, 66_996_304_000, 1000):
+        if float(cand / 1e9) * 1e9 > cand:
+            lat_nano = cand
+            break
+    assert lat_nano is not None, "no boundary case in probe range"
+    lat = lat_nano / 1e9
+    p = str(tmp_path / "edge.pbf")
+    encode.write_pbf(
+        p,
+        [{"nodes": {"id": [1], "lat_nano": [lat_nano],
+                    "lon_nano": [0], "tags": [None]}}],
+    )
+    rdr = OsmPbfPushdownReader(
+        {"path": p, "primitive": "node", "filter_pushdown": "true"}, None
+    )
+    rdr.pushFilters([GreaterThanOrEqual(("lat",), lat)])
+    parts = rdr.partitions()
+    rows = sum(b.num_rows for part in parts for b in rdr.read(part))
+    assert rows == 1, "boundary row was pruned at plan time"

@@ -356,6 +356,31 @@ def mh_sig_cols() -> list:
     ]
 
 
+def mh_band_keys(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, k) band-key stream from a signed frame (doc_id +
+    s0..s15): one posexplode over the per-band concat_ws slices. SHARED by
+    q_dedup_minhash and s_dedup_near_stream — both must stay bit-identical
+    to the banding SQL oracle (_mh_band_key_sql), so the construction
+    lives exactly once."""
+    return sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"s{j}").cast("string")
+                            for j in range(b * MH_ROWS, (b + 1) * MH_ROWS)
+                        ],
+                    )
+                    for b in range(MH_BANDS)
+                ]
+            )
+        ).alias("band", "k"),
+    )
+
+
 _MH_SH_SQL = """CASE WHEN len(w) >= 3
       THEN list_distinct(list_transform(range(1, len(w) - 1),
              i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))
@@ -438,23 +463,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hs", F.expr(_MH_HS_EXPR))
         .select("doc_id", *mh_sig_cols())
     )
-    keys = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"s{j}").cast("string")
-                            for j in range(b * MH_ROWS, (b + 1) * MH_ROWS)
-                        ],
-                    )
-                    for b in range(MH_BANDS)
-                ]
-            )
-        ).alias("band", "k"),
-    )
+    keys = mh_band_keys(sig)
     # Bucket-aggregate pair generation (round 5) instead of a (band, k)
     # self-join: ONE exchange builds the buckets, pairs expand in-bucket
     # via two attribute explodes (codegen — no HOF ends up in a Filter),
@@ -467,7 +476,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.collect_set("doc_id").alias("ids")
     )
     cand = (
-        buckets.select("ids", F.explode("ids").alias("doc_a"))
+        # singleton buckets — the majority under LSH — can't pair; gate
+        # them before the explodes (the SimHash twin's shape)
+        buckets.filter(F.size("ids") > 1)
+        .select("ids", F.explode("ids").alias("doc_a"))
         .select("doc_a", F.explode("ids").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()

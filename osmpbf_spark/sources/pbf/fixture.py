@@ -312,19 +312,33 @@ FIXTURE_DIR = os.path.join(
 )
 
 
+# bump whenever the generator's CONTENT or the encoder's wire layout
+# changes: artifact-existence alone can't detect byte changes, so a stale
+# fixtures/ dir would silently serve old bytes (both oracle sides derive
+# from the same stale file, hiding the drift from the hash gate)
+FIXTURE_VERSION = "r05-1"
+
+
 def ensure_fixture(fixture_dir: str = FIXTURE_DIR) -> str:
-    """Generate fixture.osm.pbf + parquet images if absent; return dir.
-    The meta image is checked separately so a fixture dir from before the
-    DenseInfo addition upgrades itself in place."""
+    """Generate fixture.osm.pbf + parquet images if absent OR from an
+    older generator version (the .version stamp makes regeneration
+    deterministic on content changes, not just missing files)."""
     os.makedirs(fixture_dir, exist_ok=True)
     pbf = os.path.join(fixture_dir, "fixture.osm.pbf")
     meta_img = os.path.join(fixture_dir, "osm_nodes_meta.parquet")
     cs_img = os.path.join(fixture_dir, "osm_changesets.parquet")
+    stamp = os.path.join(fixture_dir, ".version")
+    stamped = (
+        open(stamp).read().strip() if os.path.exists(stamp) else None
+    )
     if (
         not os.path.exists(pbf)
         or not os.path.exists(meta_img)
         or not os.path.exists(cs_img)
+        or stamped != FIXTURE_VERSION
     ):
         generate_pbf(pbf)
         write_parquet_images(pbf, fixture_dir)
+        with open(stamp, "w") as f:
+            f.write(FIXTURE_VERSION + "\n")
     return fixture_dir

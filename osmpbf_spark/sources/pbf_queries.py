@@ -349,7 +349,6 @@ _ROUNDTRIP_DIR: list[str | None] = [None]
 
 
 _STREAM_SRC_DIR: list[str | None] = [None]
-_STREAM_SEQ = [0]
 
 
 @query(
@@ -381,10 +380,7 @@ def s_pbf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from osmpbf_spark.sources.pbf.datasource import register
-    from osmpbf_spark.streaming.windows import (
-        _await_or_raise,
-        _scoped_state_partitions,
-    )
+    from osmpbf_spark.streaming.windows import _run_stream_to_memory
 
     ensure_fixture()
     src = _STREAM_SRC_DIR[0]
@@ -407,15 +403,4 @@ def s_pbf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.floor((F.col("lon") + 180) * 2048 / 360)
     ).cast("bigint")
     agg = stream.groupBy(tile.alias("tile")).agg(F.count("*").alias("cnt"))
-    _STREAM_SEQ[0] += 1
-    name = f"s_pbf_stream_{_STREAM_SEQ[0]}"
-    with _scoped_state_partitions(spark):
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_or_raise(q)
-    return spark.table(name)
+    return _run_stream_to_memory(spark, agg, "s_pbf_stream", "complete")

@@ -108,6 +108,44 @@ def _await_or_raise(q, timeout: int = 300) -> None:
         )
 
 
+# last memory-sink table per query prefix, dropped before the next run of
+# the same prefix so repeated bench invocations hold at most ONE
+# complete-mode result table per query in driver memory
+_MEM_SINK_LAST: dict[str, str] = {}
+
+# operator output schemas, declared ONCE: the applyInPandasWithState
+# outputStructType and the sink read-back schema must agree — a drifted
+# read-back schema silently nulls/drops columns on parquet reads
+_LSH_GEN_SCHEMA = "news array<long>, olds array<long>"
+_UPSERT_FEED_SCHEMA = (
+    "user_id long, event_type string, ts_us long, "
+    "event_id long, value double"
+)
+
+
+def _run_stream_to_memory(spark, df, name_prefix: str, mode: str):
+    """Run a streaming frame to completion into a memory sink and return
+    the sink table (complete mode = final state; append = all emissions).
+    Sink policy for the memory-sink twins lives here, exactly like
+    _run_stream_to_parquet does for the file-sink operators."""
+    prev = _MEM_SINK_LAST.get(name_prefix)
+    if prev is not None:
+        spark.catalog.dropTempView(prev)
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"{name_prefix}_{_STREAM_RUN_SEQ[0]}"
+    with _scoped_state_partitions(spark):
+        q = (
+            df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+    _MEM_SINK_LAST[name_prefix] = name
+    return spark.table(name)
+
+
 def _run_stream_to_parquet(
     spark: SparkSession,
     df,
@@ -330,18 +368,7 @@ def s_tumble_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _stream_src(spark, events, f"events:{sf_dir}")
     stream = spark.readStream.schema(events.schema).parquet(src)
     agg = tumbling_agg(stream.withWatermark("ts", LATENESS))
-    _STREAM_RUN_SEQ[0] += 1
-    name = f"s_tumble_stream_{_STREAM_RUN_SEQ[0]}"
-    with _scoped_state_partitions(spark):
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_or_raise(q)
-    return spark.table(name)
+    return _run_stream_to_memory(spark, agg, "s_tumble_stream", "complete")
 
 
 @query(
@@ -524,18 +551,7 @@ def s_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
         ),
     ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
-    _STREAM_RUN_SEQ[0] += 1
-    name = f"s_join_stream_{_STREAM_RUN_SEQ[0]}"
-    with _scoped_state_partitions(spark):
-        q = (
-            joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_or_raise(q)
-    return spark.table(name)
+    return _run_stream_to_memory(spark, joined, "s_join_stream", "append")
 
 
 @query(
@@ -578,18 +594,7 @@ def s_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keep_id"),
         )
     )
-    _STREAM_RUN_SEQ[0] += 1
-    name = f"s_dedup_stream_{_STREAM_RUN_SEQ[0]}"
-    with _scoped_state_partitions(spark):
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_or_raise(q)
-    return spark.table(name)
+    return _run_stream_to_memory(spark, agg, "s_dedup_stream", "complete")
 
 
 def _inc_lsh_pairs(
@@ -671,9 +676,15 @@ def _inc_lsh_pairs(
             ids = np.unique(grp["doc_id"].to_numpy(np.int64))
             old, _ = table.get(bk, (np.empty(0, np.int64), 0))
             new = ids[~np.isin(ids, old)] if old.size else ids
-            if new.size:
+            if new.size and (old.size or new.size > 1):
+                # a first-member SINGLETON bucket can never produce a
+                # pair — emitting its generator row would make the sink
+                # O(arrivals) instead of O(pair-generating events)
+                # (under LSH most buckets are singletons). State still
+                # admits it below, so a later arrival pairs with it.
                 out_new.append(new.tolist())
                 out_old.append(old.tolist())
+            if new.size:
                 old = np.concatenate([old, new])
             table[bk] = (old, now_ms)
         state.update(
@@ -694,7 +705,7 @@ def _inc_lsh_pairs(
     ).groupBy("g")
     gens = grouped.applyInPandasWithState(
         emit,
-        outputStructType="news array<long>, olds array<long>",
+        outputStructType=_LSH_GEN_SCHEMA,
         stateStructType=(
             "ks array<string>, ids array<array<long>>, last_ms array<long>"
         ),
@@ -705,10 +716,7 @@ def _inc_lsh_pairs(
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
     gen = _run_stream_to_parquet(
-        spark,
-        gens,
-        name_prefix,
-        "news array<long>, olds array<long>",
+        spark, gens, name_prefix, _LSH_GEN_SCHEMA,
         state_partitions=state_partitions,
     )
     # codegen pair expansion: new x old (cross-batch) + new x new
@@ -861,8 +869,7 @@ def s_dedup_near_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted candidates."""
     from osmpbf_spark.operators.dedup import (
         _MH_HS_EXPR,
-        MH_BANDS,
-        MH_ROWS,
+        mh_band_keys,
         mh_sig_cols,
     )
 
@@ -880,23 +887,7 @@ def s_dedup_near_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hs", F.expr(_MH_HS_EXPR))
         .select("doc_id", *mh_sig_cols())
     )
-    keys = signed.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"s{j}").cast("string")
-                            for j in range(b * MH_ROWS, (b + 1) * MH_ROWS)
-                        ],
-                    )
-                    for b in range(MH_BANDS)
-                ]
-            )
-        ).alias("band", "k"),
-    ).select(
+    keys = mh_band_keys(signed).select(
         "doc_id",
         F.concat_ws(":", F.col("band").cast("string"), "k").alias("bkey"),
     )
@@ -973,10 +964,7 @@ def _inc_upsert_updates(
     ).groupBy("g")
     updates = grouped.applyInPandasWithState(
         emit,
-        outputStructType=(
-            "user_id long, event_type string, ts_us long, "
-            "event_id long, value double"
-        ),
+        outputStructType=_UPSERT_FEED_SCHEMA,
         stateStructType=(
             "user_id array<long>, event_type array<string>, "
             "ts_us array<long>, event_id array<long>, value array<double>"
@@ -985,11 +973,7 @@ def _inc_upsert_updates(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_stream_to_parquet(
-        spark,
-        updates,
-        name_prefix,
-        "user_id long, event_type string, ts_us long, "
-        "event_id long, value double",
+        spark, updates, name_prefix, _UPSERT_FEED_SCHEMA
     )
 
 

@@ -598,3 +598,124 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.struct("cid", "pos", "centroid")).alias("flat")
         ).select(F.expr(_CL).alias("cl"))
     return cent_e.select("cid", "pos", "centroid", "n_members")
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup: cluster, then prune within-cluster near-dups)
+# ---------------------------------------------------------------------------
+
+SEM_K = 8  # coarse cells — fixture-scale; production uses k ∝ corpus size
+SEM_THRESH = "0.4"  # within-cell cosine prune floor (text, parsed per engine)
+
+
+def _semantic_oracle() -> str:
+    pair_dot = " + ".join(
+        f"CAST(x.embedding[{i}] AS DOUBLE) * CAST(y.embedding[{i}] AS DOUBLE)"
+        for i in range(1, DIM + 1)
+    )
+    return f"""
+    WITH c0 AS (SELECT vec_id AS cid, embedding AS ce
+                FROM embeddings WHERE vec_id < {SEM_K}),
+    a AS (SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_oracle_l2('e.embedding', 'c.ce')},
+                                           c.cid) AS rk
+        FROM embeddings e CROSS JOIN c0 c) WHERE rk = 1),
+    p AS (SELECT * FROM (
+        SELECT x.cid AS cell, x.vec_id AS keeper, y.vec_id AS removed,
+               {pair_dot} AS cos
+        FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+      WHERE cos >= CAST('{SEM_THRESH}' AS DOUBLE))
+    SELECT cell, removed AS removed_id, keeper AS keeper_id, cos FROM (
+      SELECT cell, keeper, removed, cos,
+             ROW_NUMBER() OVER (PARTITION BY removed ORDER BY keeper) AS rk
+      FROM p)
+    WHERE rk = 1
+    """
+
+
+@query("q_dedup_semantic", oracle=_semantic_oracle(), tags=("dedup", "sim"))
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    every embedding to a coarse cluster cell, then prune within-cell
+    near-duplicates — a vector is REMOVED when a lower-id vector in the
+    same cell has cosine ≥ SEM_THRESH; the emitted keeper is the lowest
+    qualifying witness. Pair search never leaves a cell, which is the
+    whole point of the method: clustering bounds the quadratic term to
+    (cell size)², never corpus².
+
+    Cells here are the SEM_K lowest-vec_id seed vectors (the
+    q_cluster_kmeans seeding) and assignment is the kmeans MAP-ONLY
+    shape: one broadcast row holds the whole seed list and argmin is
+    array_min over per-seed (dist, cid) structs — exact squared-L2
+    chains, tie-break on cid, identical to the oracle's ROW_NUMBER. The
+    assignment frame is localCheckpoint'ed because the self-join reads
+    it twice (the q_dedup_embed precedent — without the cut the k·DIM
+    distance folds run once per join side).
+
+    Exactness: assignment distances and the verification dot are the
+    same left-to-right f64 chains as the oracle, the prune filter is on
+    the UNROUNDED cosine (the repo's boundary convention), and the
+    keeper choice is a deterministic ROW_NUMBER — full value oracle for
+    an ANN-family method.
+
+    Scale: with k ∝ corpus (SemDeDup runs ~100k cells on web corpora,
+    from q_cluster_kmeans's centroids instead of raw seeds) the
+    within-cell join key is high-cardinality, so the self-join shuffles
+    evenly and per-task work is (corpus/k)² — constant when k tracks
+    corpus size. The fixture's k=8 keeps the oracle's CROSS JOIN c0
+    cheap; the Spark plan is the scale shape already.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    best = (
+        "array_min(transform(cl, c -> struct("
+        "aggregate(zip_with(embedding, c.ce, "
+        "(x, y) -> (double(x) - double(y)) * (double(x) - double(y))), "
+        "0D, (acc, v) -> acc + v) AS dist, c.cid AS cid)))"
+    )
+    seeds = (
+        emb.filter(F.col("vec_id") < SEM_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.expr("transform(embedding, x -> double(x))").alias("ce"),
+        )
+        .agg(F.collect_list(F.struct("cid", "ce")).alias("cl"))
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "embedding", F.expr(best).alias("b"))
+        .select("vec_id", "embedding", F.col("b.cid").alias("cell"))
+        .localCheckpoint(eager=True)
+    )
+    x = assigned.select(
+        "cell",
+        F.col("vec_id").alias("keeper"),
+        F.col("embedding").alias("ea"),
+    )
+    y = assigned.select(
+        "cell",
+        F.col("vec_id").alias("removed"),
+        F.col("embedding").alias("eb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        x.join(y, "cell")
+        .filter(F.col("keeper") < F.col("removed"))
+        .select("cell", "keeper", "removed", dot.alias("cos"))
+        .filter(F.col("cos") >= F.expr(f"CAST('{SEM_THRESH}' AS DOUBLE)"))
+    )
+    w = Window.partitionBy("removed").orderBy("keeper")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cell",
+            F.col("removed").alias("removed_id"),
+            F.col("keeper").alias("keeper_id"),
+            "cos",
+        )
+    )

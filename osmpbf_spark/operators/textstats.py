@@ -666,3 +666,170 @@ def q_text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rarity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# inverted index (token -> bounded posting list + document frequency)
+# ---------------------------------------------------------------------------
+
+IDX_POSTINGS_CAP = 64  # per-token posting slice surfaced by the query
+IDX_MIN_DF = 2  # singleton tokens are vocabulary noise, not index entries
+
+
+@query(
+    "q_inverted_index",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      unnest(list_distinct(string_split(lower(text), ' ')))
+                        AS token
+               FROM documents),
+    f AS (SELECT token, doc_id FROM t
+          WHERE regexp_matches(token, '^[a-z]+$')),
+    r AS (SELECT token, doc_id,
+                 COUNT(*) OVER (PARTITION BY token) AS dfc,
+                 ROW_NUMBER() OVER (PARTITION BY token
+                                    ORDER BY doc_id) AS rk
+          FROM f)
+    SELECT token, CAST(MAX(dfc) AS BIGINT) AS df,
+           list(doc_id ORDER BY doc_id) AS postings
+    FROM r WHERE rk <= {IDX_POSTINGS_CAP}
+    GROUP BY token HAVING MAX(dfc) >= {IDX_MIN_DF}
+    """,
+    tags=("text",),
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token → exact document frequency + the first
+    IDX_POSTINGS_CAP doc ids ascending — the retrieval/search-side
+    artifact a curation pipeline derives from the same corpus it trains
+    on (BM25 stats, decontamination lookups, duplicate probes).
+
+    Per-document token dedup is MAP-SIDE (array_distinct inside the
+    projection, before explode), so the exchange carries one row per
+    (token, document), never per occurrence. One shuffle on token drives
+    everything: the window computes the exact df and ranks postings, and
+    the groupBy reuses the same partitioning, so no second exchange
+    (window + agg share the token clustering). The posting list is
+    CAPPED before collection — WindowGroupLimit prunes each token's
+    stream to the first 64 doc ids ahead of the sort — because at 100 TB
+    a stop-word's full posting list is itself TB-scale: a real index
+    shards postings into fixed-size blocks exactly like this (df stays
+    exact over ALL postings; only the surfaced slice is bounded, so no
+    collect_list ever holds an unbounded array).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias(
+            "token"
+        ),
+    ).filter(F.col("token").rlike("^[a-z]+$"))
+    w = Window.partitionBy("token")
+    ranked = toks.select(
+        "token",
+        "doc_id",
+        F.count("*").over(w).alias("dfc"),
+        F.row_number().over(w.orderBy("doc_id")).alias("rk"),
+    )
+    return (
+        ranked.filter(F.col("rk") <= IDX_POSTINGS_CAP)
+        .groupBy("token")
+        .agg(
+            F.max("dfc").alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .filter(F.col("df") >= IDX_MIN_DF)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (regex scrub — the curation pass every released corpus runs)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax Java regex and RE2 execute identically
+# (character classes, bounded repetition, \b word boundaries — the same
+# dialect-intersection discipline as the BPE pre-tokenizer, textstats
+# q_text_tokens_bpe).
+_PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PII_PHONE = "\\b555-[0-9]{4}\\b"
+_PII_IP = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+@query(
+    "q_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-01'
+                  || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                  || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.1' AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT) AS n_ips,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IP}', '<IP>', 'g') AS redacted
+    FROM aug
+    """,
+    tags=("text",),
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: count and mask emails, phone numbers, and IPv4
+    addresses — the scrub every released training corpus runs before
+    packing. The synthetic corpus carries no organic PII, so the query
+    first APPENDS deterministic doc_id-derived PII to each document
+    (identically in both engines) and then redacts it; a miscounted or
+    misplaced replacement hash-mismatches, so the oracle checks the real
+    redaction machinery, not a no-op.
+
+    MAP-ONLY: three regexp_replace passes and three match counts per
+    row, all whole-stage codegen — zero shuffles, the ideal 100 TB shape
+    (pure scan→project→write; throughput scales with executors, no
+    exchange anywhere). Patterns stay inside the Java-regex ∩ RE2
+    dialect intersection (classes, bounded reps, word boundaries) with
+    leftmost-first semantics identical across engines — the
+    q_text_tokens_bpe discipline; replacement order (emails first)
+    removes the digit-bearing local parts before the looser IP/phone
+    patterns scan.
+    """
+    d = load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1"),
+    )
+    t = d.select("doc_id", aug.alias("t"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("t", F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_PII_PHONE),
+            F.lit("<PHONE>"),
+        ),
+        F.lit(_PII_IP),
+        F.lit("<IP>"),
+    )
+    return t.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_IP), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        red.alias("redacted"),
+    )

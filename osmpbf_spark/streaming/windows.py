@@ -1026,3 +1026,143 @@ def s_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
     )
+
+
+_ANOM_FEED_SCHEMA = "user_id long, event_id long, value double, z double"
+
+
+def _inc_anomaly_flags(
+    spark: SparkSession, keyed, name_prefix: str, n_groups: int = 32
+) -> DataFrame:
+    """Incremental running-statistics anomaly state: the streaming half of
+    q_anomaly_zscore (operators/cdc.py). ``keyed`` is a stream of
+    (user_id, ts_us, event_id, value, x) rows with x = exact integer
+    cents (rounded SPARK-side so ROUND semantics match the oracle's);
+    per user the operator carries the three sufficient statistics
+    (n, Σx, Σx²) in executor state and emits an event the moment its
+    PREFIX z-score — computed over everything ingested for that user up
+    to and including the event — trips the 3σ gate. The flag predicate
+    is the batch query's pure-integer form ((n·x−s) > 0 ∧ (n·x−s)² >
+    9(n·q−s²)), evaluated in int64 pandas, so no float boundary can
+    disagree with the oracle; the emitted z is one IEEE divide and one
+    correctly-rounded sqrt of exact integers.
+
+    Grouping is KEY-BUCKETED (s_stateful's shape) so dispatch cost
+    tracks buckets, not users; within a bucket everything is vectorized
+    pandas (sorted groupby + cumsum — no per-row Python). State is three
+    int64s per live user, permanent by design (running telemetry
+    statistics ARE the model; age out with an explicit retention stream
+    — at 100 TB: state = #entities × 32 bytes sharded across the fleet's
+    state stores). Emission is O(flagged arrivals). Within a micro-batch
+    arrivals are ordered by (ts_us, event_id) per user, so with an
+    in-order ingest (the file source here delivers the whole fixture as
+    one availableNow batch) the prefix trajectory is deterministic and
+    equals the oracle's running window frame.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    scols = ["user_id", "n", "s", "q"]
+
+    def emit(key, pdfs, state):
+        vals = state.get if state.exists else [[], [], [], []]
+        cur = pd.DataFrame(
+            {c: pd.Series(list(v), dtype="int64") for c, v in zip(scols, vals)}
+        )
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["user_id", "ts_us", "event_id"]
+        )
+        prior = cur.set_index("user_id")
+        uid = pdf["user_id"]
+        n0 = uid.map(prior["n"]).fillna(0).astype("int64")
+        s0 = uid.map(prior["s"]).fillna(0).astype("int64")
+        q0 = uid.map(prior["q"]).fillna(0).astype("int64")
+        g = pdf.groupby("user_id", sort=False)
+        x = pdf["x"].astype("int64")
+        n = (g.cumcount() + 1).astype("int64") + n0
+        s = g["x"].cumsum().astype("int64") + s0
+        q = (x * x).groupby(uid, sort=False).cumsum().astype("int64") + q0
+        dev = n * x - s
+        varn2 = n * q - s * s
+        flag = (dev > 0) & (dev * dev > 9 * varn2)
+        out = pdf.loc[flag, ["user_id", "event_id", "value"]].copy()
+        out["z"] = dev[flag].astype("float64") / np.sqrt(
+            varn2[flag].astype("float64")
+        )
+        # new state: the last (n, s, q) per user seen in this batch,
+        # merged over untouched users carried from prior state
+        tail = pd.DataFrame(
+            {"user_id": uid, "n": n, "s": s, "q": q}
+        ).drop_duplicates("user_id", keep="last")
+        nxt = pd.concat(
+            [cur[~cur["user_id"].isin(tail["user_id"])], tail],
+            ignore_index=True,
+        )
+        state.update(tuple(nxt[c].tolist() for c in scols))
+        if len(out):
+            yield out
+
+    grouped = keyed.withColumn(
+        "g", F.pmod(F.xxhash64("user_id"), F.lit(n_groups))
+    ).groupBy("g")
+    flags = grouped.applyInPandasWithState(
+        emit,
+        outputStructType=_ANOM_FEED_SCHEMA,
+        stateStructType=(
+            "user_id array<long>, n array<long>, s array<long>, q array<long>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_stream_to_parquet(spark, flags, name_prefix, _ANOM_FEED_SCHEMA)
+
+
+@query(
+    "s_anomaly_stream",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, value,
+             CAST(ROUND(value * 100) AS BIGINT) AS x,
+             COUNT(*) OVER w AS n,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS s,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)
+                 * CAST(ROUND(value * 100) AS BIGINT)) OVER w AS q
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING))
+    SELECT user_id, event_id, value,
+           CAST(n * x - s AS DOUBLE)
+             / sqrt(CAST(n * q - s * s AS DOUBLE)) AS z
+    FROM c
+    WHERE n * x - s > 0
+      AND (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
+    """,
+    tags=("stream", "cdc"),
+)
+def s_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING anomaly gate — q_anomaly_zscore's ingest-time twin as a
+    REAL micro-batch execution with a full value oracle: each event is
+    judged against its user's RUNNING statistics at arrival (prefix
+    mean/variance over everything ingested so far, the online form a
+    telemetry tripwire actually runs), not the batch query's full-history
+    statistics. Incremental per-user state (_inc_anomaly_flags: three
+    int64 sufficient statistics via applyInPandasWithState, bucketed)
+    emits a flagged event exactly once, when it arrives, into an
+    append-mode parquet sink. The oracle is the running-window form —
+    each event scored over its (ts, event_id)-ordered prefix — which the
+    deterministic in-order ingest makes exactly the trajectory the state
+    operator walks. NULL-timestamp rows are dropped on both sides: a row
+    with no event time has no place in an arrival-ordered prefix.
+    """
+    events = load(spark, sf_dir, "events")
+    src = _stream_src(spark, events, f"events:{sf_dir}")
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    keyed = stream.filter(F.col("ts").isNotNull()).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "value",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    return _inc_anomaly_flags(spark, keyed, "s_anomaly_stream")

@@ -1,0 +1,43 @@
+"""q_pagerank: oracle parity plus an independent integer-arithmetic
+replication of the 3-iteration trajectory in numpy/python."""
+
+from __future__ import annotations
+
+from osmpbf_spark.catalog import all_queries
+from osmpbf_spark.operators.graph import PR_ITERS, PR_NODES
+from tests.conftest import SF_DIR
+from tests.parity import check_query
+
+all_queries()
+
+
+def test_pagerank_parity_and_trajectory(spark, duck):
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_pagerank")
+    assert len(pdf) == PR_NODES
+
+    # independent replication: same edge derivation, same ppm integer math
+    rows = duck.sql(
+        f"""SELECT DISTINCT user_id % {PR_NODES},
+                   (user_id + 3 * event_id) % {PR_NODES}
+            FROM events
+            WHERE user_id % {PR_NODES} <> (user_id + 3 * event_id) % {PR_NODES}"""
+    ).fetchall()
+    out = {}
+    for s, d in rows:
+        out.setdefault(int(s), []).append(int(d))
+    rank = {n: 1_000_000 for n in range(PR_NODES)}
+    for _ in range(PR_ITERS):
+        recv = {n: 0 for n in range(PR_NODES)}
+        for s, dsts in out.items():
+            c = rank[s] // len(dsts)
+            for d in dsts:
+                recv[d] += c
+        rank = {n: 150_000 + (850_000 * recv[n]) // 1_000_000 for n in recv}
+    got = dict(zip(pdf["node_id"].astype(int), pdf["rank_ppm"].astype(int)))
+    assert got == rank
+
+    # base-floor semantics: a node with no in-edges sits exactly at 0.15
+    sinks = [n for n in range(PR_NODES) if all(n not in v for v in out.values())]
+    for n in sinks:
+        assert got[n] == 150_000
+    assert min(got.values()) >= 150_000

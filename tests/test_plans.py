@@ -343,3 +343,47 @@ def test_bucketed_join_eliminates_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_orders_bkt")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_bkt")
+
+
+def test_pii_redact_is_map_only(spark):
+    """PII redaction is a pure scan→project pipeline: any Exchange in this
+    plan means a shuffle crept into what must stay an embarrassingly
+    parallel scrub at 100 TB."""
+    p = plan_of(spark, "q_pii_redact")
+    assert "Exchange" not in p
+    # `*(1)` = one whole-stage-codegen span covering the entire pipeline
+    assert p.lstrip().startswith("*(1)")
+
+
+def test_inverted_index_single_exchange_and_group_limit(spark):
+    """The index build must ride ONE exchange (window and final agg share
+    the token partitioning) and the posting cap must prune via
+    WindowGroupLimit — losing either re-shuffles or collects unbounded
+    posting lists at scale."""
+    p = plan_of(spark, "q_inverted_index")
+    assert "WindowGroupLimit" in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_pagerank_rank_joins_are_broadcast(spark):
+    """Each PageRank iteration must broadcast the rank vector to the edge
+    list (contribution join) and the contribution sums to the node
+    universe (rank rebuild) — 2 broadcast joins × PR_ITERS, and never a
+    sort-merge join of the bounded edge list."""
+    from osmpbf_spark.operators.graph import PR_ITERS
+
+    p = plan_of(spark, "q_pagerank")
+    assert p.count("BroadcastHashJoin") >= 2 * PR_ITERS
+    assert "SortMergeJoin" not in p
+
+
+def test_dedup_semantic_pairs_join_on_cell(spark):
+    """The within-cell pair search must be an equi-join keyed on the cell
+    id reading the CHECKPOINTED assignment (the k·DIM distance folds run
+    once, during checkpoint materialization — the assignment BNLJ lives
+    in that subplan, not here), and the cosine floor must sit in the
+    join condition so non-qualifying pairs die before the exchange."""
+    p = plan_of(spark, "q_dedup_semantic")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    assert "Scan ExistingRDD" in p  # both join sides read the checkpoint

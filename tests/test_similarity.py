@@ -155,3 +155,36 @@ def test_cluster_kmeans_parity_and_semantics(spark, duck, brute):
     for cid, c in cent.items():
         got = pdf[pdf.cid == cid].sort_values("pos")["centroid"].to_numpy()
         assert np.allclose(got, c, atol=1e-6), f"centroid {cid} drifted"
+
+
+def test_dedup_semantic_parity_and_semantics(spark, duck, brute):
+    """q_dedup_semantic: exact oracle parity plus an independent numpy
+    replication of the SemDeDup decision — seed-cell assignment by L2
+    argmin (cid tie-break) and within-cell lowest-id witness above the
+    cosine floor."""
+    from osmpbf_spark.operators.similarity import SEM_K, SEM_THRESH
+
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_dedup_semantic")
+    assert len(pdf) > 0
+    ids, V = brute
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+    seeds = V[ids < SEM_K]
+    d = ((V[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2)
+    cell = np.argmin(d, axis=1)  # argmin takes the first (lowest cid) tie
+    tau = float(SEM_THRESH)
+    cos = V @ V.T
+    expected = {}
+    for j_idx, j in enumerate(ids):
+        mates = np.where(
+            (cell == cell[j_idx]) & (ids < j) & (cos[j_idx] >= tau - 1e-9)
+        )[0]
+        # re-check at float64 precision only away from the boundary; the
+        # exact boundary is the oracle's job (same chains both engines)
+        mates = [m for m in mates if cos[j_idx, m] >= tau - 1e-9]
+        if mates:
+            expected[int(j)] = int(ids[min(mates)])
+    got = dict(zip(pdf["removed_id"].astype(int), pdf["keeper_id"].astype(int)))
+    # allow boundary wobble only within 1e-9 of tau; fixture sits away
+    assert got == expected
+    assert (pdf["cos"] >= tau - 1e-12).all()

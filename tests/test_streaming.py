@@ -303,3 +303,15 @@ def test_inc_upsert_emits_only_winning_updates(spark, tmp_path):
         .to_dict()
     )
     assert snap == {1: 1.5, 2: 2.5, 3: 3.0}
+
+
+def test_anomaly_stream_parity_and_gate(spark, duck):
+    """s_anomaly_stream: full value parity with the running-window oracle,
+    and every emitted event genuinely sits above the 3σ prefix gate."""
+    from tests.parity import check_query
+
+    pdf, _ = check_query(spark, duck, SF_DIR, "s_anomaly_stream")
+    assert len(pdf) > 0
+    assert (pdf["z"] > 3.0).all()
+    # emit-once: an event is flagged at most once
+    assert pdf["event_id"].is_unique

@@ -265,3 +265,91 @@ def q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_value",
         "min_value",
     )
+
+
+@query(
+    "q_session_funnel",
+    oracle="""
+    WITH a AS (
+      SELECT user_id, event_type, ts,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events),
+    b AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+      FROM a),
+    c AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3
+      FROM b)
+    SELECT user_id, MIN(t1) AS view_ts, MIN(t2) AS click_ts,
+           MIN(t3) AS purchase_ts,
+           CAST(1 + CAST(MIN(t2) IS NOT NULL AS BIGINT)
+                  + CAST(MIN(t3) IS NOT NULL AS BIGINT) AS BIGINT) AS depth
+    FROM c
+    GROUP BY user_id
+    HAVING MIN(t1) IS NOT NULL
+    """,
+    tags=("cdc",),
+)
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis — the product-analytics staple: per user,
+    the earliest 'view', the earliest 'click' STRICTLY AFTER that view,
+    and the earliest 'purchase' strictly after that click, plus the
+    funnel depth reached (1-3). Users who never viewed are out of the
+    funnel. Order dependence is the whole point: a purchase before the
+    first view must not count, which is why this is not three
+    independent GROUP BYs.
+
+    Plan: ONE shuffle on user_id carries everything. The three
+    conditional minima are chained window aggregates over the same
+    partitioning (each depends on the previous step's timestamp, so
+    they are three Window nodes, not one), and the final groupBy reuses
+    the partitioning again — Catalyst plans a single exchange for all
+    four operators. Determinism is free: MIN over timestamps needs no
+    tie-break. At 100 TB the event stream is bucketed by user, making
+    the funnel zero-exchange (the CI-proven bucketed-join/agg shape);
+    per-user state is three timestamps, so no skew concern beyond the
+    usual hot-entity salting.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    a = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    b = a.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    c = b.withColumn("t3", t3)
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.min("t1").alias("view_ts"),
+            F.min("t2").alias("click_ts"),
+            F.min("t3").alias("purchase_ts"),
+        )
+        .filter(F.col("view_ts").isNotNull())
+        .select(
+            "user_id",
+            "view_ts",
+            "click_ts",
+            "purchase_ts",
+            (
+                F.lit(1)
+                + F.col("click_ts").isNotNull().cast("bigint")
+                + F.col("purchase_ts").isNotNull().cast("bigint")
+            )
+            .cast("bigint")
+            .alias("depth"),
+        )
+    )

@@ -833,3 +833,122 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_ips"),
         red.alias("redacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# token co-occurrence lift (PMI without transcendentals)
+# ---------------------------------------------------------------------------
+
+PMI_VOCAB = 100  # co-occurrence vocabulary: top-N tokens by document freq
+PMI_MIN_AB = 5  # minimum co-occurrence support
+
+
+@query(
+    "q_token_pmi",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id,
+                        unnest(list_distinct(string_split(lower(text), ' ')))
+                          AS t
+                 FROM documents),
+    f AS (SELECT doc_id, t FROM tok WHERE regexp_matches(t, '^[a-z]+$')),
+    cnt AS (SELECT t, COUNT(*) AS n FROM f GROUP BY t),
+    voc AS (SELECT t, n FROM (
+        SELECT t, n, ROW_NUMBER() OVER (ORDER BY n DESC, t) AS rk FROM cnt)
+      WHERE rk <= {PMI_VOCAB}),
+    fv AS (SELECT f.doc_id, f.t FROM f JOIN voc ON f.t = voc.t),
+    pr AS (SELECT a.t AS token_a, b.t AS token_b, COUNT(*) AS n_ab
+           FROM fv a JOIN fv b ON a.doc_id = b.doc_id AND a.t < b.t
+           GROUP BY a.t, b.t),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT token_a, token_b, n_ab,
+           (n_ab * n_docs * 1000000) // (va.n * vb.n) AS lift_ppm
+    FROM pr CROSS JOIN nd
+    JOIN voc va ON pr.token_a = va.t
+    JOIN voc vb ON pr.token_b = vb.t
+    WHERE n_ab >= {PMI_MIN_AB}
+    """,
+    tags=("text",),
+)
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence lift over a bounded vocabulary — the PMI-style
+    association score corpus analysis uses for collocation mining and
+    leakage probes, with the log dropped so the score stays in exact
+    integer ppm: lift = P(a,b) / (P(a)·P(b)) = n_ab·n_docs / (n_a·n_b),
+    scaled ×10⁶ and integer-divided (monotone in PMI, so ranking is
+    preserved; transcendental-free, the q_text_rarity discipline).
+
+    The quadratic term is CONTROLLED BY CONSTRUCTION: pairs are only
+    generated within the top-PMI_VOCAB tokens (the standard co-occurrence
+    shape), so per-document fanout is ≤ |vocab ∩ doc|² and the global
+    pair space is ≤ vocab²/2 — independent of corpus size. Plan: one
+    shuffle computes document frequencies, the vocabulary (a top-N over
+    token counts) collapses to a single broadcast row, membership is a
+    map-side array_intersect against the broadcast list, pairs explode
+    JVM-side, and one final shuffle aggregates (a, b) counts; per-token
+    totals re-attach via the same broadcast vocabulary, so the big side
+    shuffles exactly twice (df count + pair count) at any scale. The
+    tokenized corpus is localCheckpoint'ed (executor-local disk) because
+    both the count and pair stages consume it; at 100 TB that cache is
+    corpus-sized — the same spill-to-local-disk tradeoff as the dedup
+    band frames, and recomputing the map-only tokenization instead is
+    the one-line fallback if local disk is the scarcer resource.
+    """
+    d = load(spark, sf_dir, "documents")
+    # eager checkpoint: the tokenized corpus is consumed twice (df counts,
+    # pair generation) — without the cut both consumers re-run the
+    # split+regex scan (measured 1.24s -> 0.94s at sf0.1). NEGATIVE result
+    # kept for the record: generating i<j combinations map-side via nested
+    # transform/slice/flatten HOFs instead of the double explode REGRESSES
+    # (0.94s -> 1.74s, identical results) — the nested HOFs are interpreted
+    # and allocate per-row pair-struct arrays, while two chained Generates
+    # stream through whole-stage codegen; the 2x row overcount of the
+    # explode+filter shape is cheaper than leaving codegen.
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.array_distinct(F.split(F.lower("text"), " ")),
+            lambda t: t.rlike("^[a-z]+$"),
+        ).alias("ts"),
+    ).localCheckpoint(eager=True)
+    cnt = toks.select(F.explode("ts").alias("t")).groupBy("t").agg(
+        F.count("*").alias("n")
+    )
+    # top-N via orderBy().limit() -> TakeOrderedAndProject (per-partition
+    # heap + driver merge of N rows), NOT a global row_number window that
+    # would single-partition the whole vocabulary; the (n desc, t) order
+    # is total, so this equals the oracle's ROW_NUMBER <= N exactly
+    voc = cnt.orderBy(F.desc("n"), "t").limit(PMI_VOCAB).select("t", "n")
+    # single broadcast row carrying the whole vocabulary (token, n) list
+    vrow = voc.agg(F.collect_list(F.struct("t", "n")).alias("vl"))
+    nd = d.agg(F.count("*").alias("n_docs"))
+    pairs = (
+        toks.crossJoin(F.broadcast(vrow))
+        .select(
+            # no array_sort: the a<b pair filter orders pairs by value,
+            # so the intersect's element order is irrelevant
+            F.array_intersect(
+                "ts", F.expr("transform(vl, x -> x.t)")
+            ).alias("vt")
+        )
+        .select(F.explode("vt").alias("token_a"), F.col("vt"))
+        .select("token_a", F.explode("vt").alias("token_b"))
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= PMI_MIN_AB)
+    )
+    va = voc.select(F.col("t").alias("token_a"), F.col("n").alias("na"))
+    vb = voc.select(F.col("t").alias("token_b"), F.col("n").alias("nb"))
+    return (
+        pairs.crossJoin(F.broadcast(nd))
+        .join(F.broadcast(va), "token_a")
+        .join(F.broadcast(vb), "token_b")
+        .select(
+            "token_a",
+            "token_b",
+            "n_ab",
+            F.expr("(n_ab * n_docs * 1000000) div (na * nb)").alias(
+                "lift_ppm"
+            ),
+        )
+    )

@@ -387,3 +387,19 @@ def test_dedup_semantic_pairs_join_on_cell(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
     assert "Scan ExistingRDD" in p  # both join sides read the checkpoint
+
+
+def test_session_funnel_single_exchange(spark):
+    """The three chained conditional-min windows and the final groupBy
+    all share the user_id partitioning — exactly ONE exchange may appear,
+    or the funnel re-shuffles per step at scale."""
+    p = plan_of(spark, "q_session_funnel")
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_token_pmi_vocab_is_heap_topk(spark):
+    """The co-occurrence vocabulary must come from TakeOrderedAndProject
+    (per-partition heap + N-row driver merge), never a global row_number
+    window that single-partitions the whole vocabulary."""
+    p = plan_of(spark, "q_token_pmi")
+    assert "TakeOrderedAndProject" in p

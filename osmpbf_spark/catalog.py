@@ -197,14 +197,14 @@ def all_oracles() -> dict[str, str]:
 #      with the one spill-over (see below) last.
 #   2. the r04-green tail, unchanged since — rotates to the back.
 #
-# 36 tier-0 (19 above + the SEVENTEEN queries round 5 added mid-round,
+# 38 tier-0 (19 above + the NINETEEN queries round 5 added mid-round,
 # which have never had a correctness row and therefore outrank every
 # aged green: q_scd2 / q_merge_upsert / q_anomaly_zscore / q_join_5way /
 # q_text_rarity / q_cluster_kmeans / s_upsert_stream / s_pbf_stream /
 # q_multimodal_decode / q_incr_agg, then the later batches q_pagerank /
 # q_dedup_semantic / q_inverted_index / q_pii_redact / s_anomaly_stream /
-# q_session_funnel / q_token_pmi)
-# + 32 tier-1 = 68 candidates for 50 slots: eighteen tier-1 queries
+# q_session_funnel / q_token_pmi / s_funnel_stream / q_triangle_count)
+# + 32 tier-1 = 70 candidates for 50 slots: twenty tier-1 queries
 # spill to r06, chosen as the most stable of the aged set — each is
 # untouched since its r03 green AND independently re-exercised every
 # round by pytest (s_dedup_stream by tests/test_streaming.py's real
@@ -212,18 +212,22 @@ def all_oracles() -> dict[str, str]:
 # batch twins likewise, s_late additionally by
 # test_stream_watermark_drops_late; q_multimodal_agg by
 # test_text_multimodal's multimodal-tag parity sweep; q_bpe_merge_count,
-# q_text_stats and q_text_lang by test_text_multimodal's text-tag parity
-# sweep; u_udf / u_udaf / u_udtf by tests/test_udfs.py; q_dedup_exact /
-# q_dedup_ngram by tests/test_dedup.py's exact-parity checks;
-# q_sim_search / q_vec_centroid / q_vec_quantize by
-# tests/test_similarity.py's exact-parity checks), so a regression
-# would surface in CI even while their driver rows age one extra round.
+# q_text_stats, q_text_lang and q_text_quality by test_text_multimodal's
+# text-tag parity sweep (q_text_quality also by
+# test_quality_verdict_split) and q_text_token_freq likewise plus its
+# test_token_freq_is_take_ordered plan freeze; u_udf / u_udaf / u_udtf
+# by tests/test_udfs.py; q_dedup_exact / q_dedup_ngram by
+# tests/test_dedup.py's exact-parity checks; q_sim_search /
+# q_vec_centroid / q_vec_quantize by tests/test_similarity.py's
+# exact-parity checks), so a regression would surface in CI even while
+# their driver rows age one extra round.
 _R05_PRIORITY = (
     "q_scd2", "q_merge_upsert", "q_anomaly_zscore",
     "q_join_5way", "q_text_rarity", "q_cluster_kmeans",
     "s_upsert_stream", "s_pbf_stream", "q_multimodal_decode", "q_incr_agg",
     "q_pagerank", "q_dedup_semantic", "q_inverted_index", "q_pii_redact",
     "s_anomaly_stream", "q_session_funnel", "q_token_pmi",
+    "s_funnel_stream", "q_triangle_count",
     "q_pbf_changesets",
     "q_dedup_minhash", "q_dedup_near", "q_decontaminate", "q_doc_pack_chunks",
     "s_dedup_near_stream", "s_dedup_embed_stream",
@@ -274,6 +278,8 @@ _R05_SPILL = (
     "q_vec_quantize",
     "q_text_stats",
     "q_text_lang",
+    "q_text_quality",
+    "q_text_token_freq",
 )
 
 

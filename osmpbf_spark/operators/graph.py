@@ -122,3 +122,94 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select(F.col("id").alias("node_id"), F.col("r").alias("rank_ppm"))
+
+
+def _triangle_oracle() -> str:
+    return f"""
+    WITH d AS (SELECT DISTINCT user_id % {PR_NODES} AS src,
+                      (user_id + 3 * event_id) % {PR_NODES} AS dst
+               FROM events
+               WHERE user_id % {PR_NODES}
+                     <> (user_id + 3 * event_id) % {PR_NODES}),
+    u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM d),
+    deg AS (SELECT n, COUNT(*) AS dg FROM (
+        SELECT a AS n FROM u UNION ALL SELECT b AS n FROM u) GROUP BY n),
+    o AS (SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b)
+                      THEN u.a ELSE u.b END AS s,
+                 CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b)
+                      THEN u.b ELSE u.a END AS t
+          FROM u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b),
+    w AS (SELECT e1.s AS apex, e1.t AS v, e2.t AS wv
+          FROM o e1 JOIN o e2 ON e1.s = e2.s AND e1.t < e2.t),
+    tri AS (SELECT w.apex FROM w
+            JOIN u ON u.a = LEAST(w.v, w.wv) AND u.b = GREATEST(w.v, w.wv))
+    SELECT apex AS node_id, COUNT(*) AS n_triangles
+    FROM tri GROUP BY apex
+    """
+
+
+@query("q_triangle_count", oracle=_triangle_oracle(), tags=("graph",))
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counting over the undirected form of the
+    event-derived link graph — the clustering-coefficient / community
+    -density primitive, implemented as the textbook DEGREE-ORDERED
+    node-iterator (node-iterator++): every undirected edge is oriented
+    from its lower-(degree, id) endpoint to the higher one, wedges are
+    enumerated only at each edge's smaller endpoint, and a triangle is
+    closed by one equi-join of the wedge's outer pair back against the
+    undirected edge set (normalized to (least, greatest) so the closing
+    probe needs no orientation disjunction). Each triangle is counted
+    exactly once, at its orientation-minimal apex.
+
+    Why this shape at 100 TB: orientation bounds per-node wedge fanout
+    by out-degree ≤ O(√m), so total wedge volume is O(m^1.5) instead of
+    Σdeg² — the difference between feasible and not on a power-law web
+    graph, where the highest-degree node alone would otherwise generate
+    deg² wedges. All three joins are equi-joins on edge keys (shuffle =
+    edge volume); the degree table is node-sized and broadcasts here
+    (co-partitioned bucketed join at web scale, like q_pagerank's rank
+    vector). Determinism: counts and degrees are exact integers; the
+    (degree, id) tie-break makes the orientation total.
+    """
+    ev = load(spark, sf_dir, "events")
+    src = (F.col("user_id") % PR_NODES).alias("src")
+    dst = ((F.col("user_id") + 3 * F.col("event_id")) % PR_NODES).alias("dst")
+    und = (
+        ev.select(src, dst)
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed by orientation AND closing join
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("dg"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("dg").alias("dga"))
+    db = deg.select(F.col("n").alias("b"), F.col("dg").alias("dgb"))
+    fwd = (F.col("dga") < F.col("dgb")) | (
+        (F.col("dga") == F.col("dgb")) & (F.col("a") < F.col("b"))
+    )
+    o = (
+        und.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("s"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("t"),
+        )
+    )
+    e1 = o.select(F.col("s").alias("apex"), F.col("t").alias("v"))
+    e2 = o.select(F.col("s").alias("apex"), F.col("t").alias("w"))
+    wedges = e1.join(e2, "apex").filter(F.col("v") < F.col("w"))
+    tri = wedges.join(
+        und,
+        (und["a"] == F.least("v", "w")) & (und["b"] == F.greatest("v", "w")),
+    )
+    return tri.groupBy(F.col("apex").alias("node_id")).agg(
+        F.count("*").alias("n_triangles")
+    )

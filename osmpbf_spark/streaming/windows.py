@@ -1166,3 +1166,176 @@ def s_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("x"),
     )
     return _inc_anomaly_flags(spark, keyed, "s_anomaly_stream")
+
+
+_FUNNEL_BIG = 1 << 62  # "unset" sentinel: larger than any real epoch-micros
+_FUNNEL_FEED_SCHEMA = "user_id long, t1 long, t2 long, t3 long, seq long"
+
+
+def _inc_funnel_updates(
+    spark: SparkSession, keyed, name_prefix: str, n_groups: int = 32
+) -> DataFrame:
+    """Incremental funnel state: the streaming half of q_session_funnel
+    (operators/cdc.py). Per user the operator holds the funnel triple
+    (t1, t2, t3) = earliest view / first later click / first later
+    purchase (micros; sentinel _FUNNEL_BIG = unset) and an update
+    sequence number, and emits a CDC row whenever a micro-batch changes
+    a user's triple. With in-order ingest the triple after each batch
+    equals the batch query over everything ingested — the three-pass
+    merge below is exact, not approximate: t1 only ever decreases, and
+    an in-order prefix means any click/purchase judged against an older
+    (larger-or-equal) t1/t2 would have been rejected then iff it is
+    rejected against the final value now, so folding state and batch
+    through the same min-chain reproduces the full-history funnel
+    without replaying it.
+
+    Grouping is KEY-BUCKETED (s_stateful's shape); within a bucket the
+    merge is three vectorized groupby-min passes — no per-row Python.
+    State is four int64s + a counter per user who ever viewed, emission
+    is O(changed users per batch); a replayed batch changes nothing and
+    emits nothing (idempotent). At 100 TB this is how product-analytics
+    funnels actually run: per-entity state sharded across the fleet,
+    CDC updates feeding the dashboard sink.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    scols = ["user_id", "t1", "t2", "t3", "seq"]
+
+    def emit(key, pdfs, state):
+        vals = state.get if state.exists else [[], [], [], [], []]
+        cur = pd.DataFrame(
+            {c: pd.Series(list(v), dtype="int64") for c, v in zip(scols, vals)}
+        )
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        users = pd.Index(pdf["user_id"].unique(), name="user_id")
+        st = cur.set_index("user_id").reindex(users)
+        st["t1"] = st["t1"].fillna(_FUNNEL_BIG).astype("int64")
+        st["t2"] = st["t2"].fillna(_FUNNEL_BIG).astype("int64")
+        st["t3"] = st["t3"].fillna(_FUNNEL_BIG).astype("int64")
+        st["seq"] = st["seq"].fillna(0).astype("int64")
+
+        def step(prev_col, etype, gate):
+            ev = pdf[pdf["event_type"] == etype]
+            if gate is not None:
+                ev = ev.merge(
+                    gate.rename("gate"), left_on="user_id", right_index=True
+                )
+                ev = ev[ev["ts_us"] > ev["gate"]]
+            m = ev.groupby("user_id")["ts_us"].min().reindex(users)
+            return (
+                pd.concat([prev_col, m], axis=1).min(axis=1).astype("int64")
+            )
+
+        t1n = step(st["t1"], "view", None)
+        t2n = step(st["t2"], "click", t1n.where(t1n < _FUNNEL_BIG))
+        t3n = step(st["t3"], "purchase", t2n.where(t2n < _FUNNEL_BIG))
+        changed = (
+            (t1n != st["t1"]) | (t2n != st["t2"]) | (t3n != st["t3"])
+        ) & (t1n < _FUNNEL_BIG)
+        seqn = st["seq"] + changed.astype("int64")
+        out = pd.DataFrame(
+            {
+                "user_id": users.to_numpy(),
+                "t1": t1n.to_numpy(),
+                "t2": t2n.to_numpy(),
+                "t3": t3n.to_numpy(),
+                "seq": seqn.to_numpy(),
+            }
+        )
+        touched = out[changed.to_numpy()]
+        # next state: merged triples for every user seen or carried
+        carried = cur[~cur["user_id"].isin(users)]
+        nxt = pd.concat([carried, out], ignore_index=True)
+        state.update(tuple(nxt[c].tolist() for c in scols))
+        if len(touched):
+            yield touched
+
+    grouped = keyed.withColumn(
+        "g", F.pmod(F.xxhash64("user_id"), F.lit(n_groups))
+    ).groupBy("g")
+    feed = grouped.applyInPandasWithState(
+        emit,
+        outputStructType=_FUNNEL_FEED_SCHEMA,
+        stateStructType=(
+            "user_id array<long>, t1 array<long>, t2 array<long>, "
+            "t3 array<long>, seq array<long>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_stream_to_parquet(spark, feed, name_prefix, _FUNNEL_FEED_SCHEMA)
+
+
+@query(
+    "s_funnel_stream",
+    oracle="""
+    WITH a AS (
+      SELECT user_id, event_type, ts,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events WHERE ts IS NOT NULL),
+    b AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+      FROM a),
+    c AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3
+      FROM b)
+    SELECT user_id, MIN(t1) AS view_ts, MIN(t2) AS click_ts,
+           MIN(t3) AS purchase_ts,
+           CAST(1 + CAST(MIN(t2) IS NOT NULL AS BIGINT)
+                  + CAST(MIN(t3) IS NOT NULL AS BIGINT) AS BIGINT) AS depth
+    FROM c
+    GROUP BY user_id
+    HAVING MIN(t1) IS NOT NULL
+    """,
+    tags=("stream", "cdc"),
+)
+def s_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING funnel — q_session_funnel's ingest-time twin as a REAL
+    micro-batch execution with a full value oracle: per-user funnel
+    triples update incrementally in executor state (_inc_funnel_updates)
+    and every change emits a CDC row into an append-mode parquet sink.
+    The returned frame compacts the feed to each user's latest triple
+    (max seq — the deterministic update counter carried in state) and
+    derives the depth, which after in-order ingest equals the batch
+    funnel over all events — exactly what the oracle computes. NULL-ts
+    rows are dropped on both sides (no event time ⇒ no place in an
+    ordered funnel; they could never set t1/t2/t3 in the batch form
+    either, so only the oracle's source filter is affected, not its
+    result)."""
+    events = load(spark, sf_dir, "events")
+    src = _stream_src(spark, events, f"events:{sf_dir}")
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    keyed = stream.filter(F.col("ts").isNotNull()).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    feed = _inc_funnel_updates(spark, keyed, "s_funnel_stream")
+    w = Window.partitionBy("user_id").orderBy(F.desc("seq"))
+    big = F.lit(_FUNNEL_BIG).cast("long")
+
+    def ts_col(c):
+        return F.when(F.col(c) < big, F.timestamp_micros(F.col(c)))
+
+    return (
+        feed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            ts_col("t1").alias("view_ts"),
+            ts_col("t2").alias("click_ts"),
+            ts_col("t3").alias("purchase_ts"),
+            (
+                F.lit(1)
+                + (F.col("t2") < big).cast("bigint")
+                + (F.col("t3") < big).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("depth"),
+        )
+    )

@@ -41,3 +41,37 @@ def test_pagerank_parity_and_trajectory(spark, duck):
     for n in sinks:
         assert got[n] == 150_000
     assert min(got.values()) >= 150_000
+
+
+def test_triangle_count_parity_and_replication(spark, duck):
+    """q_triangle_count: oracle parity plus an independent brute-force
+    triangle enumeration (set intersection over the undirected adjacency,
+    no orientation) — totals and per-apex counts must agree with the
+    degree-ordered oriented plan."""
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_triangle_count")
+    assert len(pdf) > 0
+    rows = duck.sql(
+        f"""SELECT DISTINCT LEAST(user_id % {PR_NODES},
+                                  (user_id + 3 * event_id) % {PR_NODES}),
+                   GREATEST(user_id % {PR_NODES},
+                            (user_id + 3 * event_id) % {PR_NODES})
+            FROM events
+            WHERE user_id % {PR_NODES} <> (user_id + 3 * event_id) % {PR_NODES}"""
+    ).fetchall()
+    adj = {}
+    deg = {}
+    for a, b in rows:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for n, s in adj.items():
+        deg[n] = len(s)
+    key = lambda n: (deg[n], n)
+    expected = {}
+    for a, b in rows:
+        for c in adj[a] & adj[b]:
+            apex = min((a, b, c), key=key)
+            expected[apex] = expected.get(apex, 0) + 1
+    # the edge loop visits each triangle once per incident edge (3x)
+    expected = {k: v // 3 for k, v in expected.items() if v}
+    got = dict(zip(pdf["node_id"].astype(int), pdf["n_triangles"].astype(int)))
+    assert got == {k: v for k, v in expected.items() if v}

@@ -33,14 +33,26 @@ _PPM = 1_000_000
 _DAMP_PPM = 850_000
 _BASE_PPM = 150_000
 
+# ONE definition of the event-derived edge list, shared by every graph
+# operator and oracle (changing the derivation means one edit here)
+_EDGE_CTE = f"""SELECT DISTINCT user_id % {PR_NODES} AS src,
+                 (user_id + 3 * event_id) % {PR_NODES} AS dst
+          FROM events
+          WHERE user_id % {PR_NODES} <> (user_id + 3 * event_id) % {PR_NODES}"""
+
+
+def _edges(ev: DataFrame) -> DataFrame:
+    """Distinct directed edges (src, dst), self-loops dropped — the Spark
+    twin of _EDGE_CTE."""
+    src = (F.col("user_id") % PR_NODES).alias("src")
+    dst = ((F.col("user_id") + 3 * F.col("event_id")) % PR_NODES).alias("dst")
+    return ev.select(src, dst).filter(F.col("src") != F.col("dst")).distinct()
+
 
 def _pagerank_oracle() -> str:
     parts = [
         f"""WITH nodes AS (SELECT unnest(range(0, {PR_NODES})) AS id),
-    e AS (SELECT DISTINCT user_id % {PR_NODES} AS src,
-                 (user_id + 3 * event_id) % {PR_NODES} AS dst
-          FROM events
-          WHERE user_id % {PR_NODES} <> (user_id + 3 * event_id) % {PR_NODES}),
+    e AS ({_EDGE_CTE}),
     ed AS (SELECT src, dst, COUNT(*) OVER (PARTITION BY src) AS deg FROM e),
     r0 AS (SELECT id, CAST({_PPM} AS BIGINT) AS r FROM nodes)"""
     ]
@@ -93,12 +105,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan, 3 iterations deep, like q_cluster_kmeans's Lloyd loop.
     """
     ev = load(spark, sf_dir, "events")
-    src = (F.col("user_id") % PR_NODES).alias("src")
-    dst = ((F.col("user_id") + 3 * F.col("event_id")) % PR_NODES).alias("dst")
     edges = (
-        ev.select(src, dst)
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
+        _edges(ev)
         .withColumn("deg", F.count("*").over(Window.partitionBy("src")))
         .localCheckpoint(eager=True)
     )
@@ -126,11 +134,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _triangle_oracle() -> str:
     return f"""
-    WITH d AS (SELECT DISTINCT user_id % {PR_NODES} AS src,
-                      (user_id + 3 * event_id) % {PR_NODES} AS dst
-               FROM events
-               WHERE user_id % {PR_NODES}
-                     <> (user_id + 3 * event_id) % {PR_NODES}),
+    WITH d AS ({_EDGE_CTE}),
     u AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
           FROM d),
     deg AS (SELECT n, COUNT(*) AS dg FROM (
@@ -173,11 +177,8 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (degree, id) tie-break makes the orientation total.
     """
     ev = load(spark, sf_dir, "events")
-    src = (F.col("user_id") % PR_NODES).alias("src")
-    dst = ((F.col("user_id") + 3 * F.col("event_id")) % PR_NODES).alias("dst")
     und = (
-        ev.select(src, dst)
-        .filter(F.col("src") != F.col("dst"))
+        _edges(ev)
         .select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )

@@ -608,10 +608,7 @@ SEM_THRESH = "0.4"  # within-cell cosine prune floor (text, parsed per engine)
 
 
 def _semantic_oracle() -> str:
-    pair_dot = " + ".join(
-        f"CAST(x.embedding[{i}] AS DOUBLE) * CAST(y.embedding[{i}] AS DOUBLE)"
-        for i in range(1, DIM + 1)
-    )
+    pair_dot = _oracle_dot("x.embedding", "y.embedding")
     return f"""
     WITH c0 AS (SELECT vec_id AS cid, embedding AS ce
                 FROM embeddings WHERE vec_id < {SEM_K}),

@@ -684,7 +684,7 @@ IDX_MIN_DF = 2  # singleton tokens are vocabulary noise, not index entries
                         AS token
                FROM documents),
     f AS (SELECT token, doc_id FROM t
-          WHERE regexp_matches(token, '^[a-z]+$')),
+          WHERE regexp_matches(token, '\\A[a-z]+\\z')),
     r AS (SELECT token, doc_id,
                  COUNT(*) OVER (PARTITION BY token) AS dfc,
                  ROW_NUMBER() OVER (PARTITION BY token
@@ -722,7 +722,11 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias(
             "token"
         ),
-    ).filter(F.col("token").rlike("^[a-z]+$"))
+        # \A..\z, not ^..$: Java's $ also matches before a trailing
+        # newline, RE2's does not — \A/\z mean end-of-text in BOTH
+        # dialects, keeping the intersection discipline airtight for
+        # texts that may contain newlines (review r05 finding)
+    ).filter(F.col("token").rlike("\\A[a-z]+\\z"))
     w = Window.partitionBy("token")
     ranked = toks.select(
         "token",
@@ -850,7 +854,7 @@ PMI_MIN_AB = 5  # minimum co-occurrence support
                         unnest(list_distinct(string_split(lower(text), ' ')))
                           AS t
                  FROM documents),
-    f AS (SELECT doc_id, t FROM tok WHERE regexp_matches(t, '^[a-z]+$')),
+    f AS (SELECT doc_id, t FROM tok WHERE regexp_matches(t, '\\A[a-z]+\\z')),
     cnt AS (SELECT t, COUNT(*) AS n FROM f GROUP BY t),
     voc AS (SELECT t, n FROM (
         SELECT t, n, ROW_NUMBER() OVER (ORDER BY n DESC, t) AS rk FROM cnt)
@@ -907,7 +911,8 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.filter(
             F.array_distinct(F.split(F.lower("text"), " ")),
-            lambda t: t.rlike("^[a-z]+$"),
+            # \A..\z: dialect-safe end-of-text anchors (see q_inverted_index)
+            lambda t: t.rlike("\\A[a-z]+\\z"),
         ).alias("ts"),
     ).localCheckpoint(eager=True)
     cnt = toks.select(F.explode("ts").alias("t")).groupBy("t").agg(

@@ -597,6 +597,48 @@ def s_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream_to_memory(spark, agg, "s_dedup_stream", "complete")
 
 
+def _bucketed_state_stream(
+    spark: SparkSession,
+    keyed,
+    bucket_keys: list[str],
+    emit,
+    out_schema: str,
+    state_schema: str,
+    name_prefix: str,
+    n_groups: int = 32,
+    timeout: str = "none",
+    state_partitions: str | None = None,
+) -> DataFrame:
+    """The shared scaffold of every incremental stateful operator here:
+    KEY-BUCKETED grouping (pmod(xxhash64(keys), n_groups) so grouped-map
+    dispatch cost tracks the bucket count, not the key count — the
+    s_stateful shape), append-mode applyInPandasWithState, and the
+    parquet file sink. Operators own only their ``emit`` state logic;
+    ``timeout`` is "ttl" for TTL-aged state (the operator must call
+    state.setTimeoutDuration itself), "none" for permanent state."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    grouped = keyed.withColumn(
+        "g", F.pmod(F.xxhash64(*bucket_keys), F.lit(n_groups))
+    ).groupBy("g")
+    rows = grouped.applyInPandasWithState(
+        emit,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        # append, matching the file sink: emitted rows are final the
+        # moment they're yielded
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout == "ttl"
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+    return _run_stream_to_parquet(
+        spark, rows, name_prefix, out_schema, state_partitions=state_partitions
+    )
+
+
 def _inc_lsh_pairs(
     spark: SparkSession,
     keys: DataFrame,
@@ -700,23 +742,16 @@ def _inc_lsh_pairs(
         if out_new:
             yield pd.DataFrame({"news": out_new, "olds": out_old})
 
-    grouped = keys.withColumn(
-        "g", F.pmod(F.xxhash64("bkey"), F.lit(n_groups))
-    ).groupBy("g")
-    gens = grouped.applyInPandasWithState(
+    gen = _bucketed_state_stream(
+        spark,
+        keys,
+        ["bkey"],
         emit,
-        outputStructType=_LSH_GEN_SCHEMA,
-        stateStructType=(
-            "ks array<string>, ids array<array<long>>, last_ms array<long>"
-        ),
-        # append, matching the file sink: emitted rows are final the
-        # moment they're yielded (a bucket's new-arrival generator is
-        # produced exactly once, by the batch those docs arrive in)
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
-    )
-    gen = _run_stream_to_parquet(
-        spark, gens, name_prefix, _LSH_GEN_SCHEMA,
+        _LSH_GEN_SCHEMA,
+        "ks array<string>, ids array<array<long>>, last_ms array<long>",
+        name_prefix,
+        n_groups=n_groups,
+        timeout="ttl",
         state_partitions=state_partitions,
     )
     # codegen pair expansion: new x old (cross-batch) + new x new
@@ -959,21 +994,16 @@ def _inc_upsert_updates(
         if len(upd):
             yield upd
 
-    grouped = keyed.withColumn(
-        "g", F.pmod(F.xxhash64("user_id", "event_type"), F.lit(n_groups))
-    ).groupBy("g")
-    updates = grouped.applyInPandasWithState(
+    return _bucketed_state_stream(
+        spark,
+        keyed,
+        ["user_id", "event_type"],
         emit,
-        outputStructType=_UPSERT_FEED_SCHEMA,
-        stateStructType=(
-            "user_id array<long>, event_type array<string>, "
-            "ts_us array<long>, event_id array<long>, value array<double>"
-        ),
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-    return _run_stream_to_parquet(
-        spark, updates, name_prefix, _UPSERT_FEED_SCHEMA
+        _UPSERT_FEED_SCHEMA,
+        "user_id array<long>, event_type array<string>, "
+        "ts_us array<long>, event_id array<long>, value array<double>",
+        name_prefix,
+        n_groups=n_groups,
     )
 
 
@@ -1053,7 +1083,12 @@ def _inc_anomaly_flags(
     int64s per live user, permanent by design (running telemetry
     statistics ARE the model; age out with an explicit retention stream
     — at 100 TB: state = #entities × 32 bytes sharded across the fleet's
-    state stores). Emission is O(flagged arrivals). Within a micro-batch
+    state stores). Overflow headroom is the batch query's bound
+    (q_anomaly_zscore docstring: n·(100·max_value)² per entity must stay
+    under 2^63 — numpy wraps silently past that where DuckDB errors, so
+    re-bucket hot entities well before); carried statistics stay int64
+    end to end via fill_value reindexing, never a NaN-upcast float64
+    detour. Emission is O(flagged arrivals). Within a micro-batch
     arrivals are ordered by (ts_us, event_id) per user, so with an
     in-order ingest (the file source here delivers the whole fixture as
     one availableNow batch) the prefix trajectory is deterministic and
@@ -1061,7 +1096,6 @@ def _inc_anomaly_flags(
     """
     import numpy as np
     import pandas as pd
-    from pyspark.sql.streaming.state import GroupStateTimeout
 
     scols = ["user_id", "n", "s", "q"]
 
@@ -1075,9 +1109,19 @@ def _inc_anomaly_flags(
         )
         prior = cur.set_index("user_id")
         uid = pdf["user_id"]
-        n0 = uid.map(prior["n"]).fillna(0).astype("int64")
-        s0 = uid.map(prior["s"]).fillna(0).astype("int64")
-        q0 = uid.map(prior["q"]).fillna(0).astype("int64")
+
+        # reindex with fill_value keeps the carried statistics int64 END
+        # TO END — a .map + fillna would route the whole column through
+        # float64 the moment one user is new (NaN upcast), rounding any
+        # carried Σx/Σx² beyond 2^53 and breaking the integer-gate
+        # exactness this operator advertises (review r05 finding)
+        def carried(col):
+            return pd.Series(
+                prior[col].reindex(uid, fill_value=0).to_numpy(),
+                index=pdf.index,
+            )
+
+        n0, s0, q0 = carried("n"), carried("s"), carried("q")
         g = pdf.groupby("user_id", sort=False)
         x = pdf["x"].astype("int64")
         n = (g.cumcount() + 1).astype("int64") + n0
@@ -1103,19 +1147,16 @@ def _inc_anomaly_flags(
         if len(out):
             yield out
 
-    grouped = keyed.withColumn(
-        "g", F.pmod(F.xxhash64("user_id"), F.lit(n_groups))
-    ).groupBy("g")
-    flags = grouped.applyInPandasWithState(
+    return _bucketed_state_stream(
+        spark,
+        keyed,
+        ["user_id"],
         emit,
-        outputStructType=_ANOM_FEED_SCHEMA,
-        stateStructType=(
-            "user_id array<long>, n array<long>, s array<long>, q array<long>"
-        ),
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        _ANOM_FEED_SCHEMA,
+        "user_id array<long>, n array<long>, s array<long>, q array<long>",
+        name_prefix,
+        n_groups=n_groups,
     )
-    return _run_stream_to_parquet(spark, flags, name_prefix, _ANOM_FEED_SCHEMA)
 
 
 @query(
@@ -1198,7 +1239,6 @@ def _inc_funnel_updates(
     CDC updates feeding the dashboard sink.
     """
     import pandas as pd
-    from pyspark.sql.streaming.state import GroupStateTimeout
 
     scols = ["user_id", "t1", "t2", "t3", "seq"]
 
@@ -1209,11 +1249,21 @@ def _inc_funnel_updates(
         )
         pdf = pd.concat(list(pdfs), ignore_index=True)
         users = pd.Index(pdf["user_id"].unique(), name="user_id")
-        st = cur.set_index("user_id").reindex(users)
-        st["t1"] = st["t1"].fillna(_FUNNEL_BIG).astype("int64")
-        st["t2"] = st["t2"].fillna(_FUNNEL_BIG).astype("int64")
-        st["t3"] = st["t3"].fillna(_FUNNEL_BIG).astype("int64")
-        st["seq"] = st["seq"].fillna(0).astype("int64")
+        prior = cur.set_index("user_id")
+        # reindex with fill_value stays int64 end to end (no NaN upcast —
+        # the same hygiene as _inc_anomaly_flags; here the values are
+        # micros < 2^53 so a float64 detour would still be exact, but
+        # int64 keeps the invariant free of magnitude reasoning). The
+        # min-merge in step() does route through float64 (reindex NaN for
+        # type-absent users), which IS exact for epoch micros.
+        st = pd.DataFrame(
+            {
+                "t1": prior["t1"].reindex(users, fill_value=_FUNNEL_BIG),
+                "t2": prior["t2"].reindex(users, fill_value=_FUNNEL_BIG),
+                "t3": prior["t3"].reindex(users, fill_value=_FUNNEL_BIG),
+                "seq": prior["seq"].reindex(users, fill_value=0),
+            }
+        )
 
         def step(prev_col, etype, gate):
             ev = pdf[pdf["event_type"] == etype]
@@ -1251,20 +1301,17 @@ def _inc_funnel_updates(
         if len(touched):
             yield touched
 
-    grouped = keyed.withColumn(
-        "g", F.pmod(F.xxhash64("user_id"), F.lit(n_groups))
-    ).groupBy("g")
-    feed = grouped.applyInPandasWithState(
+    return _bucketed_state_stream(
+        spark,
+        keyed,
+        ["user_id"],
         emit,
-        outputStructType=_FUNNEL_FEED_SCHEMA,
-        stateStructType=(
-            "user_id array<long>, t1 array<long>, t2 array<long>, "
-            "t3 array<long>, seq array<long>"
-        ),
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        _FUNNEL_FEED_SCHEMA,
+        "user_id array<long>, t1 array<long>, t2 array<long>, "
+        "t3 array<long>, seq array<long>",
+        name_prefix,
+        n_groups=n_groups,
     )
-    return _run_stream_to_parquet(spark, feed, name_prefix, _FUNNEL_FEED_SCHEMA)
 
 
 @query(

@@ -34,6 +34,8 @@ assert qs["s_upsert_stream"](spark, "/root/testdata/sf0.001").count() > 0
 assert qs["s_pbf_stream"](spark, "/root/testdata/sf0.001").count() > 0
 # round-5 streaming anomaly gate: stateful prefix statistics
 assert qs["s_anomaly_stream"](spark, "/root/testdata/sf0.001").count() > 0
+# round-5 streaming funnel: incremental triple state + edge compaction
+assert qs["s_funnel_stream"](spark, "/root/testdata/sf0.001").count() > 0
 assert e.entry(spark).count() > 0
 print("VANILLA_OK")
 spark.stop()

@@ -1268,9 +1268,15 @@ def _inc_funnel_updates(
         def step(prev_col, etype, gate):
             ev = pdf[pdf["event_type"] == etype]
             if gate is not None:
+                # reset_index: when ev is EMPTY (a batch with no events of
+                # this type), the column-on-index merge hands back a frame
+                # whose index is named user_id, and the groupby below then
+                # dies on index/column ambiguity — only the empty path
+                # does this, so single-batch fixtures never see it
+                # (caught by test_inc_funnel_multi_batch_equals_batch)
                 ev = ev.merge(
                     gate.rename("gate"), left_on="user_id", right_index=True
-                )
+                ).reset_index(drop=True)
                 ev = ev[ev["ts_us"] > ev["gate"]]
             m = ev.groupby("user_id")["ts_us"].min().reindex(users)
             return (

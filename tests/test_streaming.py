@@ -315,3 +315,75 @@ def test_anomaly_stream_parity_and_gate(spark, duck):
     assert (pdf["z"] > 3.0).all()
     # emit-once: an event is flagged at most once
     assert pdf["event_id"].is_unique
+
+
+def test_inc_funnel_multi_batch_equals_batch(spark, tmp_path):
+    """_inc_funnel_updates across REAL multiple micro-batches: with
+    in-order ingest the final per-user triple must equal the batch
+    funnel, emissions happen exactly when a triple changes, and a
+    replayed batch emits nothing (idempotent)."""
+    from osmpbf_spark.streaming import windows as W
+
+    src = str(tmp_path / "funnel_src")
+    schema = "user_id long, ts_us long, event_id long, event_type string"
+    # u1 completes the funnel across three batches; u2's purchase PRECEDES
+    # its first view (must not count) and its click@8 precedes the view
+    # too; u3 has only clicks (out of funnel). Batch 4 replays batch 3.
+    batches = [
+        [(1, 10, 1, "view"), (2, 5, 2, "purchase"), (3, 7, 3, "click")],
+        [(2, 10, 4, "view"), (1, 20, 5, "click"), (2, 15, 6, "click")],
+        [(1, 30, 7, "purchase")],
+        [(1, 30, 7, "purchase")],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    feed = W._inc_funnel_updates(spark, stream, "inc_funnel_test").toPandas()
+    BIG = W._FUNNEL_BIG
+    latest = feed.sort_values("seq").drop_duplicates("user_id", keep="last")
+    got = {
+        int(r.user_id): (int(r.t1), int(r.t2), int(r.t3))
+        for r in latest.itertuples()
+    }
+    assert got == {1: (10, 20, 30), 2: (10, 15, BIG)}
+    # emission ledger: u1 changes in batches 1,2,3 (not the replay);
+    # u2 enters the funnel only in batch 2; u3 never
+    assert len(feed) == 4
+    assert feed.groupby("user_id").size().to_dict() == {1: 3, 2: 1}
+
+
+def test_inc_anomaly_multi_batch_prefix(spark, tmp_path):
+    """_inc_anomaly_flags across multiple micro-batches: the 3σ gate must
+    fire on the PREFIX statistics accumulated through executor state —
+    an outlier arriving in a later batch is judged against the carried
+    (n, Σx, Σx²), and in-control arrivals after it stay silent."""
+    from osmpbf_spark.streaming import windows as W
+
+    src = str(tmp_path / "anom_src")
+    schema = "user_id long, ts_us long, event_id long, value double, x long"
+    flat = [(1, t, t, 10.0, 1000) for t in range(1, 13)]  # 12 calm points
+    batches = [flat[:6], flat[6:], [(1, 13, 13, 50.0, 5000)],
+               [(1, 14, 14, 10.0, 1000)]]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    got = W._inc_anomaly_flags(spark, stream, "inc_anom_test").toPandas()
+    # prefix math at the outlier: n=13, s=17000, q=37e6 ->
+    # dev=48000, varn2=192e6, dev^2=2.304e9 > 9*varn2=1.728e9 -> flagged
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert (int(row.user_id), int(row.event_id)) == (1, 13)
+    import math
+    assert abs(row.z - 48000 / math.sqrt(192e6)) < 1e-12

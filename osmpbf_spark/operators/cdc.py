@@ -353,3 +353,101 @@ def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("depth"),
         )
     )
+
+
+@query(
+    "q_resample_locf",
+    oracle="""
+    WITH e AS (SELECT user_id, ts, 0 AS src, event_id, value
+               FROM events WHERE ts IS NOT NULL),
+    b AS (SELECT user_id, date_trunc('hour', MIN(ts)) AS lo,
+                 date_trunc('hour', MAX(ts)) AS hi
+          FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+    g AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                   AS ts
+          FROM b),
+    u AS (SELECT * FROM e
+          UNION ALL
+          SELECT user_id, ts, 1 AS src, CAST(NULL AS BIGINT) AS event_id,
+                 CAST(NULL AS DOUBLE) AS value
+          FROM g),
+    c AS (SELECT user_id, ts, src,
+                 last_value(value IGNORE NULLS)
+                   OVER w AS v,
+                 last_value(event_id IGNORE NULLS)
+                   OVER w AS eid
+          FROM u
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY ts, src, COALESCE(event_id, -1)
+                       ROWS UNBOUNDED PRECEDING))
+    SELECT user_id, ts AS hour_ts, v AS value_locf, eid AS src_event_id
+    FROM c WHERE src = 1
+    """,
+    tags=("cdc",),
+)
+def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling to a regular hourly grid with
+    last-observation-carried-forward — the hypertable/gap-fill primitive
+    a telemetry warehouse serves dashboards from: per entity, one row
+    per hour between its first and last event, each carrying the most
+    recent value at that instant and the id of the event it came from
+    (grid hours before the entity's first event stay NULL — a gap is a
+    fact, not a zero).
+
+    The LOCF itself is the union trick: real events (src=0) and grid
+    points (src=1) interleave in ONE per-entity window ordered by
+    (ts, src, event_id), and last(value, ignorenulls) carries each
+    event's value forward to every later grid row — no as-of join, no
+    per-gap probing; the whole fill is a single running window pass.
+    Plan: two exchanges, both keyed on user_id (the bounds aggregation
+    that sizes each entity's grid, and the fill window); grid
+    generation is sequence()+explode off the tiny bounds frame. At
+    100 TB the stream is date-partitioned and entity-bucketed, making
+    both exchanges bucket-local, and the grid volume is
+    entities × hours — dense output by design, which is why real
+    deployments materialize it incrementally per day partition (the
+    q_incr_agg pattern) rather than re-filling history.
+
+    Exactness: no arithmetic at all — timestamps are exact micros both
+    engines (sequence/generate_series with an exact 1-hour step on
+    hour-truncated bounds land on identical instants), values are
+    carried verbatim, and the (ts, src, event_id) order is total.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    b = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = b.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("ts"),
+        F.lit(1).alias("src"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    u = ev.select(
+        "user_id", "ts", F.lit(0).alias("src"), "event_id", "value"
+    ).unionByName(grid)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "src", F.coalesce("event_id", F.lit(-1)))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.select(
+            "user_id",
+            "ts",
+            "src",
+            F.last("value", ignorenulls=True).over(w).alias("v"),
+            F.last("event_id", ignorenulls=True).over(w).alias("eid"),
+        )
+        .filter(F.col("src") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("hour_ts"),
+            F.col("v").alias("value_locf"),
+            F.col("eid").alias("src_event_id"),
+        )
+    )

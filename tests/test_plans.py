@@ -403,3 +403,12 @@ def test_token_pmi_vocab_is_heap_topk(spark):
     window that single-partitions the whole vocabulary."""
     p = plan_of(spark, "q_token_pmi")
     assert "TakeOrderedAndProject" in p
+
+
+def test_resample_locf_two_exchanges_one_window(spark):
+    """The gap-fill must stay one bounds aggregation + one fill window,
+    both keyed on the entity — exactly two hash exchanges and a single
+    WindowExec; an as-of-join formulation would add a per-gap probe join."""
+    p = plan_of(spark, "q_resample_locf")
+    assert p.count("Exchange hashpartitioning") == 2
+    assert p.count("Window [") == 1

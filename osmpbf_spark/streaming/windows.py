@@ -278,9 +278,9 @@ def s_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_agg(load(spark, sf_dir, "events"))
 
 
-@query(
-    "s_session",
-    oracle=f"""
+# the gaps-and-islands rewrite of session_window semantics — shared by
+# the batch twin (s_session) and the real streaming run (s_session_stream)
+_SESSION_ORACLE = f"""
     WITH o AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
@@ -298,15 +298,37 @@ def s_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(ts) + INTERVAL {GAP} AS session_end,
            COUNT(*) AS n_events
     FROM s GROUP BY user_id, sid
-    """,
-    tags=("stream",),
-)
+    """
+
+
+@query("s_session", oracle=_SESSION_ORACLE, tags=("stream",))
 def s_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows: Spark's session_window merges events within a
     10-minute inactivity gap per user; the oracle is the classic gaps-and-
     islands rewrite (lag -> new-session flag -> running sum -> group), with
     session_end = last event + gap to match Spark's semantics."""
     return session_agg(load(spark, sf_dir, "events"))
+
+
+@query("s_session_stream", oracle=_SESSION_ORACLE, tags=("stream",))
+def s_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL streaming session-window path (not the batch twin):
+    file-stream source -> watermark -> session_window aggregation with
+    MERGING session state -> complete-mode memory sink, availableNow.
+    Complete mode re-emits the converged state, which equals the batch
+    session aggregation — so the same gaps-and-islands oracle
+    hash-checks an actual micro-batch execution of Spark's session-merge
+    state machine (update mode is rejected for session windows by Spark;
+    append mode would drop every session newer than watermark − gap at
+    the stream tail, breaking oracle equality by construction). Complete
+    mode makes this a VERIFICATION HARNESS shape — the 100 TB deployment
+    runs append mode with watermark finalization, where each session
+    emits exactly once, closed, and the memory table is a real sink."""
+    events = load(spark, sf_dir, "events")
+    src = _stream_src(spark, events, f"events:{sf_dir}")
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = session_agg(stream.withWatermark("ts", LATENESS))
+    return _run_stream_to_memory(spark, agg, "s_session_stream", "complete")
 
 
 @query(

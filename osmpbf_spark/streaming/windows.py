@@ -1081,6 +1081,58 @@ def s_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ANOM_FEED_SCHEMA = "user_id long, event_id long, value double, z double"
+_ANOM_SCOLS = ["user_id", "n", "s", "q"]
+
+
+def _anomaly_merge(cur, pdf):
+    """Pure state-merge step of the streaming anomaly gate: fold one
+    micro-batch ``pdf`` (user_id, ts_us, event_id, value, x) over the
+    carried per-user sufficient statistics ``cur`` (user_id, n, s, q —
+    int64) and return (flagged_rows, next_state). Module-level and
+    side-effect-free so tests/test_state_logic.py can property-check it
+    against brute-force prefix recomputation over random batch splits.
+    """
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values(["user_id", "ts_us", "event_id"])
+    prior = cur.set_index("user_id")
+    uid = pdf["user_id"]
+
+    # reindex with fill_value keeps the carried statistics int64 END
+    # TO END — a .map + fillna would route the whole column through
+    # float64 the moment one user is new (NaN upcast), rounding any
+    # carried Σx/Σx² beyond 2^53 and breaking the integer-gate
+    # exactness this operator advertises (review r05 finding)
+    def carried(col):
+        return pd.Series(
+            prior[col].reindex(uid, fill_value=0).to_numpy(),
+            index=pdf.index,
+        )
+
+    n0, s0, q0 = carried("n"), carried("s"), carried("q")
+    g = pdf.groupby("user_id", sort=False)
+    x = pdf["x"].astype("int64")
+    n = (g.cumcount() + 1).astype("int64") + n0
+    s = g["x"].cumsum().astype("int64") + s0
+    q = (x * x).groupby(uid, sort=False).cumsum().astype("int64") + q0
+    dev = n * x - s
+    varn2 = n * q - s * s
+    flag = (dev > 0) & (dev * dev > 9 * varn2)
+    out = pdf.loc[flag, ["user_id", "event_id", "value"]].copy()
+    out["z"] = dev[flag].astype("float64") / np.sqrt(
+        varn2[flag].astype("float64")
+    )
+    # new state: the last (n, s, q) per user seen in this batch,
+    # merged over untouched users carried from prior state
+    tail = pd.DataFrame(
+        {"user_id": uid, "n": n, "s": s, "q": q}
+    ).drop_duplicates("user_id", keep="last")
+    nxt = pd.concat(
+        [cur[~cur["user_id"].isin(tail["user_id"])], tail],
+        ignore_index=True,
+    )
+    return out, nxt
 
 
 def _inc_anomaly_flags(
@@ -1116,55 +1168,16 @@ def _inc_anomaly_flags(
     one availableNow batch) the prefix trajectory is deterministic and
     equals the oracle's running window frame.
     """
-    import numpy as np
     import pandas as pd
 
-    scols = ["user_id", "n", "s", "q"]
+    scols = _ANOM_SCOLS
 
     def emit(key, pdfs, state):
         vals = state.get if state.exists else [[], [], [], []]
         cur = pd.DataFrame(
             {c: pd.Series(list(v), dtype="int64") for c, v in zip(scols, vals)}
         )
-        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
-            ["user_id", "ts_us", "event_id"]
-        )
-        prior = cur.set_index("user_id")
-        uid = pdf["user_id"]
-
-        # reindex with fill_value keeps the carried statistics int64 END
-        # TO END — a .map + fillna would route the whole column through
-        # float64 the moment one user is new (NaN upcast), rounding any
-        # carried Σx/Σx² beyond 2^53 and breaking the integer-gate
-        # exactness this operator advertises (review r05 finding)
-        def carried(col):
-            return pd.Series(
-                prior[col].reindex(uid, fill_value=0).to_numpy(),
-                index=pdf.index,
-            )
-
-        n0, s0, q0 = carried("n"), carried("s"), carried("q")
-        g = pdf.groupby("user_id", sort=False)
-        x = pdf["x"].astype("int64")
-        n = (g.cumcount() + 1).astype("int64") + n0
-        s = g["x"].cumsum().astype("int64") + s0
-        q = (x * x).groupby(uid, sort=False).cumsum().astype("int64") + q0
-        dev = n * x - s
-        varn2 = n * q - s * s
-        flag = (dev > 0) & (dev * dev > 9 * varn2)
-        out = pdf.loc[flag, ["user_id", "event_id", "value"]].copy()
-        out["z"] = dev[flag].astype("float64") / np.sqrt(
-            varn2[flag].astype("float64")
-        )
-        # new state: the last (n, s, q) per user seen in this batch,
-        # merged over untouched users carried from prior state
-        tail = pd.DataFrame(
-            {"user_id": uid, "n": n, "s": s, "q": q}
-        ).drop_duplicates("user_id", keep="last")
-        nxt = pd.concat(
-            [cur[~cur["user_id"].isin(tail["user_id"])], tail],
-            ignore_index=True,
-        )
+        out, nxt = _anomaly_merge(cur, pd.concat(list(pdfs), ignore_index=True))
         state.update(tuple(nxt[c].tolist() for c in scols))
         if len(out):
             yield out
@@ -1233,6 +1246,74 @@ def s_anomaly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FUNNEL_BIG = 1 << 62  # "unset" sentinel: larger than any real epoch-micros
 _FUNNEL_FEED_SCHEMA = "user_id long, t1 long, t2 long, t3 long, seq long"
+_FUNNEL_SCOLS = ["user_id", "t1", "t2", "t3", "seq"]
+
+
+def _funnel_merge(cur, pdf):
+    """Pure state-merge step of the streaming funnel: fold one micro-batch
+    ``pdf`` (user_id, ts_us, event_id, event_type) over the carried
+    triples ``cur`` (user_id, t1, t2, t3, seq — int64, _FUNNEL_BIG =
+    unset) and return (emitted_rows, next_state). The three-pass
+    min-merge is exact under in-order ingest (argument in
+    _inc_funnel_updates' docstring); module-level and side-effect-free
+    so tests/test_state_logic.py can property-check it against the
+    brute-force batch funnel over random batch splits."""
+    import pandas as pd
+
+    users = pd.Index(pdf["user_id"].unique(), name="user_id")
+    prior = cur.set_index("user_id")
+    # reindex with fill_value stays int64 end to end (no NaN upcast —
+    # the same hygiene as _anomaly_merge; here the values are micros
+    # < 2^53 so a float64 detour would still be exact, but int64 keeps
+    # the invariant free of magnitude reasoning). The min-merge in
+    # step() does route through float64 (reindex NaN for type-absent
+    # users), which IS exact for epoch micros.
+    st = pd.DataFrame(
+        {
+            "t1": prior["t1"].reindex(users, fill_value=_FUNNEL_BIG),
+            "t2": prior["t2"].reindex(users, fill_value=_FUNNEL_BIG),
+            "t3": prior["t3"].reindex(users, fill_value=_FUNNEL_BIG),
+            "seq": prior["seq"].reindex(users, fill_value=0),
+        }
+    )
+
+    def step(prev_col, etype, gate):
+        ev = pdf[pdf["event_type"] == etype]
+        if gate is not None:
+            # reset_index: when ev is EMPTY (a batch with no events of
+            # this type), the column-on-index merge hands back a frame
+            # whose index is named user_id, and the groupby below then
+            # dies on index/column ambiguity — only the empty path
+            # does this, so single-batch fixtures never see it
+            # (caught by test_inc_funnel_multi_batch_equals_batch)
+            ev = ev.merge(
+                gate.rename("gate"), left_on="user_id", right_index=True
+            ).reset_index(drop=True)
+            ev = ev[ev["ts_us"] > ev["gate"]]
+        m = ev.groupby("user_id")["ts_us"].min().reindex(users)
+        return pd.concat([prev_col, m], axis=1).min(axis=1).astype("int64")
+
+    t1n = step(st["t1"], "view", None)
+    t2n = step(st["t2"], "click", t1n.where(t1n < _FUNNEL_BIG))
+    t3n = step(st["t3"], "purchase", t2n.where(t2n < _FUNNEL_BIG))
+    changed = ((t1n != st["t1"]) | (t2n != st["t2"]) | (t3n != st["t3"])) & (
+        t1n < _FUNNEL_BIG
+    )
+    seqn = st["seq"] + changed.astype("int64")
+    out = pd.DataFrame(
+        {
+            "user_id": users.to_numpy(),
+            "t1": t1n.to_numpy(),
+            "t2": t2n.to_numpy(),
+            "t3": t3n.to_numpy(),
+            "seq": seqn.to_numpy(),
+        }
+    )
+    touched = out[changed.to_numpy()]
+    # next state: merged triples for every user seen or carried
+    carried = cur[~cur["user_id"].isin(users)]
+    nxt = pd.concat([carried, out], ignore_index=True)
+    return touched, nxt
 
 
 def _inc_funnel_updates(
@@ -1262,69 +1343,16 @@ def _inc_funnel_updates(
     """
     import pandas as pd
 
-    scols = ["user_id", "t1", "t2", "t3", "seq"]
+    scols = _FUNNEL_SCOLS
 
     def emit(key, pdfs, state):
         vals = state.get if state.exists else [[], [], [], [], []]
         cur = pd.DataFrame(
             {c: pd.Series(list(v), dtype="int64") for c, v in zip(scols, vals)}
         )
-        pdf = pd.concat(list(pdfs), ignore_index=True)
-        users = pd.Index(pdf["user_id"].unique(), name="user_id")
-        prior = cur.set_index("user_id")
-        # reindex with fill_value stays int64 end to end (no NaN upcast —
-        # the same hygiene as _inc_anomaly_flags; here the values are
-        # micros < 2^53 so a float64 detour would still be exact, but
-        # int64 keeps the invariant free of magnitude reasoning). The
-        # min-merge in step() does route through float64 (reindex NaN for
-        # type-absent users), which IS exact for epoch micros.
-        st = pd.DataFrame(
-            {
-                "t1": prior["t1"].reindex(users, fill_value=_FUNNEL_BIG),
-                "t2": prior["t2"].reindex(users, fill_value=_FUNNEL_BIG),
-                "t3": prior["t3"].reindex(users, fill_value=_FUNNEL_BIG),
-                "seq": prior["seq"].reindex(users, fill_value=0),
-            }
+        touched, nxt = _funnel_merge(
+            cur, pd.concat(list(pdfs), ignore_index=True)
         )
-
-        def step(prev_col, etype, gate):
-            ev = pdf[pdf["event_type"] == etype]
-            if gate is not None:
-                # reset_index: when ev is EMPTY (a batch with no events of
-                # this type), the column-on-index merge hands back a frame
-                # whose index is named user_id, and the groupby below then
-                # dies on index/column ambiguity — only the empty path
-                # does this, so single-batch fixtures never see it
-                # (caught by test_inc_funnel_multi_batch_equals_batch)
-                ev = ev.merge(
-                    gate.rename("gate"), left_on="user_id", right_index=True
-                ).reset_index(drop=True)
-                ev = ev[ev["ts_us"] > ev["gate"]]
-            m = ev.groupby("user_id")["ts_us"].min().reindex(users)
-            return (
-                pd.concat([prev_col, m], axis=1).min(axis=1).astype("int64")
-            )
-
-        t1n = step(st["t1"], "view", None)
-        t2n = step(st["t2"], "click", t1n.where(t1n < _FUNNEL_BIG))
-        t3n = step(st["t3"], "purchase", t2n.where(t2n < _FUNNEL_BIG))
-        changed = (
-            (t1n != st["t1"]) | (t2n != st["t2"]) | (t3n != st["t3"])
-        ) & (t1n < _FUNNEL_BIG)
-        seqn = st["seq"] + changed.astype("int64")
-        out = pd.DataFrame(
-            {
-                "user_id": users.to_numpy(),
-                "t1": t1n.to_numpy(),
-                "t2": t2n.to_numpy(),
-                "t3": t3n.to_numpy(),
-                "seq": seqn.to_numpy(),
-            }
-        )
-        touched = out[changed.to_numpy()]
-        # next state: merged triples for every user seen or carried
-        carried = cur[~cur["user_id"].isin(users)]
-        nxt = pd.concat([carried, out], ignore_index=True)
         state.update(tuple(nxt[c].tolist() for c in scols))
         if len(touched):
             yield touched

@@ -197,15 +197,15 @@ def all_oracles() -> dict[str, str]:
 #      with the one spill-over (see below) last.
 #   2. the r04-green tail, unchanged since — rotates to the back.
 #
-# 40 tier-0 (19 above + the TWENTY-ONE queries round 5 added mid-round,
+# 41 tier-0 (19 above + the TWENTY-TWO queries round 5 added mid-round,
 # which have never had a correctness row and therefore outrank every
 # aged green: q_scd2 / q_merge_upsert / q_anomaly_zscore / q_join_5way /
 # q_text_rarity / q_cluster_kmeans / s_upsert_stream / s_pbf_stream /
 # q_multimodal_decode / q_incr_agg, then the later batches q_pagerank /
 # q_dedup_semantic / q_inverted_index / q_pii_redact / s_anomaly_stream /
 # q_session_funnel / q_token_pmi / s_funnel_stream / q_triangle_count /
-# q_resample_locf / s_session_stream)
-# + 32 tier-1 = 72 candidates for 50 slots: twenty-two tier-1 queries
+# q_resample_locf / s_session_stream / q_bpe_train)
+# + 32 tier-1 = 73 candidates for 50 slots: twenty-three tier-1 queries
 # spill to r06, chosen as the most stable of the aged set — each is
 # untouched since its r03 green AND independently re-exercised every
 # round by pytest (s_dedup_stream by tests/test_streaming.py's real
@@ -215,8 +215,8 @@ def all_oracles() -> dict[str, str]:
 # test_text_multimodal's multimodal-tag parity sweep; q_bpe_merge_count,
 # q_text_stats, q_text_lang and q_text_quality by test_text_multimodal's
 # text-tag parity sweep (q_text_quality also by
-# test_quality_verdict_split), q_text_fingerprint and q_text_tokens_bpe
-# likewise, and q_text_token_freq likewise plus its
+# test_quality_verdict_split), q_text_fingerprint, q_text_tokens_bpe and
+# q_text_repetition likewise, and q_text_token_freq likewise plus its
 # test_token_freq_is_take_ordered plan freeze; u_udf / u_udaf / u_udtf
 # by tests/test_udfs.py; q_dedup_exact / q_dedup_ngram by
 # tests/test_dedup.py's exact-parity checks; q_sim_search /
@@ -230,7 +230,7 @@ _R05_PRIORITY = (
     "q_pagerank", "q_dedup_semantic", "q_inverted_index", "q_pii_redact",
     "s_anomaly_stream", "q_session_funnel", "q_token_pmi",
     "s_funnel_stream", "q_triangle_count", "q_resample_locf",
-    "s_session_stream",
+    "s_session_stream", "q_bpe_train",
     "q_pbf_changesets",
     "q_dedup_minhash", "q_dedup_near", "q_decontaminate", "q_doc_pack_chunks",
     "s_dedup_near_stream", "s_dedup_embed_stream",
@@ -285,6 +285,7 @@ _R05_SPILL = (
     "q_text_token_freq",
     "q_text_fingerprint",
     "q_text_tokens_bpe",
+    "q_text_repetition",
 )
 
 

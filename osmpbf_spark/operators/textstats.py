@@ -957,3 +957,165 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-round BPE trainer (iterative merges, exact oracle)
+# ---------------------------------------------------------------------------
+
+BPE_TRAIN_ROUNDS = 3
+
+
+def _bpe_train_oracle() -> str:
+    parts = [
+        """
+    WITH w AS (SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS wcnt FROM (
+          SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+        WHERE regexp_matches(t, '\\A[a-z]+\\z') GROUP BY t),
+    s0 AS (SELECT word, wcnt,
+                  unnest(range(1, len(cs) + 1)) AS pos, unnest(cs) AS tok
+           FROM (SELECT word, wcnt, regexp_extract_all(word, '[a-z]') AS cs
+                 FROM w))"""
+    ]
+    prev = "s0"
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        parts.append(f"""
+    c{r} AS (SELECT a, b, CAST(SUM(wcnt) AS BIGINT) AS cnt FROM (
+            SELECT wcnt, tok AS a,
+                   lead(tok) OVER (PARTITION BY word ORDER BY pos) AS b
+            FROM {prev})
+          WHERE b IS NOT NULL AND a <> b GROUP BY a, b),
+    t{r} AS (SELECT a, b, cnt FROM c{r} ORDER BY cnt DESC, a, b LIMIT 1),
+    m{r} AS (SELECT word, wcnt, pos, tok, t{r}.a AS ma, t{r}.b AS mb,
+                    t{r}.cnt AS mc,
+                    COALESCE(tok = t{r}.a
+                             AND lead(tok) OVER (PARTITION BY word
+                                                 ORDER BY pos) = t{r}.b,
+                             FALSE) AS m
+             FROM {prev} CROSS JOIN t{r}),
+    mb{r} AS (SELECT *, COALESCE(lag(m) OVER (PARTITION BY word
+                                              ORDER BY pos), FALSE) AS cons
+              FROM m{r}),
+    s{r} AS (SELECT word, wcnt, pos,
+                    CASE WHEN m THEN tok || mb ELSE tok END AS tok
+             FROM mb{r} WHERE NOT cons),
+    r{r} AS (SELECT {r} AS round, a AS lhs, b AS rhs, cnt AS pair_cnt,
+                    (SELECT CAST(SUM(wcnt) AS BIGINT) FROM s{r})
+                      AS n_tokens_after
+             FROM t{r})""")
+        prev = f"s{r}"
+    body = ",".join(parts)
+    tail = " UNION ALL ".join(
+        f"SELECT * FROM r{r}" for r in range(1, BPE_TRAIN_ROUNDS + 1)
+    )
+    return f"{body}\n    {tail}"
+
+
+@query("q_bpe_train", oracle=_bpe_train_oracle(), tags=("text",))
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE TRAINER — BPE_TRAIN_ROUNDS=3 merge rounds, not just
+    the single pair count of q_bpe_merge_count: each round picks the
+    most frequent adjacent symbol pair (weighted by word frequency,
+    deterministic (cnt desc, pair) tie-break), applies the merge across
+    the whole symbol corpus, and re-counts on the merged symbols — the
+    core loop of tokenizer training, as an ITERATIVE algorithm under the
+    driver's single-SQL oracle (the q_cluster_kmeans / q_pagerank
+    discipline: every round's choice and the post-merge token count
+    hash-match, no "approximately trained" escape hatch).
+
+    The merge application is CLOSED-FORM window algebra, no sequential
+    scan: candidate pairs are restricted to lhs ≠ rhs, and two adjacent
+    matches would need s[i]=rhs=lhs — impossible — so matches never
+    overlap and greedy-left BPE reduces to mark (tok=lhs ∧ next=rhs),
+    drop consumed successors (lag of the mark), concat in place. Runs of
+    a repeated symbol (the one case needing the sequential greedy pass)
+    are excluded from CANDIDACY, a documented deviation some production
+    tokenizers share.
+
+    Plan: the symbol corpus stays EXPLODED (word, wcnt, pos, tok) across
+    rounds — no array rebuild; every window (pair lead, match mark,
+    consume lag) partitions by word, so each round is one corpus
+    exchange for the windows plus a pair-count aggregation whose top-1
+    is TakeOrdered (heap, never a global sort) and broadcasts back as a
+    single row. At 100 TB: words bucket across the fleet, merges are
+    1-row broadcasts, and rounds add lazy plan depth, not driver state —
+    the standard scale shape for tokenizer training on a corpus sample.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word").rlike("\\A[a-z]+\\z"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wcnt"))
+    )
+    frame = words.select(
+        "word",
+        "wcnt",
+        F.posexplode(
+            F.regexp_extract_all("word", F.lit("[a-z]"), F.lit(0))
+        ).alias("pos0", "tok"),
+    ).select("word", "wcnt", (F.col("pos0") + 1).alias("pos"), "tok")
+    wsp = Window.partitionBy("word").orderBy("pos")
+    outs = []
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        cnt = (
+            frame.select(
+                "wcnt",
+                F.col("tok").alias("a"),
+                F.lead("tok").over(wsp).alias("b"),
+            )
+            .filter(F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+            .groupBy("a", "b")
+            .agg(F.sum("wcnt").alias("cnt"))
+        )
+        top = (
+            cnt.orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .select(
+                F.col("a").alias("ma"),
+                F.col("b").alias("mb"),
+                F.col("cnt").alias("mc"),
+            )
+        )
+        j = (
+            frame.crossJoin(F.broadcast(top))
+            .withColumn(
+                "m",
+                F.coalesce(
+                    (F.col("tok") == F.col("ma"))
+                    & (F.lead("tok").over(wsp) == F.col("mb")),
+                    F.lit(False),
+                ),
+            )
+            .withColumn(
+                "cons", F.coalesce(F.lag("m").over(wsp), F.lit(False))
+            )
+        )
+        merged = j.filter(~F.col("cons")).select(
+            "word",
+            "wcnt",
+            "pos",
+            F.when(F.col("m"), F.concat("ma", "mb"))
+            .otherwise(F.col("tok"))
+            .alias("tok"),
+            "ma",
+            "mb",
+            "mc",
+        )
+        stats = (
+            merged.agg(F.sum("wcnt").alias("n_tokens_after"))
+            .crossJoin(F.broadcast(top))
+            .select(
+                F.lit(r).alias("round"),
+                F.col("ma").alias("lhs"),
+                F.col("mb").alias("rhs"),
+                F.col("mc").alias("pair_cnt"),
+                "n_tokens_after",
+            )
+        )
+        outs.append(stats)
+        frame = merged.select("word", "wcnt", "pos", "tok")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -358,7 +358,10 @@ def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_resample_locf",
     oracle="""
-    WITH e AS (SELECT user_id, ts, 0 AS src, event_id, value
+    WITH e AS (SELECT user_id, ts, 0 AS src,
+                      CASE WHEN value IS NOT NULL THEN event_id END
+                        AS event_id,
+                      value
                FROM events WHERE ts IS NOT NULL),
     b AS (SELECT user_id, date_trunc('hour', MIN(ts)) AS lo,
                  date_trunc('hour', MAX(ts)) AS hi
@@ -427,8 +430,19 @@ def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("event_id"),
         F.lit(None).cast("double").alias("value"),
     )
+    # a NULL-valued event must advance NEITHER carried column: nulling its
+    # event_id here makes both last(ignorenulls) windows skip exactly the
+    # same rows, so value_locf and src_event_id can never desynchronize
+    # (review r05 finding: independent windows let a null-value event
+    # update the id while the value still came from an older event)
     u = ev.select(
-        "user_id", "ts", F.lit(0).alias("src"), "event_id", "value"
+        "user_id",
+        "ts",
+        F.lit(0).alias("src"),
+        F.when(F.col("value").isNotNull(), F.col("event_id")).alias(
+            "event_id"
+        ),
+        "value",
     ).unionByName(grid)
     w = (
         Window.partitionBy("user_id")

@@ -41,12 +41,16 @@ _EDGE_CTE = f"""SELECT DISTINCT user_id % {PR_NODES} AS src,
           WHERE user_id % {PR_NODES} <> (user_id + 3 * event_id) % {PR_NODES}"""
 
 
-def _edges(ev: DataFrame) -> DataFrame:
-    """Distinct directed edges (src, dst), self-loops dropped — the Spark
-    twin of _EDGE_CTE."""
+def _edges(ev: DataFrame, dedup: bool = True) -> DataFrame:
+    """Directed edges (src, dst), self-loops dropped — the Spark twin of
+    _EDGE_CTE. ``dedup=False`` skips the directed DISTINCT for callers
+    that immediately re-dedup on a coarser key (q_triangle_count's
+    undirected normalization subsumes it — a second distinct exchange
+    over the full edge multiset would be pure waste)."""
     src = (F.col("user_id") % PR_NODES).alias("src")
     dst = ((F.col("user_id") + 3 * F.col("event_id")) % PR_NODES).alias("dst")
-    return ev.select(src, dst).filter(F.col("src") != F.col("dst")).distinct()
+    e = ev.select(src, dst).filter(F.col("src") != F.col("dst"))
+    return e.distinct() if dedup else e
 
 
 def _pagerank_oracle() -> str:
@@ -178,7 +182,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load(spark, sf_dir, "events")
     und = (
-        _edges(ev)
+        _edges(ev, dedup=False)
         .select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )

@@ -1098,9 +1098,6 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("m"), F.concat("ma", "mb"))
             .otherwise(F.col("tok"))
             .alias("tok"),
-            "ma",
-            "mb",
-            "mc",
         )
         stats = (
             merged.agg(F.sum("wcnt").alias("n_tokens_after"))

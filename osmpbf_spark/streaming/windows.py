@@ -704,7 +704,6 @@ def _inc_lsh_pairs(
     loop, ~3.7s numpy-vectorized in-operator, and ~2.5s in this shape
     (Python touches each bucket once, Arrow moves two small arrays)."""
     import pandas as pd
-    from pyspark.sql.streaming.state import GroupStateTimeout
 
     ttl_ms = ttl_minutes * 60 * 1000
 
@@ -976,7 +975,6 @@ def _inc_upsert_updates(
     pinned in tests/test_streaming.py.
     """
     import pandas as pd
-    from pyspark.sql.streaming.state import GroupStateTimeout
 
     cols = ["user_id", "event_type", "ts_us", "event_id", "value"]
     dtypes = ["int64", "object", "int64", "int64", "float64"]

@@ -197,16 +197,17 @@ def all_oracles() -> dict[str, str]:
 #      with the one spill-over (see below) last.
 #   2. the r04-green tail, unchanged since — rotates to the back.
 #
-# 41 tier-0 (19 above + the TWENTY-TWO queries round 5 added mid-round,
+# 42 tier-0 (19 above + the TWENTY-THREE queries round 5 added mid-round,
 # which have never had a correctness row and therefore outrank every
 # aged green: q_scd2 / q_merge_upsert / q_anomaly_zscore / q_join_5way /
 # q_text_rarity / q_cluster_kmeans / s_upsert_stream / s_pbf_stream /
 # q_multimodal_decode / q_incr_agg, then the later batches q_pagerank /
 # q_dedup_semantic / q_inverted_index / q_pii_redact / s_anomaly_stream /
 # q_session_funnel / q_token_pmi / s_funnel_stream / q_triangle_count /
-# q_resample_locf / s_session_stream / q_bpe_train)
-# + 32 tier-1 = 73 candidates for 50 slots: twenty-three tier-1 queries
-# spill to r06, chosen as the most stable of the aged set — each is
+# q_resample_locf / s_session_stream / q_bpe_train / s_enrich_stream)
+# + 32 tier-1 = 74 candidates for 50 slots: twenty-four tier-1 queries
+# spill to r06 (q_mix_sources joining via the text-tag parity sweep),
+# chosen as the most stable of the aged set — each is
 # untouched since its r03 green AND independently re-exercised every
 # round by pytest (s_dedup_stream by tests/test_streaming.py's real
 # streaming run; s_tumble / s_slide / s_session / s_late / s_time_rollup
@@ -230,7 +231,7 @@ _R05_PRIORITY = (
     "q_pagerank", "q_dedup_semantic", "q_inverted_index", "q_pii_redact",
     "s_anomaly_stream", "q_session_funnel", "q_token_pmi",
     "s_funnel_stream", "q_triangle_count", "q_resample_locf",
-    "s_session_stream", "q_bpe_train",
+    "s_session_stream", "q_bpe_train", "s_enrich_stream",
     "q_pbf_changesets",
     "q_dedup_minhash", "q_dedup_near", "q_decontaminate", "q_doc_pack_chunks",
     "s_dedup_near_stream", "s_dedup_embed_stream",
@@ -286,6 +287,7 @@ _R05_SPILL = (
     "q_text_fingerprint",
     "q_text_tokens_bpe",
     "q_text_repetition",
+    "q_mix_sources",
 )
 
 

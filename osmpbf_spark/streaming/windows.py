@@ -1440,3 +1440,47 @@ def s_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("depth"),
         )
     )
+
+
+@query(
+    "s_enrich_stream",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.value, c.c_name, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    tags=("stream",),
+)
+def s_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC dimension enrichment — the remaining streaming join
+    shape after s_join_stream's stream-stream interval join: the event
+    stream joins a BATCH dimension table (customer) inside each
+    micro-batch. The join is STATELESS (no watermark state — the static
+    side is re-resolved per batch), so the query runs append-mode into
+    the parquet file sink and the plain-join oracle hash-checks the
+    whole enriched feed.
+
+    Plan: Catalyst broadcasts the dimension into the streaming join
+    (BroadcastHashJoin inside every micro-batch) — exactly the 100 TB
+    enrichment pattern: the dim snapshot ships to executors once per
+    trigger, the stream never shuffles, and a dim refresh lands on the
+    next batch with no state migration. A dimension too large to
+    broadcast becomes the bucketed stream-static sort-merge join, same
+    code."""
+    events = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    src = _stream_src(spark, events, f"events:{sf_dir}")
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    enriched = (
+        stream.select("event_id", "user_id", "value")
+        .join(F.broadcast(cust), stream["user_id"] == cust["c_custkey"])
+        .select("event_id", "user_id", "value", "c_name", "c_mktsegment")
+    )
+    return _run_stream_to_parquet(
+        spark,
+        enriched,
+        "s_enrich_stream",
+        "event_id long, user_id long, value double, "
+        "c_name string, c_mktsegment string",
+    )

@@ -412,3 +412,24 @@ def test_resample_locf_two_exchanges_one_window(spark):
     p = plan_of(spark, "q_resample_locf")
     assert p.count("Exchange hashpartitioning") == 2
     assert p.count("Window [") == 1
+
+
+def test_triangle_count_shape(spark):
+    """Triangle counting must read the checkpointed undirected edge list
+    (built once, consumed by orientation AND the closing join), broadcast
+    the node-sized degree table, and never degrade to a cartesian
+    product."""
+    p = plan_of(spark, "q_triangle_count")
+    assert "Scan ExistingRDD" in p
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_bpe_train_topk_is_heap_per_round(spark):
+    """Each BPE round's winning pair must come from TakeOrderedAndProject
+    (per-partition heap + 1-row merge), one per round — a global sort of
+    the pair-count table would single-task the vocabulary at scale."""
+    from osmpbf_spark.operators.textstats import BPE_TRAIN_ROUNDS
+
+    p = plan_of(spark, "q_bpe_train")
+    assert p.count("TakeOrderedAndProject") >= BPE_TRAIN_ROUNDS

@@ -197,20 +197,23 @@ def all_oracles() -> dict[str, str]:
 #      with the one spill-over (see below) last.
 #   2. the r04-green tail, unchanged since — rotates to the back.
 #
-# 43 tier-0 (20 above + the TWENTY-THREE queries round 5 added mid-round,
+# 45 tier-0 (20 above + the TWENTY-FIVE queries round 5 added mid-round,
 # which have never had a correctness row and therefore outrank every
 # aged green: q_scd2 / q_merge_upsert / q_anomaly_zscore / q_join_5way /
 # q_text_rarity / q_cluster_kmeans / s_upsert_stream / s_pbf_stream /
 # q_multimodal_decode / q_incr_agg, then the later batches q_pagerank /
 # q_dedup_semantic / q_inverted_index / q_pii_redact / s_anomaly_stream /
 # q_session_funnel / q_token_pmi / s_funnel_stream / q_triangle_count /
-# q_resample_locf / s_session_stream / q_bpe_train / s_enrich_stream;
-# plus q_dedup_simhash_exact, r04-green but r05-reshaped)
-# + 32 tier-1 = 75 candidates for 50 slots: twenty-four tier-1 queries
-# spill to r06 (q_mix_sources joining via the text-tag parity sweep)
-# and s_join_stream overflows to the tail of tier 1 (re-exercised every
-# round by test_streaming.py's stream-tag parity sweep), chosen as the
-# most stable of the aged set — each is
+# q_resample_locf / s_session_stream / q_bpe_train / s_enrich_stream /
+# q_profile / s_tumble_append; plus q_dedup_simhash_exact, r04-green but
+# r05-reshaped)
+# + 32 tier-1 = 77 candidates for 50 slots: twenty-seven tier-1 queries
+# spill to r06 (q_mix_sources joining via the text-tag parity sweep;
+# q_array_hof / q_window_ntile / q_approx_percentile via
+# test_relational.py's exact-parity sweep, the latter also by its
+# rank-error pytest) and s_join_stream overflows to the tail of tier 1
+# (re-exercised every round by test_streaming.py's stream-tag parity
+# sweep), chosen as the most stable of the aged set — each is
 # untouched since its r03 green AND independently re-exercised every
 # round by pytest (s_dedup_stream by tests/test_streaming.py's real
 # streaming run; s_tumble / s_slide / s_session / s_late / s_time_rollup
@@ -235,6 +238,7 @@ _R05_PRIORITY = (
     "s_anomaly_stream", "q_session_funnel", "q_token_pmi",
     "s_funnel_stream", "q_triangle_count", "q_resample_locf",
     "s_session_stream", "q_bpe_train", "s_enrich_stream",
+    "q_profile", "s_tumble_append",
     "q_pbf_changesets",
     "q_dedup_minhash", "q_dedup_near", "q_decontaminate", "q_doc_pack_chunks",
     "q_dedup_simhash_exact",  # r05-reshaped (bucket-agg pair expansion):
@@ -294,6 +298,9 @@ _R05_SPILL = (
     "q_text_tokens_bpe",
     "q_text_repetition",
     "q_mix_sources",
+    "q_array_hof",
+    "q_window_ntile",
+    "q_approx_percentile",
 )
 
 

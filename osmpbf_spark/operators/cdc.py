@@ -465,3 +465,77 @@ def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("eid").alias("src_event_id"),
         )
     )
+
+
+_PROFILE_COLS = (
+    # (column, value expression both engines agree on as a string cast)
+    ("l_orderkey", "l_orderkey"),
+    ("l_linenumber", "l_linenumber"),
+    ("l_returnflag", "l_returnflag"),
+    # timestamps truncate to DATE before the string cast: date text is
+    # 'YYYY-MM-DD' in both engines, while raw timestamp-to-string risks
+    # fractional-second formatting differences
+    ("l_shipdate", "CAST(l_shipdate AS DATE)"),
+)
+
+
+def _profile_oracle() -> str:
+    aggs, rows = [], []
+    for i, (name, expr) in enumerate(_PROFILE_COLS):
+        aggs.append(
+            f"CAST(SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS nn{i}, COUNT(DISTINCT {name}) AS nd{i},"
+            f" CAST(MIN({expr}) AS VARCHAR) AS mn{i},"
+            f" CAST(MAX({expr}) AS VARCHAR) AS mx{i}"
+        )
+        rows.append(
+            f"SELECT '{name}' AS col_name, n_rows, nn{i} AS n_nulls,"
+            f" nd{i} AS n_distinct, mn{i} AS min_str, mx{i} AS max_str FROM a"
+        )
+    return f"""
+    WITH a AS (SELECT COUNT(*) AS n_rows, {", ".join(aggs)} FROM lineitem)
+    {" UNION ALL ".join(rows)}
+    """
+
+
+@query("q_profile", oracle=_profile_oracle(), tags=("cdc", "agg"))
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling — the ANALYZE TABLE / data-quality summary a
+    warehouse maintains per table: for each profiled column, exact null
+    count, exact distinct count, and min/max rendered as strings (dates
+    truncated to day so the text form is dialect-stable), alongside the
+    table row count.
+
+    ONE PASS over the table computes every statistic — a single
+    aggregation node holds all 4×4+1 aggregate expressions, and the
+    per-column result rows come from a stack() unpivot of the single
+    output row, so the plan never scans per column (the naive form runs
+    #columns full scans). The multi-DISTINCT aggregate plans Spark's
+    Expand (row ×4 for the four distinct keys) with partial aggregation
+    below the exchange — shuffle volume is the distinct-value counts,
+    not the table. At 100 TB: profiling switches the distinct counts to
+    approx_count_distinct (HLL sketches, q_approx_cd's shape) to drop
+    the Expand — exact here because the oracle must hash-match, and the
+    fixture makes exact affordable.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("n_rows")]
+    for i, (name, expr) in enumerate(_PROFILE_COLS):
+        aggs += [
+            F.sum(F.col(name).isNull().cast("long")).alias(f"nn{i}"),
+            F.countDistinct(name).alias(f"nd{i}"),
+            F.expr(f"CAST(MIN({expr}) AS STRING)").alias(f"mn{i}"),
+            F.expr(f"CAST(MAX({expr}) AS STRING)").alias(f"mx{i}"),
+        ]
+    one = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{name}', nn{i}, nd{i}, mn{i}, mx{i}"
+        for i, (name, _) in enumerate(_PROFILE_COLS)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+            "(col_name, n_nulls, n_distinct, min_str, max_str)"
+        ),
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")

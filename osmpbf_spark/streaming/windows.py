@@ -79,11 +79,23 @@ class _scoped_state_partitions:
         "spark.sql.streaming.noDataMicroBatches.enabled": "false",
     }
 
-    def __init__(self, spark: SparkSession, state_partitions: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_partitions: str | None = None,
+        no_data_batches: bool = False,
+    ):
         self.spark = spark
         self.confs = dict(self._CONFS)
         if state_partitions is not None:
             self.confs["spark.sql.shuffle.partitions"] = state_partitions
+        if no_data_batches:
+            # append-mode window finalization NEEDS the trailing no-data
+            # batch: it advances the watermark past the last window end
+            # and flushes finalized windows (see class docstring)
+            self.confs["spark.sql.streaming.noDataMicroBatches.enabled"] = (
+                "true"
+            )
 
     def __enter__(self):
         self.prev = {k: self.spark.conf.get(k) for k in self.confs}
@@ -123,17 +135,21 @@ _UPSERT_FEED_SCHEMA = (
 )
 
 
-def _run_stream_to_memory(spark, df, name_prefix: str, mode: str):
+def _run_stream_to_memory(
+    spark, df, name_prefix: str, mode: str, no_data_batches: bool = False
+):
     """Run a streaming frame to completion into a memory sink and return
     the sink table (complete mode = final state; append = all emissions).
     Sink policy for the memory-sink twins lives here, exactly like
-    _run_stream_to_parquet does for the file-sink operators."""
+    _run_stream_to_parquet does for the file-sink operators.
+    ``no_data_batches=True`` re-enables the trailing no-data batch, which
+    append-mode window finalization requires."""
     prev = _MEM_SINK_LAST.get(name_prefix)
     if prev is not None:
         spark.catalog.dropTempView(prev)
     _STREAM_RUN_SEQ[0] += 1
     name = f"{name_prefix}_{_STREAM_RUN_SEQ[0]}"
-    with _scoped_state_partitions(spark):
+    with _scoped_state_partitions(spark, no_data_batches=no_data_batches):
         q = (
             df.writeStream.outputMode(mode)
             .format("memory")
@@ -1483,4 +1499,51 @@ def s_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_enrich_stream",
         "event_id long, user_id long, value double, "
         "c_name string, c_mktsegment string",
+    )
+
+
+@query(
+    "s_tumble_append",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events)
+    SELECT make_timestamp(epoch_us(ts) // {_US_5M} * {_US_5M})
+             AS window_start,
+           make_timestamp(epoch_us(ts) // {_US_5M} * {_US_5M} + {_US_5M})
+             AS window_end,
+           event_type,
+           COUNT(*) AS cnt,
+           {sql_dsum('value', 'sum_value')}
+    FROM events CROSS JOIN mx
+    WHERE epoch_us(ts) // {_US_5M} * {_US_5M} + {_US_5M}
+          <= epoch_us(m) - {_US_30M}
+    GROUP BY 1, 2, 3
+    """,
+    tags=("stream",),
+)
+def s_tumble_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-MODE watermark finalization — the third streaming output
+    semantics after complete (s_tumble_stream) and the stateful update
+    feeds: each tumbling window is emitted EXACTLY ONCE, when the
+    watermark (max event time − 30-minute lateness) passes its end, and
+    never revised. The trailing no-data micro-batch is deliberately
+    re-enabled for this query — it is what advances the watermark after
+    the data batch and flushes the finalized windows (the other streams
+    disable it as pure overhead; here it is the semantics under test).
+
+    The oracle PROVES the watermark contract rather than assuming it:
+    it is the batch tumbling aggregation restricted to windows whose end
+    ≤ max(ts) − lateness — so a window leaking early (emitted before
+    finalization), arriving twice, or the tail windows (still open at
+    stream end, by design never emitted in append mode) would each
+    hash-mismatch. This is the production shape for exactly-once window
+    delivery to downstream consumers that cannot handle retractions; at
+    100 TB it is the same plan with the file sink and a real trigger
+    cadence.
+    """
+    events = load(spark, sf_dir, "events")
+    src = _stream_src(spark, events, f"events:{sf_dir}")
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = tumbling_agg(stream.withWatermark("ts", LATENESS))
+    return _run_stream_to_memory(
+        spark, agg, "s_tumble_append", "append", no_data_batches=True
     )

@@ -433,3 +433,17 @@ def test_bpe_train_topk_is_heap_per_round(spark):
 
     p = plan_of(spark, "q_bpe_train")
     assert p.count("TakeOrderedAndProject") >= BPE_TRAIN_ROUNDS
+
+
+def test_profile_distinct_counts_are_hash_aggregated(spark):
+    """The distinct-count path must stay the manual-expand double hash
+    aggregation — Spark's multi-countDistinct rewrite degrades the whole
+    profile to SortAggregate over the expanded corpus (measured 3x
+    slower); the expand itself must be the only Generate."""
+    p = plan_of(spark, "q_profile")
+    assert "HashAggregate" in p
+    # no Expand: the multi-countDistinct rewrite (whose Expand node drags
+    # the plan into SortAggregate) must stay gone; the two Generates are
+    # the manual posexplode and the stack() unpivot
+    assert "Expand" not in p
+    assert p.count("Generate") == 2

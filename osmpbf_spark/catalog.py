@@ -179,7 +179,7 @@ def all_oracles() -> dict[str, str]:
 
 
 # Round-5 rotation for the driver's 50-query correctness window (the
-# driver checks only the FIRST 50 registered queries each round; with 117
+# driver checks only the FIRST 50 registered queries each round; with 120
 # registered, ordering decides what gets a fresh hard row). Three tiers:
 #
 #   0. _R05_PRIORITY — must re-verify THIS round: the query added in r05

@@ -484,7 +484,7 @@ def _profile_oracle() -> str:
     for i, (name, expr) in enumerate(_PROFILE_COLS):
         aggs.append(
             f"CAST(SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
-            f" AS nn{i}, COUNT(DISTINCT {name}) AS nd{i},"
+            f" AS nn{i}, COUNT(DISTINCT {expr}) AS nd{i},"
             f" CAST(MIN({expr}) AS VARCHAR) AS mn{i},"
             f" CAST(MAX({expr}) AS VARCHAR) AS mx{i}"
         )
@@ -550,7 +550,11 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     one = li.agg(*aggs).crossJoin(F.broadcast(ndrow))
     stack = ", ".join(
-        f"'{name}', nn{i}, element_at(ndm, {i}), mn{i}, mx{i}"
+        # try_element_at + coalesce: an all-NULL column produces no ndm
+        # entry (the expand filters nulls), where plain element_at throws
+        # under ANSI mode; COUNT(DISTINCT) of an all-null column is 0
+        f"'{name}', nn{i}, coalesce(try_element_at(ndm, {i}), 0L), "
+        f"mn{i}, mx{i}"
         for i, (name, _) in enumerate(_PROFILE_COLS)
     )
     return one.select(

@@ -72,7 +72,8 @@ class _scoped_state_partitions:
     extra batch buys nothing and costs a full state-store commit cycle —
     measured s_join_stream 2.5-3.3s -> 1.7-2.0s at sf0.1. A query whose
     OUTPUT depends on watermark advancement (append-mode windowed agg)
-    must NOT use this scope."""
+    must pass ``no_data_batches=True``, which re-enables the trailing
+    batch while keeping the state-partition pinning (s_tumble_append)."""
 
     _CONFS = {
         "spark.sql.shuffle.partitions": _STREAM_STATE_PARTITIONS,
@@ -1515,7 +1516,7 @@ def s_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sql_dsum('value', 'sum_value')}
     FROM events CROSS JOIN mx
     WHERE epoch_us(ts) // {_US_5M} * {_US_5M} + {_US_5M}
-          <= epoch_us(m) - {_US_30M}
+          <= epoch_us(m) // 1000 * 1000 - {_US_30M}
     GROUP BY 1, 2, 3
     """,
     tags=("stream",),

@@ -54,3 +54,32 @@ def test_resample_locf_null_value_keeps_columns_synchronized(spark):
     # the pre-first-event grid hour carries nothing at all
     r0 = pdf[pdf.hour_ts == pd.Timestamp("2024-01-01 10:00:00")].iloc[0]
     assert pd.isna(r0.value_locf) and pd.isna(r0.src_event_id)
+
+
+def test_profile_all_null_column_counts_zero_distinct(spark):
+    """An entirely-NULL profiled column must report n_distinct = 0 (like
+    COUNT(DISTINCT)) instead of throwing on the missing map key under
+    ANSI mode (review r05 finding)."""
+    from datetime import datetime
+
+    import pandas as pd
+
+    import osmpbf_spark.operators.cdc as cdc_mod
+
+    sdf = spark.createDataFrame(
+        [
+            (None, 1, "A", datetime(2024, 1, 1)),
+            (None, 2, "B", datetime(2024, 1, 2)),
+        ],
+        "l_orderkey long, l_linenumber int, l_returnflag string, "
+        "l_shipdate timestamp",
+    )
+    orig = cdc_mod.load
+    try:
+        cdc_mod.load = lambda spark, sf_dir, t: sdf
+        pdf = cdc_mod.q_profile(spark, "ignored").toPandas()
+    finally:
+        cdc_mod.load = orig
+    row = pdf[pdf.col_name == "l_orderkey"].iloc[0]
+    assert row.n_nulls == 2 and row.n_distinct == 0
+    assert pd.isna(row.min_str) and pd.isna(row.max_str)

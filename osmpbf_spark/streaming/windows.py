@@ -967,6 +967,43 @@ def s_dedup_near_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _inc_lsh_pairs(spark, keys, "s_dedup_near_stream")
 
 
+_UPSERT_COLS = ["user_id", "event_type", "ts_us", "event_id", "value"]
+_UPSERT_DTYPES = ["int64", "object", "int64", "int64", "float64"]
+
+
+def _upsert_merge(cur, pdf):
+    """Pure state-merge step of the streaming upsert: fold one micro-batch
+    ``pdf`` over the carried per-key winners ``cur`` and return
+    (update_rows, next_state). Latest-wins on the (ts_us, event_id)
+    lexicographic order; a row that does not beat the carried winner
+    emits nothing (idempotent replay). Module-level and side-effect-free
+    so tests/test_state_logic.py can property-check it against
+    brute-force latest-wins over random batch splits."""
+    import pandas as pd
+
+    # batch-best per key: (ts_us, event_id) lexicographic max
+    best = pdf.sort_values(["ts_us", "event_id"]).drop_duplicates(
+        ["user_id", "event_type"], keep="last"
+    )
+    m = best.merge(
+        cur,
+        on=["user_id", "event_type"],
+        how="left",
+        suffixes=("", "_old"),
+    )
+    newer = (
+        m["ts_us_old"].isna()
+        | (m["ts_us"] > m["ts_us_old"])
+        | ((m["ts_us"] == m["ts_us_old"]) & (m["event_id"] > m["event_id_old"]))
+    )
+    upd = m.loc[newer, _UPSERT_COLS]
+    # new state: current winners not displaced + this batch's updates
+    nxt = pd.concat([cur, upd], ignore_index=True).drop_duplicates(
+        ["user_id", "event_type"], keep="last"
+    )
+    return upd, nxt
+
+
 def _inc_upsert_updates(
     spark: SparkSession, keyed, name_prefix: str, n_groups: int = 32
 ) -> DataFrame:
@@ -993,8 +1030,7 @@ def _inc_upsert_updates(
     """
     import pandas as pd
 
-    cols = ["user_id", "event_type", "ts_us", "event_id", "value"]
-    dtypes = ["int64", "object", "int64", "int64", "float64"]
+    cols = _UPSERT_COLS
 
     def emit(key, pdfs, state):
         vals = state.get if state.exists else [[] for _ in cols]
@@ -1003,30 +1039,10 @@ def _inc_upsert_updates(
         cur = pd.DataFrame(
             {
                 c: pd.Series(list(v), dtype=t)
-                for c, v, t in zip(cols, vals, dtypes)
+                for c, v, t in zip(cols, vals, _UPSERT_DTYPES)
             }
         )
-        pdf = pd.concat(list(pdfs), ignore_index=True)
-        # batch-best per key: (ts_us, event_id) lexicographic max
-        best = pdf.sort_values(["ts_us", "event_id"]).drop_duplicates(
-            ["user_id", "event_type"], keep="last"
-        )
-        m = best.merge(
-            cur,
-            on=["user_id", "event_type"],
-            how="left",
-            suffixes=("", "_old"),
-        )
-        newer = (
-            m["ts_us_old"].isna()
-            | (m["ts_us"] > m["ts_us_old"])
-            | ((m["ts_us"] == m["ts_us_old"]) & (m["event_id"] > m["event_id_old"]))
-        )
-        upd = m.loc[newer, cols]
-        # new state: current winners not displaced + this batch's updates
-        nxt = pd.concat([cur, upd], ignore_index=True).drop_duplicates(
-            ["user_id", "event_type"], keep="last"
-        )
+        upd, nxt = _upsert_merge(cur, pd.concat(list(pdfs), ignore_index=True))
         state.update(tuple(nxt[c].tolist() for c in cols))
         if len(upd):
             yield upd

@@ -162,3 +162,73 @@ def test_anomaly_merge_any_split_equals_prefix(rows, lens):
     ):
         assert (gu, gid) == (eu, eid)
         assert gz == ez  # identical IEEE ops -> bit-equal
+
+
+upsert_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 2),           # user
+        st.sampled_from(["a", "b"]),  # event_type
+        st.integers(0, 20),           # ts
+        st.integers(-500, 500),       # value (cents)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(upsert_strategy, splits_strategy)
+def test_upsert_merge_any_split_equals_latest_wins(rows, lens):
+    from osmpbf_spark.streaming.windows import (
+        _UPSERT_COLS,
+        _UPSERT_DTYPES,
+        _upsert_merge,
+    )
+
+    cur = pd.DataFrame(
+        {
+            c: pd.Series([], dtype=t)
+            for c, t in zip(_UPSERT_COLS, _UPSERT_DTYPES)
+        }
+    )
+    indexed = list(enumerate(rows))  # event_id = global position
+    emitted = 0
+    for batch in _to_batches(indexed, lens):
+        pdf = pd.DataFrame(
+            {
+                "user_id": [u for _, (u, _, _, _) in batch],
+                "event_type": [e for _, (_, e, _, _) in batch],
+                "ts_us": [ts for _, (_, _, ts, _) in batch],
+                "event_id": [i for i, _ in batch],
+                "value": [v / 100.0 for _, (_, _, _, v) in batch],
+            }
+        )
+        upd, cur = _upsert_merge(cur, pdf)
+        emitted += len(upd)
+    # brute-force latest-wins over the full history
+    expected = {}
+    for i, (u, e, ts, v) in indexed:
+        k = (u, e)
+        if k not in expected or (ts, i) > expected[k][:2]:
+            expected[k] = (ts, i, v / 100.0)
+    got = {
+        (int(r.user_id), r.event_type): (int(r.ts_us), int(r.event_id), r.value)
+        for r in cur.itertuples()
+    }
+    assert got == expected
+    # replaying the final batch emits nothing and keeps state
+    last = _to_batches(indexed, lens)[-1]
+    pdf = pd.DataFrame(
+        {
+            "user_id": [u for _, (u, _, _, _) in last],
+            "event_type": [e for _, (_, e, _, _) in last],
+            "ts_us": [ts for _, (_, _, ts, _) in last],
+            "event_id": [i for i, _ in last],
+            "value": [v / 100.0 for _, (_, _, _, v) in last],
+        }
+    )
+    upd2, cur2 = _upsert_merge(cur, pdf)
+    assert len(upd2) == 0
+    a = cur.sort_values(["user_id", "event_type"]).reset_index(drop=True)
+    b = cur2.sort_values(["user_id", "event_type"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -691,7 +691,7 @@ IDX_MIN_DF = 2  # singleton tokens are vocabulary noise, not index entries
                                     ORDER BY doc_id) AS rk
           FROM f)
     SELECT token, CAST(MAX(dfc) AS BIGINT) AS df,
-           list(doc_id ORDER BY doc_id) AS postings
+           array_to_string(list(doc_id ORDER BY doc_id), ' ') AS postings
     FROM r WHERE rk <= {IDX_POSTINGS_CAP}
     GROUP BY token HAVING MAX(dfc) >= {IDX_MIN_DF}
     """,
@@ -715,6 +715,12 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards postings into fixed-size blocks exactly like this (df stays
     exact over ALL postings; only the surfaced slice is bounded, so no
     collect_list ever holds an unbounded array).
+
+    The posting slice is surfaced as a space-joined STRING, not an
+    array column: the driver's canonicalizer hashes output values with
+    pandas, where array cells are unhashable (the r05 red). The
+    registry now lints this contract at registration time (catalog.py),
+    so no oracle-carrying query can emit array/map output columns.
     """
     d = load(spark, sf_dir, "documents")
     toks = d.select(
@@ -739,7 +745,9 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(
             F.max("dfc").alias("df"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")), " "
+            ).alias("postings"),
         )
         .filter(F.col("df") >= IDX_MIN_DF)
     )

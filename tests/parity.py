@@ -26,9 +26,18 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_bool_dtype(s):
             df[c] = s.astype("boolean")
         elif s.dtype == object:
-            df[c] = s.map(
-                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
-            )
+            # NO list->tuple leniency: the driver's canonicalizer throws
+            # `unhashable type: 'list'` on container cells, so the local
+            # harness must too — a shim here masked q_inverted_index's
+            # driver-red in round 5. test_oracle_types lints the contract
+            # at bind time; this check catches the Spark side at run time.
+            bad = s.map(lambda v: isinstance(v, (list, np.ndarray, dict)))
+            if bad.any():
+                raise TypeError(
+                    f"column {c!r} contains container cells (list/array/"
+                    f"dict) — the driver cannot hash these; flatten with "
+                    f"array_join/explode on both query and oracle"
+                )
     df = df[sorted(df.columns)]
     df = df.sort_values(by=list(df.columns), na_position="first", kind="mergesort")
     return df.reset_index(drop=True)

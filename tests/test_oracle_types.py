@@ -40,3 +40,24 @@ def test_oracle_has_no_hugeint(duck, name, sql):
             f"an integer aggregate to int128; CAST(... AS BIGINT) in the oracle "
             f"(driver hash treats HUGEINT != Spark BIGINT even for equal values)"
         )
+
+
+# Container output columns crash the DRIVER's canonicalizer: it sorts result
+# rows with pandas, where a list cell raises `unhashable type: 'list'`
+# (q_inverted_index shipped red for exactly this in round 5 while the local
+# harness passed via a list->tuple shim — since removed from tests/parity.py).
+# Oracle-carrying queries must surface containers flattened (array_join /
+# array_to_string, or exploded rows).
+_CONTAINERS = ("[]", "LIST", "MAP(", "STRUCT(")
+
+
+@pytest.mark.parametrize("name,sql", _ITEMS, ids=[n for n, _ in _ITEMS])
+def test_oracle_has_no_container_columns(duck, name, sql):
+    rel = duck.sql(sql)
+    for col, typ in zip(rel.columns, rel.types):
+        t = str(typ).upper()
+        assert not any(b in t for b in _CONTAINERS), (
+            f"{name}: oracle column {col!r} resolves to container type {typ} — "
+            f"the driver's pandas canonicalizer cannot hash list/map cells; "
+            f"flatten with array_to_string(...) / explode on BOTH sides"
+        )

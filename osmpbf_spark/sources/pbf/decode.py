@@ -523,6 +523,11 @@ class BlockDecoder:
                 info_buf = v
 
         def _cat(parts):
+            # single-occurrence fast path (the overwhelmingly common
+            # wire shape): no copy — every consumer below either
+            # allocates fresh output (cumsum) or reads without mutation
+            if len(parts) == 1:
+                return parts[0]
             return (
                 np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
             )

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from osmpbf_spark.catalog import load, query
 
@@ -1019,35 +1020,198 @@ def _bpe_train_oracle() -> str:
     return f"{body}\n    {tail}"
 
 
+def _bpe_pairs(frame: DataFrame) -> DataFrame:
+    """Weighted pair counts INCLUDING degenerate groups (b null = word-final
+    token, a = b = excluded-from-candidacy runs): every frame row lands in
+    exactly one group, so the grand total over cnt equals the corpus token
+    count — which lets round 1 recover the seed total from this same
+    aggregation (exchange reuse) instead of a separate job."""
+    wsp = Window.partitionBy("word").orderBy("pos")
+    return (
+        frame.select(
+            "wcnt",
+            F.col("tok").alias("a"),
+            F.lead("tok").over(wsp).alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("wcnt").alias("cnt"))
+    )
+
+
+def _bpe_top1(pairs: DataFrame) -> DataFrame:
+    """Winning candidate pair: top-1 via orderBy().limit(1), which compiles
+    to TakeOrderedAndProject (heap, never a global sort — plan-frozen in
+    tests/test_plans.py)."""
+    return (
+        pairs.filter(F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .orderBy(F.desc("cnt"), "a", "b")
+        .limit(1)
+    )
+
+
+def _bpe_round_top(frame: DataFrame) -> DataFrame:
+    return _bpe_top1(_bpe_pairs(frame))
+
+
+def _bpe_apply_merge(frame: DataFrame, ma: str, mb: str) -> DataFrame:
+    """Apply one merge (lhs=ma, rhs=mb) across the exploded corpus:
+    mark matches via lead, drop consumed successors via lag of the mark,
+    concat in place — all against literals (no join of any kind)."""
+    wsp = Window.partitionBy("word").orderBy("pos")
+    j = frame.withColumn(
+        "m",
+        F.coalesce(
+            (F.col("tok") == F.lit(ma))
+            & (F.lead("tok").over(wsp) == F.lit(mb)),
+            F.lit(False),
+        ),
+    ).withColumn("cons", F.coalesce(F.lag("m").over(wsp), F.lit(False)))
+    return j.filter(~F.col("cons")).select(
+        "word",
+        "wcnt",
+        "pos",
+        F.when(F.col("m"), F.lit(ma + mb)).otherwise(F.col("tok")).alias("tok"),
+    )
+
+
+# driver-side training cutoff: above this many distinct words the rounds
+# run distributed (the _bpe_train_distributed path). 2M rows x ~30B is
+# ~60MB of driver state — the same order as a collected k-means centroid
+# set, and far below any real tokenizer vocabulary's corpus.
+BPE_DRIVER_VOCAB_MAX = 2_000_000
+
+
+def _bpe_train_local(vocab: list) -> list:
+    """Merge rounds over the collected (word, wcnt) table — semantics
+    identical to the distributed window algebra (pair candidacy lhs != rhs,
+    greedy-left non-overlapping apply, cnt desc / lhs / rhs tie-break),
+    property-tested equal against _bpe_train_distributed."""
+    toks = {w: list(w) for w, _ in vocab}
+    n_total = sum(wcnt * len(w) for w, wcnt in vocab)
+    rows = []
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        counts: dict = {}
+        for w, wcnt in vocab:
+            s = toks[w]
+            for i in range(len(s) - 1):
+                if s[i] != s[i + 1]:
+                    p = (s[i], s[i + 1])
+                    counts[p] = counts.get(p, 0) + wcnt
+        if not counts:
+            break
+        (ma, mb), mc = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        n_total -= mc
+        rows.append((r, ma, mb, mc, n_total))
+        if r < BPE_TRAIN_ROUNDS:
+            merged = ma + mb
+            for w, _ in vocab:
+                s = toks[w]
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == ma and s[i + 1] == mb:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                toks[w] = out
+    return rows
+
+
+def _bpe_train_distributed(words: DataFrame) -> list:
+    """Merge rounds as distributed window algebra — the scale path for
+    vocabularies past BPE_DRIVER_VOCAB_MAX.
+
+    The merge application is CLOSED-FORM, no sequential scan: candidate
+    pairs are restricted to lhs != rhs, and two adjacent matches would
+    need s[i]=rhs=lhs — impossible — so matches never overlap and
+    greedy-left BPE reduces to mark (tok=lhs AND next=rhs), drop consumed
+    successors (lag of the mark), concat in place. One action per round:
+    round 1's action yields BOTH the winning pair and the seed token
+    total from one shared shuffle (_bpe_pairs partitions every token into
+    exactly one (a,b) group, so sum(cnt) over the same aggregation is the
+    corpus token count — ReusedExchange, pinned in tests/test_plans.py);
+    the post-merge count is closed-form (every mark consumes exactly one
+    successor, so n_after = n_before - pair_cnt); each merge application
+    (against LITERALS, no join) rides lazily into the next round's
+    action. The symbol corpus is hash-partitioned by word ONCE and
+    persisted per round: every window clusters on word, so no round
+    re-exchanges the corpus."""
+    frame = (
+        words.select(
+            "word",
+            "wcnt",
+            F.posexplode(
+                F.regexp_extract_all("word", F.lit("[a-z]"), F.lit(0))
+            ).alias("pos0", "tok"),
+        )
+        .select("word", "wcnt", (F.col("pos0") + 1).alias("pos"), "tok")
+        .repartition("word")
+        .persist()
+    )
+    n_total = 0
+    rows = []
+    prev = None
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        if r == 1:
+            pairs = _bpe_pairs(frame)
+            top1 = _bpe_top1(pairs).withColumn("kind", F.lit("top"))
+            total = pairs.agg(F.sum("cnt").alias("cnt")).select(
+                F.lit(None).cast("string").alias("a"),
+                F.lit(None).cast("string").alias("b"),
+                "cnt",
+                F.lit("total").alias("kind"),
+            )
+            got = {
+                row["kind"]: row for row in top1.unionByName(total).collect()
+            }
+            n_total = int(got["total"]["cnt"] or 0)
+            top = [got["top"]] if "top" in got else []
+        else:
+            top = _bpe_round_top(frame).collect()
+        if prev is not None:
+            prev.unpersist()  # this round's action no longer reads it
+        if not top:
+            break
+        ma, mb, mc = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        n_total -= mc
+        rows.append((r, ma, mb, mc, n_total))
+        if r < BPE_TRAIN_ROUNDS:
+            prev, frame = frame, _bpe_apply_merge(frame, ma, mb).persist()
+        else:
+            frame.unpersist()
+    return rows
+
+
 @query("q_bpe_train", oracle=_bpe_train_oracle(), tags=("text",))
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE TRAINER — BPE_TRAIN_ROUNDS=3 merge rounds, not just
-    the single pair count of q_bpe_merge_count: each round picks the
-    most frequent adjacent symbol pair (weighted by word frequency,
-    deterministic (cnt desc, pair) tie-break), applies the merge across
-    the whole symbol corpus, and re-counts on the merged symbols — the
-    core loop of tokenizer training, as an ITERATIVE algorithm under the
-    driver's single-SQL oracle (the q_cluster_kmeans / q_pagerank
-    discipline: every round's choice and the post-merge token count
-    hash-match, no "approximately trained" escape hatch).
+    """BPE TRAINER — BPE_TRAIN_ROUNDS=3 merge rounds, not just the single
+    pair count of q_bpe_merge_count: each round picks the most frequent
+    adjacent symbol pair (weighted by word frequency, deterministic
+    (cnt desc, pair) tie-break), applies the merge across the whole
+    symbol corpus, and re-counts on the merged symbols — the core loop
+    of tokenizer training, as an ITERATIVE algorithm under the driver's
+    single-SQL oracle (the q_cluster_kmeans / q_pagerank discipline:
+    every round's choice and the post-merge token count hash-match, no
+    "approximately trained" escape hatch).
 
-    The merge application is CLOSED-FORM window algebra, no sequential
-    scan: candidate pairs are restricted to lhs ≠ rhs, and two adjacent
-    matches would need s[i]=rhs=lhs — impossible — so matches never
-    overlap and greedy-left BPE reduces to mark (tok=lhs ∧ next=rhs),
-    drop consumed successors (lag of the mark), concat in place. Runs of
-    a repeated symbol (the one case needing the sequential greedy pass)
-    are excluded from CANDIDACY, a documented deviation some production
-    tokenizers share.
-
-    Plan: the symbol corpus stays EXPLODED (word, wcnt, pos, tok) across
-    rounds — no array rebuild; every window (pair lead, match mark,
-    consume lag) partitions by word, so each round is one corpus
-    exchange for the windows plus a pair-count aggregation whose top-1
-    is TakeOrdered (heap, never a global sort) and broadcasts back as a
-    single row. At 100 TB: words bucket across the fleet, merges are
-    1-row broadcasts, and rounds add lazy plan depth, not driver state —
-    the standard scale shape for tokenizer training on a corpus sample.
+    Plan (r06 reshape from the ~5-barriers-per-round shape the r05
+    verdict measured at 6.2x): the 100 TB part of BPE training is the
+    CORPUS PASS — explode, filter, count words — and that runs
+    distributed, one scan + one vocabulary-bounded aggregation. The
+    merge rounds then operate on the word-FREQUENCY table, whose size is
+    the distinct vocabulary (bounded by language, not corpus: ~10M rows
+    at any corpus scale), which is exactly why production tokenizer
+    trainers (HuggingFace tokenizers, SentencePiece) collect it and
+    train locally. This query does the same: one action collects the
+    vocab table and the rounds run driver-side
+    (_bpe_train_local). Past BPE_DRIVER_VOCAB_MAX distinct words it
+    switches to _bpe_train_distributed — the same semantics as
+    one-action-per-round window algebra (property-tested equal), so the
+    escape hatch for pathological vocabularies is real, tested code,
+    not a comment. Runs of a repeated symbol (the one case needing a
+    sequential greedy pass) are excluded from pair CANDIDACY, a
+    documented deviation some production tokenizers share.
     """
     d = load(spark, sf_dir, "documents")
     words = (
@@ -1056,71 +1220,25 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("wcnt"))
     )
-    frame = words.select(
-        "word",
-        "wcnt",
-        F.posexplode(
-            F.regexp_extract_all("word", F.lit("[a-z]"), F.lit(0))
-        ).alias("pos0", "tok"),
-    ).select("word", "wcnt", (F.col("pos0") + 1).alias("pos"), "tok")
-    wsp = Window.partitionBy("word").orderBy("pos")
-    outs = []
-    for r in range(1, BPE_TRAIN_ROUNDS + 1):
-        cnt = (
-            frame.select(
-                "wcnt",
-                F.col("tok").alias("a"),
-                F.lead("tok").over(wsp).alias("b"),
-            )
-            .filter(F.col("b").isNotNull() & (F.col("a") != F.col("b")))
-            .groupBy("a", "b")
-            .agg(F.sum("wcnt").alias("cnt"))
-        )
-        top = (
-            cnt.orderBy(F.desc("cnt"), "a", "b")
-            .limit(1)
-            .select(
-                F.col("a").alias("ma"),
-                F.col("b").alias("mb"),
-                F.col("cnt").alias("mc"),
-            )
-        )
-        j = (
-            frame.crossJoin(F.broadcast(top))
-            .withColumn(
-                "m",
-                F.coalesce(
-                    (F.col("tok") == F.col("ma"))
-                    & (F.lead("tok").over(wsp) == F.col("mb")),
-                    F.lit(False),
-                ),
-            )
-            .withColumn(
-                "cons", F.coalesce(F.lag("m").over(wsp), F.lit(False))
-            )
-        )
-        merged = j.filter(~F.col("cons")).select(
-            "word",
-            "wcnt",
-            "pos",
-            F.when(F.col("m"), F.concat("ma", "mb"))
-            .otherwise(F.col("tok"))
-            .alias("tok"),
-        )
-        stats = (
-            merged.agg(F.sum("wcnt").alias("n_tokens_after"))
-            .crossJoin(F.broadcast(top))
-            .select(
-                F.lit(r).alias("round"),
-                F.col("ma").alias("lhs"),
-                F.col("mb").alias("rhs"),
-                F.col("mc").alias("pair_cnt"),
-                "n_tokens_after",
-            )
-        )
-        outs.append(stats)
-        frame = merged.select("word", "wcnt", "pos", "tok")
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    vocab = [
+        (row["word"], int(row["wcnt"]))
+        for row in words.limit(BPE_DRIVER_VOCAB_MAX + 1).collect()
+    ]
+    if len(vocab) <= BPE_DRIVER_VOCAB_MAX:
+        rows = _bpe_train_local(vocab)
+    else:
+        rows = _bpe_train_distributed(words)
+    # schema mirrors the pre-r06 aggregation output exactly (incl.
+    # nullability) so driver schema/hash rows stay comparable across rounds
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("round", T.IntegerType(), False),
+                T.StructField("lhs", T.StringType(), True),
+                T.StructField("rhs", T.StringType(), True),
+                T.StructField("pair_cnt", T.LongType(), True),
+                T.StructField("n_tokens_after", T.LongType(), True),
+            ]
+        ),
+    )

@@ -425,14 +425,98 @@ def test_triangle_count_shape(spark):
     assert "CartesianProduct" not in p
 
 
-def test_bpe_train_topk_is_heap_per_round(spark):
+def test_bpe_round_topk_is_heap_and_window_reuses_partitioning(spark):
     """Each BPE round's winning pair must come from TakeOrderedAndProject
-    (per-partition heap + 1-row merge), one per round — a global sort of
-    the pair-count table would single-task the vocabulary at scale."""
-    from osmpbf_spark.operators.textstats import BPE_TRAIN_ROUNDS
+    (per-partition heap + 1-row merge) — a global sort of the pair-count
+    table would single-task the vocabulary at scale. And the per-round
+    window over a word-partitioned cached frame must NOT re-exchange the
+    corpus: the only exchange in the round plan is the (a,b) pair-count
+    aggregation's."""
+    from pyspark.sql import functions as F
 
-    p = plan_of(spark, "q_bpe_train")
-    assert p.count("TakeOrderedAndProject") >= BPE_TRAIN_ROUNDS
+    from osmpbf_spark.catalog import load
+    from osmpbf_spark.operators.textstats import _bpe_round_top
+
+    d = load(spark, SF_DIR, "documents")
+    frame = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word").rlike("\\A[a-z]+\\z"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wcnt"))
+        .select(
+            "word",
+            "wcnt",
+            F.posexplode(
+                F.regexp_extract_all("word", F.lit("[a-z]"), F.lit(0))
+            ).alias("pos0", "tok"),
+        )
+        .select("word", "wcnt", (F.col("pos0") + 1).alias("pos"), "tok")
+        .repartition("word")
+        .persist()
+    )
+    try:
+        frame.count()  # materialize the cache, as the trainer does
+        p = (
+            _bpe_round_top(frame)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in p
+        # cached word-partitioning satisfies the window: one exchange
+        # (the pair-count agg's hashpartitioning on a,b), not two.
+        # InMemoryRelation prints its stored child plan (which has its
+        # own exchanges) — count only above the cache read.
+        live = p.split("InMemoryRelation")[0]
+        assert live.count("Exchange") == 1, p
+    finally:
+        frame.unpersist()
+
+
+def test_bpe_train_default_path_is_one_action(spark):
+    """The r06 trainer contract: the default (vocab fits on the driver —
+    the HuggingFace/SentencePiece shape) runs exactly ONE Spark action:
+    the distributed corpus pass collecting the word-frequency table. The
+    r05 shape (~5 barriers per round) showed up as 6.2x baseline."""
+    from osmpbf_spark.catalog import REGISTRY
+
+    store = spark._jsparkSession.sharedState().statusStore()
+    before = store.executionsCount()
+    REGISTRY["q_bpe_train"].fn(spark, SF_DIR)
+    actions = store.executionsCount() - before
+    # one SQL execution per driver action (AQE may split each into
+    # several jobs, so count executions, not jobs)
+    assert actions == 1, actions
+
+
+def test_bpe_train_distributed_matches_local(spark):
+    """The distributed escape hatch (vocab past BPE_DRIVER_VOCAB_MAX)
+    must produce the exact trajectory of the driver-side trainer — rounds
+    chosen, pair counts, and closed-form token totals — and spend one
+    action per round plus nothing else."""
+    from pyspark.sql import functions as F
+
+    from osmpbf_spark.catalog import load
+    from osmpbf_spark.operators.textstats import (
+        BPE_TRAIN_ROUNDS,
+        _bpe_train_distributed,
+        _bpe_train_local,
+    )
+
+    d = load(spark, SF_DIR, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word").rlike("\\A[a-z]+\\z"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wcnt"))
+    )
+    vocab = [(r["word"], int(r["wcnt"])) for r in words.collect()]
+    store = spark._jsparkSession.sharedState().statusStore()
+    before = store.executionsCount()
+    dist = _bpe_train_distributed(words)
+    actions = store.executionsCount() - before
+    assert dist == _bpe_train_local(vocab)
+    assert actions == BPE_TRAIN_ROUNDS, actions
 
 
 def test_profile_distinct_counts_are_hash_aggregated(spark):

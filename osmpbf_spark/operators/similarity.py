@@ -542,6 +542,18 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tree-aggregated k·DIM-cell matrix; iterations add executor passes,
     never driver-memory state. Driver holds nothing: the loop below
     composes a single lazy plan, 2 iterations deep.
+
+    Stage-floor note (r06, negative results recorded so they are not
+    retried): the ~2.1x-vs-DuckDB gap at sf0.1 is sequential stage
+    latency (seed build, per-iteration exchange, centroid regroup,
+    broadcast builds), not data volume. Two restructurings measured
+    WORSE: (a) replacing the posexplode+group-by-(cid,pos) update with
+    DIM separate per-cid sum() aggregates — 3x slower, codegen blowup at
+    DIM=64; (b) the MLlib shape (collect k·DIM cells per round, rebuild
+    the broadcast as literals) — 1.4x slower, the 512-literal expression
+    tree pays more in analysis than the collect saves in stages, and it
+    costs one action per round besides. AQE off saves ~0.1s (stage
+    scheduling), not worth a session-level conf.
     """
     emb = load(spark, sf_dir, "embeddings")
     # argmin over the broadcast centroid list, one row per corpus vector:
@@ -666,19 +678,15 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     but moves the n·k assignment cost onto an ANN index (FAISS-class)
     rather than a flat argmin — a GPU/index concern outside a SQL
     oracle's reach. This query therefore carries the SemDeDup SEMANTICS
-    under a full value oracle at fixture k; the repo's scale-linear
-    embedding near-dup path is q_dedup_embed (hash buckets, no
-    assignment step, 10x ratio ~2). The within-cell self-join itself
-    already has the scale shape: equi-join on the cell key, work
-    (cell size)² per task.
+    under a full value oracle at fixture k; the scale-k production shape
+    is q_dedup_semantic_scalek (k grown with n, two-level IVF-style
+    assignment, per-cell numpy gram prune — 10x ratio 4.9 measured), and
+    the repo's scale-linear embedding near-dup path is q_dedup_embed
+    (hash buckets, no assignment step, 10x ratio ~2). The within-cell
+    self-join itself already has the scale shape: equi-join on the cell
+    key, work (cell size)² per task.
     """
     emb = load(spark, sf_dir, "embeddings")
-    best = (
-        "array_min(transform(cl, c -> struct("
-        "aggregate(zip_with(embedding, c.ce, "
-        "(x, y) -> (double(x) - double(y)) * (double(x) - double(y))), "
-        "0D, (acc, v) -> acc + v) AS dist, c.cid AS cid)))"
-    )
     seeds = (
         emb.filter(F.col("vec_id") < SEM_K)
         .select(
@@ -687,12 +695,94 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.collect_list(F.struct("cid", "ce")).alias("cl"))
     )
-    assigned = (
+    return _semantic_prune(_semantic_assign(emb, seeds))
+
+
+def _semantic_assign(emb: DataFrame, seeds: DataFrame) -> DataFrame:
+    """Map-only cell assignment against the single-row broadcast seed
+    list, localCheckpoint'ed because the prune self-join reads it twice
+    (the q_dedup_embed precedent)."""
+    best = (
+        "array_min(transform(cl, c -> struct("
+        "aggregate(zip_with(embedding, c.ce, "
+        "(x, y) -> (double(x) - double(y)) * (double(x) - double(y))), "
+        "0D, (acc, v) -> acc + v) AS dist, c.cid AS cid)))"
+    )
+    return (
         emb.crossJoin(F.broadcast(seeds))
         .select("vec_id", "embedding", F.expr(best).alias("b"))
         .select("vec_id", "embedding", F.col("b.cid").alias("cell"))
         .localCheckpoint(eager=True)
     )
+
+
+def _semantic_prune_pandas(assigned: DataFrame) -> DataFrame:
+    """Within-cell near-dup prune as ONE shuffle + per-cell numpy gram —
+    the scale path for q_dedup_semantic_scalek.
+
+    The SQL self-join prune carries BOTH embeddings through every
+    candidate pair row (cell-pop² wide rows; its per-pair HOF dot
+    measured ~3.6us — 10s over the 10x corpus, and an unrolled 64-term
+    GetArrayItem chain was 5x WORSE, both recorded so they are not
+    retried). Here each cell's members cross the wire ONCE (groupBy cell,
+    Arrow-batched), and the pair dots are a numpy gram computed
+    COLUMN-WISE — acc += outer(E[:,i], E[:,i]) for i in 0..DIM-1 — so
+    every pair's cosine is the same left-to-right f64 chain as the
+    oracle's unrolled + list (np.dot would pairwise-sum and drift in the
+    last ulp). The per-removed lowest-keeper witness is resolved inside
+    the cell (a vector lives in exactly one cell), so the SQL window
+    disappears entirely. Memory per task is cell-pop² doubles — bounded,
+    because scale-k holds cell population ~constant by construction."""
+    import numpy as np
+    import pandas as pd
+
+    def prune_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"cell": [], "removed_id": [], "keeper_id": [], "cos": []}
+            ).astype(
+                {"cell": "int64", "removed_id": "int64",
+                 "keeper_id": "int64", "cos": "float64"}
+            )
+        emb = np.empty((n, len(pdf["embedding"].iloc[0])), dtype=np.float64)
+        for j, v in enumerate(pdf["embedding"]):
+            emb[j, :] = v  # float32 -> float64 widening, exact
+        gram = np.zeros((n, n), dtype=np.float64)
+        for i in range(emb.shape[1]):  # dimension-ordered, exact f64 chain
+            col = emb[:, i]
+            gram += np.outer(col, col)
+        cell = int(pdf["cell"].iloc[0])
+        thresh = float(SEM_THRESH)
+        out = []
+        # ids sorted ascending: keeper index < removed index <=> id order
+        for rj in range(1, n):
+            hit = np.flatnonzero(gram[rj, :rj] >= thresh)
+            if len(hit):
+                kj = int(hit[0])  # lowest-id witness
+                out.append((cell, int(ids[rj]), int(ids[kj]), gram[rj, kj]))
+        return pd.DataFrame(
+            out, columns=["cell", "removed_id", "keeper_id", "cos"]
+        ).astype(
+            {"cell": "int64", "removed_id": "int64",
+             "keeper_id": "int64", "cos": "float64"}
+        )
+
+    return (
+        assigned.filter(F.col("cell").isNotNull())
+        .groupBy("cell")
+        .applyInPandas(
+            prune_cell,
+            "cell bigint, removed_id bigint, keeper_id bigint, cos double",
+        )
+    )
+
+
+def _semantic_prune(assigned: DataFrame) -> DataFrame:
+    """Within-cell near-dup prune over an assignment frame: equi-join on
+    the cell key, exact cosine verify, lowest-id witness per removed."""
     x = assigned.select(
         "cell",
         F.col("vec_id").alias("keeper"),
@@ -725,3 +815,138 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos",
         )
     )
+
+
+# scale-k variant: cells-per-corpus held constant by growing k with n
+SEM_CELL_TARGET = 250  # target cell population: k = max(SEM_K, n // 250)
+
+
+def _semantic_scalek_oracle() -> str:
+    pair_dot = _oracle_dot("x.embedding", "y.embedding")
+    return f"""
+    WITH kk AS (SELECT GREATEST({SEM_K}, COUNT(*) // {SEM_CELL_TARGET}) AS k
+                FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, embedding AS ce
+           FROM embeddings WHERE vec_id < {SEM_K}),
+    f0 AS (SELECT vec_id AS cid, embedding AS ce, ccid FROM (
+        SELECT s.vec_id, s.embedding, c.cid AS ccid,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                  ORDER BY {_oracle_l2('s.embedding', 'c.ce')},
+                                           c.cid) AS rk
+        FROM embeddings s CROSS JOIN kk CROSS JOIN c0 c
+        WHERE s.vec_id < kk.k) WHERE rk = 1),
+    ac AS (SELECT vec_id, embedding, ccid FROM (
+        SELECT e.vec_id, e.embedding, c.cid AS ccid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_oracle_l2('e.embedding', 'c.ce')},
+                                           c.cid) AS rk
+        FROM embeddings e CROSS JOIN c0 c) WHERE rk = 1),
+    a AS (SELECT vec_id, embedding, cid FROM (
+        SELECT z.vec_id, z.embedding, f.cid,
+               ROW_NUMBER() OVER (PARTITION BY z.vec_id
+                                  ORDER BY {_oracle_l2('z.embedding', 'f.ce')},
+                                           f.cid) AS rk
+        FROM ac z JOIN f0 f ON z.ccid = f.ccid) WHERE rk = 1),
+    p AS (SELECT * FROM (
+        SELECT x.cid AS cell, x.vec_id AS keeper, y.vec_id AS removed,
+               {pair_dot} AS cos
+        FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+      WHERE cos >= CAST('{SEM_THRESH}' AS DOUBLE))
+    SELECT cell, removed AS removed_id, keeper AS keeper_id, cos FROM (
+      SELECT cell, keeper, removed, cos,
+             ROW_NUMBER() OVER (PARTITION BY removed ORDER BY keeper) AS rk
+      FROM p)
+    WHERE rk = 1
+    """
+
+
+@query(
+    "q_dedup_semantic_scalek",
+    oracle=_semantic_scalek_oracle(),
+    tags=("dedup", "sim"),
+)
+def q_dedup_semantic_scalek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with k GROWN with the corpus and a TWO-LEVEL (IVF-style)
+    assignment — the production answer to q_dedup_semantic's documented
+    fixed-k quadratic. Fine-cell count k = max(SEM_K, n / SEM_CELL_TARGET)
+    is computed INSIDE the plan (one scalar aggregate broadcast into the
+    seed filter; the oracle computes the same k via a scalar subquery),
+    so cell population stays ~constant as the corpus grows and the
+    within-cell pair term stays LINEAR in n.
+
+    Assignment is hierarchical exactly like an IVF coarse quantizer:
+    every vector first argmins over the SEM_K coarse seeds (fixed cost),
+    then argmins only over the fine seeds ROUTED to that coarse cell —
+    n·(SEM_K + k/SEM_K) distance evaluations instead of the flat n·k
+    scan that made the flat scale-k variant measure 10.8x at 10x data
+    (the flat variant is the recorded negative result this replaces;
+    fixed-k measured 48.7x). Coarse seeds are a subset of fine seeds
+    (k >= SEM_K), so a coarse cell is empty of fine seeds only when
+    duplicate seed vectors tie-break a seed away from itself; vectors
+    routed to such a cell carry a NULL fine cell and drop out of the
+    pair join in BOTH engines (null never equi-joins; the oracle's inner
+    join drops them identically).
+
+    Same exactness discipline as q_dedup_semantic: L2 assignment chains
+    with cid tie-break at both levels, unrounded cosine filter,
+    deterministic lowest-id witness — full value oracle for an IVF-style
+    method. scripts/scale_synth.py carries this query in its default
+    10x measurement set."""
+    emb = load(spark, sf_dir, "embeddings")
+    coarse = (
+        emb.filter(F.col("vec_id") < SEM_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.expr("transform(embedding, x -> double(x))").alias("ce"),
+        )
+        .agg(F.collect_list(F.struct("cid", "ce")).alias("ccl"))
+    )
+    kf = emb.agg(
+        F.greatest(
+            F.lit(SEM_K).cast("long"),
+            F.floor(F.count("*") / SEM_CELL_TARGET).cast("long"),
+        ).alias("k")
+    )
+    best_coarse = (
+        "array_min(transform(ccl, c -> struct("
+        "aggregate(zip_with(embedding, c.ce, "
+        "(x, y) -> (double(x) - double(y)) * (double(x) - double(y))), "
+        "0D, (acc, v) -> acc + v) AS dist, c.cid AS cid))).cid"
+    )
+    # fine seeds routed to their coarse cell, collapsed to one broadcast
+    # row holding a map<coarse cid, array<fine seed>> — pre-grouped so the
+    # per-vector lookup is ONE element_at, never a filter() whose lambda
+    # would re-evaluate the coarse argmin per fine seed (CollapseProject
+    # inlines single-use aliases into lambdas; the flat-filter formulation
+    # measured n·k coarse re-evaluations — 2x wall at sf0.1)
+    fine = (
+        emb.crossJoin(F.broadcast(kf))
+        .filter(F.col("vec_id") < F.col("k"))
+        .crossJoin(F.broadcast(coarse))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.expr("transform(embedding, x -> double(x))").alias("ce"),
+            F.expr(best_coarse).alias("ccid"),
+        )
+        .agg(F.collect_list(F.struct("ccid", "cid", "ce")).alias("fl"))
+        .select(
+            F.expr(
+                "map_from_entries(transform("
+                "array_sort(array_distinct(transform(fl, s -> s.ccid))), "
+                "c -> struct(c AS ccid, filter(fl, s -> s.ccid = c) AS fs)))"
+            ).alias("fm")
+        )
+    )
+    best_fine = (
+        "array_min(transform("
+        f"coalesce(element_at(fm, {best_coarse}), array()), f -> struct("
+        "aggregate(zip_with(embedding, f.ce, "
+        "(x, y) -> (double(x) - double(y)) * (double(x) - double(y))), "
+        "0D, (acc, v) -> acc + v) AS dist, f.cid AS cid))).cid"
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(coarse))
+        .crossJoin(F.broadcast(fine))
+        .select("vec_id", "embedding", F.expr(best_fine).alias("cell"))
+    )
+    return _semantic_prune_pandas(assigned)

@@ -905,6 +905,15 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized — the same spill-to-local-disk tradeoff as the dedup
     band frames, and recomputing the map-only tokenization instead is
     the one-line fallback if local disk is the scarcer resource.
+
+    Stage-floor note (r06 negative result, recorded so it is not
+    retried): collecting the vocabulary + doc count in one driver action
+    and re-broadcasting them as a local relation / literal array
+    measured SLOWER (0.99s -> ~1.3s at sf0.1) — the extra action's fixed
+    cost exceeds the broadcast-subjob stages it removes, and the cnt
+    exchange is already reused across the three vocab consumers. The
+    remaining ~2x-vs-DuckDB gap is sequential stage latency on
+    sub-second absolutes, not data volume.
     """
     d = load(spark, sf_dir, "documents")
     # eager checkpoint: the tokenized corpus is consumed twice (df counts,

@@ -24,7 +24,7 @@ DEFAULT_SET = [
     "q_agg_basic", "q_join_inner", "q_grid_agg", "q_join_5way",
     "q_dedup_exact", "q_dedup_minhash", "q_text_rarity", "q_scd2",
     "q_anomaly_zscore", "q_cluster_kmeans", "q_sim_search_lsh",
-    "q_decontaminate", "q_doc_pack",
+    "q_decontaminate", "q_doc_pack", "q_dedup_semantic_scalek",
 ]
 
 

@@ -187,3 +187,18 @@ def test_dedup_semantic_parity_and_semantics(spark, duck, brute):
     got = dict(zip(pdf["removed_id"].astype(int), pdf["keeper_id"].astype(int)))
     assert got == expected
     assert (pdf["cos"] >= tau - 1e-12).all()
+
+
+def test_dedup_semantic_scalek_parity_and_fixture_equivalence(spark, duck):
+    """q_dedup_semantic_scalek: exact oracle parity (two-level assignment
+    + pandas gram prune vs the two-level SQL oracle), and at fixture
+    scale — where k = max(SEM_K, n/250) = SEM_K, so every seed routes to
+    itself and the hierarchy collapses — its decisions must equal the
+    flat fixed-k query's exactly, cosines included (the pandas gram's
+    column-ordered accumulation is the same f64 chain as the SQL fold)."""
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_dedup_semantic_scalek")
+    flat, _ = check_query(spark, duck, SF_DIR, "q_dedup_semantic")
+    key = ["cell", "removed_id", "keeper_id", "cos"]
+    a = pdf[key].sort_values(key).reset_index(drop=True)
+    b = flat[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b), "scale-k fixture decisions diverge from fixed-k"

@@ -178,102 +178,39 @@ def all_oracles() -> dict[str, str]:
     return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
 
 
-# Round-5 rotation for the driver's 50-query correctness window (the
-# driver checks only the FIRST 50 registered queries each round; with 120
-# registered, ordering decides what gets a fresh hard row). Three tiers:
+# Round-6 rotation for the driver's 50-query correctness window (the
+# driver checks only the FIRST 50 registered queries each round; with 121
+# registered, ordering decides what gets a fresh hard row). The r06 window
+# is an explicit 50-query list, composed per the r05 verdict's rotation
+# policy (VERDICT.md "Next round" #2):
 #
-#   0. _R05_PRIORITY — must re-verify THIS round: the query added in r05
-#      (q_pbf_changesets — first row ever), every query whose Spark code
-#      changed in r05 (minhash map-only signature + md5 base hash,
-#      _jaccard_pairs boundary filter, decontaminate window fold,
-#      doc-pack integer div, both streaming LSH reshapes), the two
-#      r02-green stragglers the r04 window had to rotate out
-#      (q_explode_pos, q_join_full — 3 rounds old by now), and the ten
-#      q_pbf_* queries (r03-green, but datasource/decode/encode/fixture
-#      changed in BOTH r04 and r05 — the verdict flagged their greens as
-#      the oldest rows sitting on touched code).
-#   1. everything NOT in r04's checked window and not already tier 0:
-#      their last hard row is r03, two rounds old this round — ordered
-#      with the one spill-over (see below) last.
-#   2. the r04-green tail, unchanged since — rotates to the back.
+#   1. q_inverted_index — RED in r05 (driver canonicalizer crash on the
+#      array postings column); fixed this round (string postings), must
+#      re-front for a green row.
+#   2. q_dedup_semantic_scalek — NEW in r06, first row ever.
+#   3. The 27 _R06_AGED queries (r05's deliberate spill set): their last
+#      hard rows are r03, three rounds old by now; each is also
+#      re-exercised every round by a named pytest parity sweep, but the
+#      driver row is the hard evidence.
+#   4. Every query whose Spark code changed in r06: q_bpe_train (trainer
+#      reshape), q_multimodal_decode (PNG decode added), q_dedup_semantic
+#      (prune/assign refactored into shared helpers), and the eleven
+#      q_pbf_* / s_pbf_stream queries (wire.py decode fast paths +
+#      vectorized encode + roundtrip write-once sit under ALL of them).
+#   5. Remaining slots: the oldest r04 greens sitting on code adjacent to
+#      r06 changes (q_dedup_embed / q_sim_search_ivf / q_sim_search_lsh
+#      share similarity.py with the scale-k work; q_dedup_clusters /
+#      q_dedup_simhash / q_doc_pack are the aged dedup/doc tail).
 #
-# 45 tier-0 (20 above + the TWENTY-FIVE queries round 5 added mid-round,
-# which have never had a correctness row and therefore outrank every
-# aged green: q_scd2 / q_merge_upsert / q_anomaly_zscore / q_join_5way /
-# q_text_rarity / q_cluster_kmeans / s_upsert_stream / s_pbf_stream /
-# q_multimodal_decode / q_incr_agg, then the later batches q_pagerank /
-# q_dedup_semantic / q_inverted_index / q_pii_redact / s_anomaly_stream /
-# q_session_funnel / q_token_pmi / s_funnel_stream / q_triangle_count /
-# q_resample_locf / s_session_stream / q_bpe_train / s_enrich_stream /
-# q_profile / s_tumble_append; plus q_dedup_simhash_exact, r04-green but
-# r05-reshaped)
-# + 32 tier-1 = 77 candidates for 50 slots: twenty-seven tier-1 queries
-# spill to r06 (q_mix_sources joining via the text-tag parity sweep;
-# q_array_hof / q_window_ntile / q_approx_percentile via
-# test_relational.py's exact-parity sweep, the latter also by its
-# rank-error pytest) and s_join_stream overflows to the tail of tier 1
-# (re-exercised every round by test_streaming.py's stream-tag parity
-# sweep), chosen as the most stable of the aged set — each is
-# untouched since its r03 green AND independently re-exercised every
-# round by pytest (s_dedup_stream by tests/test_streaming.py's real
-# streaming run; s_tumble / s_slide / s_session / s_late / s_time_rollup
-# batch twins likewise, s_late additionally by
-# test_stream_watermark_drops_late; q_multimodal_agg by
-# test_text_multimodal's multimodal-tag parity sweep; q_bpe_merge_count,
-# q_text_stats, q_text_lang and q_text_quality by test_text_multimodal's
-# text-tag parity sweep (q_text_quality also by
-# test_quality_verdict_split), q_text_fingerprint, q_text_tokens_bpe and
-# q_text_repetition likewise, and q_text_token_freq likewise plus its
-# test_token_freq_is_take_ordered plan freeze; u_udf / u_udaf / u_udtf
-# by tests/test_udfs.py; q_dedup_exact / q_dedup_ngram by
-# tests/test_dedup.py's exact-parity checks; q_sim_search /
-# q_vec_centroid / q_vec_quantize by tests/test_similarity.py's
-# exact-parity checks), so a regression would surface in CI even while
-# their driver rows age one extra round.
-_R05_PRIORITY = (
-    "q_scd2", "q_merge_upsert", "q_anomaly_zscore",
-    "q_join_5way", "q_text_rarity", "q_cluster_kmeans",
-    "s_upsert_stream", "s_pbf_stream", "q_multimodal_decode", "q_incr_agg",
-    "q_pagerank", "q_dedup_semantic", "q_inverted_index", "q_pii_redact",
-    "s_anomaly_stream", "q_session_funnel", "q_token_pmi",
-    "s_funnel_stream", "q_triangle_count", "q_resample_locf",
-    "s_session_stream", "q_bpe_train", "s_enrich_stream",
-    "q_profile", "s_tumble_append",
-    "q_pbf_changesets",
-    "q_dedup_minhash", "q_dedup_near", "q_decontaminate", "q_doc_pack_chunks",
-    "q_dedup_simhash_exact",  # r05-reshaped (bucket-agg pair expansion):
-    # its r04 green sits on changed code — the exact class the r04
-    # verdict told the rotation to front
-    "s_dedup_near_stream", "s_dedup_embed_stream",
-    "q_explode_pos", "q_join_full",
-    "q_pbf_scan_nodes", "q_pbf_node_tags", "q_pbf_ways_bag", "q_pbf_grid_agg",
-    "q_pbf_join_way_nodes", "q_pbf_relations", "q_pbf_meta", "q_pbf_pushdown",
-    "q_pbf_compat_pig", "q_pbf_roundtrip",
-)
-
-# keys of CORRECTNESS_r04.json — the 50 queries the r04 driver verified
-_R04_CHECKED = frozenset(
-    {
-        "q_dedup_near", "q_dedup_minhash", "q_dedup_simhash_exact",
-        "q_dedup_clusters", "q_dedup_simhash", "q_dedup_embed",
-        "q_decontaminate", "q_sim_search_ivf", "q_sim_search_lsh",
-        "q_doc_pack", "q_doc_pack_chunks", "s_dedup_embed_stream",
-        "s_dedup_near_stream", "q_multimodal", "q_multimodal_frames",
-        "q_scan_project", "q_filter_pred", "q_agg_basic", "q_agg_distinct",
-        "q_agg_rollup", "q_agg_cube", "q_agg_gsets", "q_approx_cd",
-        "q_having", "q_join_inner", "q_join_left", "q_join_semi",
-        "q_join_anti", "q_join_broadcast", "q_join_range", "q_join_skew_salt",
-        "q_pivot", "q_percentile", "q_asof_join", "q_sample_stratified",
-        "q_window_lead_lag", "q_sort_limit", "q_set_union", "q_set_intersect",
-        "q_set_except", "q_window_rank", "q_window_frame", "q_str_funcs",
-        "q_map_funcs", "q_date_funcs", "q_math_funcs", "q_case_null",
-        "q_json_funcs", "q_subq_scalar", "q_subq_in",
-    }
-)
-
-# the deliberate spill set: aged but most-stable, pytest-covered every
-# round, spills to r06 (see above)
-_R05_SPILL = (
+# Everything else keeps its r04/r05 green and rotates behind the window;
+# the named pytest sweeps still exercise every registered query each CI
+# run, so a regression outside the window surfaces locally even while its
+# driver row ages.
+_R06_WINDOW = (
+    # 1-2: the red fix + the new query
+    "q_inverted_index",
+    "q_dedup_semantic_scalek",
+    # 3: the 27 aged-out r03 greens (r05 spill set)
     "s_dedup_stream",
     "s_tumble",
     "s_slide",
@@ -301,15 +238,36 @@ _R05_SPILL = (
     "q_array_hof",
     "q_window_ntile",
     "q_approx_percentile",
+    # 4: r06-changed code
+    "q_bpe_train",
+    "q_multimodal_decode",
+    "q_dedup_semantic",
+    "q_pbf_scan_nodes",
+    "q_pbf_node_tags",
+    "q_pbf_ways_bag",
+    "q_pbf_grid_agg",
+    "q_pbf_join_way_nodes",
+    "q_pbf_relations",
+    "q_pbf_meta",
+    "q_pbf_pushdown",
+    "q_pbf_compat_pig",
+    "q_pbf_roundtrip",
+    "q_pbf_changesets",
+    "s_pbf_stream",
+    # 5: oldest greens on adjacent code
+    "q_dedup_embed",
+    "q_sim_search_ivf",
+    "q_sim_search_lsh",
+    "q_dedup_clusters",
+    "q_dedup_simhash",
+    "q_doc_pack",
 )
+
+_R06_RANK = {n: i for i, n in enumerate(_R06_WINDOW)}
 
 
 def _window_tier(name: str) -> int:
-    if name in _R05_PRIORITY:
-        return 0
-    if name in _R05_SPILL:
-        return 2
-    return 1 if name not in _R04_CHECKED else 3
+    return _R06_RANK.get(name, len(_R06_WINDOW))
 
 
 def _import_all() -> None:

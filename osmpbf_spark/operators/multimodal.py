@@ -6,14 +6,16 @@ columns + a typed metadata struct, with decode/feature-extraction running
 vectorized in Python workers. Decode comes in two tiers (round 5):
 
 - **REAL decode** (q_multimodal_decode) for formats that parse with
-  stdlib + numpy alone — PPM (P6) images and RIFF/WAV PCM audio: actual
-  header parsing, dimension/rate extraction, and pixel/sample checksums,
-  oracle-checked against the payload generator's closed form.
-- **Documented stub** for compressed codecs (JPEG/PNG/video containers):
-  those genuinely need libraries this container lacks, so ``_decode_media``
-  falls back to a clearly-marked deterministic fake. Everything around the
-  stub — binary column construction, schema, partitioning, the mapInPandas
-  batch contract — is real and oracle-checked.
+  stdlib + numpy alone — PNG (chunk walk + CRC-32 + zlib inflate + all
+  five scanline-filter reversals, added r06), PPM (P6) images, and
+  RIFF/WAV PCM audio: actual header parsing, dimension/rate extraction,
+  and pixel/sample checksums, oracle-checked against the payload
+  generator's closed form.
+- **Documented stub** for codecs that genuinely need absent libraries
+  (JPEG/MP3/video containers): ``_decode_media`` falls back to a
+  clearly-marked deterministic fake. Everything around the stub — binary
+  column construction, schema, partitioning, the mapInPandas batch
+  contract — is real and oracle-checked.
 
 Payloads here are derived from ``documents.text`` (utf-8 bytes) because the
 test corpus has no real media; the operator is payload-agnostic.
@@ -262,6 +264,155 @@ def _gen_wav(doc_id: int) -> bytes:
     return buf.getvalue()
 
 
+def _gen_png(doc_id: int) -> bytes:
+    """Deterministic PNG (8-bit RGB, no interlace): same dimensions and
+    pixel formula as _gen_ppm, but encoded through the REAL format —
+    per-scanline filter bytes (row r uses filter r % 5, so every filter
+    type 0-4 appears in the corpus), zlib-compressed IDAT, CRC-32 per
+    chunk. PNG is the one compressed image format this sandbox can
+    honestly produce and parse: it is struct + stdlib zlib, the same
+    toolkit as the PBF codec."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    w, h = 4 + doc_id % 5, 3 + doc_id % 4
+    px = ((doc_id * 7 + np.arange(w * h * 3, dtype=np.int64)) % 256).astype(
+        np.uint8
+    ).reshape(h, w * 3)
+    bpp = 3  # bytes per pixel (RGB8)
+    stream = bytearray()
+    prev = np.zeros(w * 3, dtype=np.uint8)
+    for r in range(h):
+        raw = px[r]
+        ft = r % 5
+        left = np.concatenate([np.zeros(bpp, np.uint8), raw[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
+        if ft == 0:
+            f = raw
+        elif ft == 1:  # Sub
+            f = raw - left
+        elif ft == 2:  # Up
+            f = raw - prev
+        elif ft == 3:  # Average
+            f = raw - ((left.astype(np.uint16) + prev) // 2).astype(np.uint8)
+        else:  # Paeth
+            a, b2, c = (
+                left.astype(np.int16),
+                prev.astype(np.int16),
+                upleft.astype(np.int16),
+            )
+            p = a + b2 - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b2), np.abs(p - c)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b2, c)
+            ).astype(np.uint8)
+            f = raw - pred
+        stream.append(ft)
+        stream += f.tobytes()
+        prev = raw
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """Real PNG parser: signature + chunk walk with CRC-32 verification,
+    IHDR parse, IDAT inflate (stdlib zlib, Adler-32 checked by inflate),
+    and per-scanline reversal of all five PNG filter types. Supports the
+    8-bit RGB non-interlaced profile the generator emits; anything else
+    raises rather than guessing."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos < len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(tag + body) != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise ValueError("unsupported PNG profile")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride, bpp = w * 3, 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline stream length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        f = np.frombuffer(
+            raw, np.uint8, count=stride, offset=r * (stride + 1) + 1
+        )
+        if ft == 0:
+            line = f.copy()
+        elif ft == 1:  # Sub: cumulative per channel, uint8 wraparound
+            line = f.copy()
+            for i in range(bpp, stride):
+                line[i] += line[i - bpp]
+        elif ft == 2:  # Up
+            line = f + prev
+        elif ft == 3:  # Average
+            line = f.copy()
+            for i in range(stride):
+                left = int(line[i - bpp]) if i >= bpp else 0
+                line[i] = (int(f[i]) + (left + int(prev[i])) // 2) % 256
+        elif ft == 4:  # Paeth
+            line = f.copy()
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b2 = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b2 - c
+                pa, pb, pc = abs(p - a), abs(p - b2), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b2 if pb <= pc else c)
+                line[i] = (int(f[i]) + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[r] = line
+        prev = line
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_samples": None,
+        "checksum": int(out.sum(dtype=np.int64)),
+        "decoder": "png",
+    }
+
+
 def decode_ppm(payload: bytes) -> dict:
     """Real P6 parser: header regex (single-whitespace separators, as the
     format specifies), numpy view over the raster, integer channel sum."""
@@ -308,6 +459,10 @@ def decode_wav(payload: bytes) -> dict:
 
 def decode_any(payload: bytes, media_type: str) -> dict:
     if media_type == "image":
+        # sniff the container like a real ingest decoder — the payload is
+        # opaque; the PNG signature is designed for exactly this
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return decode_png(payload)
         return decode_ppm(payload)
     if media_type == "audio":
         return decode_wav(payload)
@@ -358,7 +513,12 @@ def synthesize_payloads(
             pdf["doc_id"], pdf["text"], pdf["media_type"]
         ):
             if mt == "image":
-                payloads.append(_gen_ppm(int(doc_id)))
+                # half the images arrive as real compressed PNG, half as
+                # raw PPM — same pixels, two genuinely different formats
+                if int(doc_id) % 6 == 0:
+                    payloads.append(_gen_png(int(doc_id)))
+                else:
+                    payloads.append(_gen_ppm(int(doc_id)))
             elif mt == "audio":
                 payloads.append(_gen_wav(int(doc_id)))
             else:
@@ -397,7 +557,8 @@ def synthesize_payloads(
              FROM apx GROUP BY doc_id)
     SELECT doc_id, 'image' AS media_type, CAST(w AS INTEGER) AS width,
            CAST(h AS INTEGER) AS height, CAST(NULL AS BIGINT) AS n_samples,
-           cks AS checksum, 'ppm' AS decoder
+           cks AS checksum,
+           CASE WHEN doc_id % 6 = 0 THEN 'png' ELSE 'ppm' END AS decoder
     FROM isum
     UNION ALL
     SELECT doc_id, 'audio', NULL, NULL, CAST(n AS BIGINT), cks, 'wav'
@@ -411,15 +572,18 @@ def synthesize_payloads(
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode for the formats this sandbox can honestly parse:
-    PPM (P6) images and RIFF/WAV PCM audio are synthesized IN FORMAT from
-    doc_id, then decoded by actual byte-level parsers (header regex +
-    numpy raster view; stdlib wave + PCM sample view) inside mapInPandas
-    — the decoder sees only opaque bytes. The oracle recomputes width/
-    height/sample-count/integer checksums from the closed-form generator,
-    so a decoder that misreads a header or slices wrong bytes
+    PNG (r06: full chunk walk with CRC-32 verification, IDAT inflate, and
+    reversal of all five scanline filter types — the generator cycles
+    filters 0-4 across rows so every reversal path decodes real data),
+    PPM (P6) images, and RIFF/WAV PCM audio — synthesized IN FORMAT from
+    doc_id, then decoded by actual byte-level parsers inside mapInPandas;
+    the decoder sees only opaque bytes and sniffs the container by
+    signature. The oracle recomputes width/height/sample-count/integer
+    checksums from the closed-form generator, so a decoder that misreads
+    a header, mis-reverses a filter, or slices wrong bytes
     hash-mismatches. 'video' stays the documented stub (all real video
-    containers are compressed; ffmpeg is absent here). Map-only at any
-    scale — two chained Arrow-batched Python stages, no shuffle."""
+    containers need ffmpeg, absent here). Map-only at any scale — two
+    chained Arrow-batched Python stages, no shuffle."""
     d = load(spark, sf_dir, "documents")
     typed = d.select(
         "doc_id",

@@ -182,8 +182,13 @@ def _pbf_scan_throughput(spark) -> dict:
     dt = time.perf_counter() - t0
     # Per-core decode throughput, measured in-process with no Spark job
     # overhead: this is the BASELINE.md engineering target (>= 1M
-    # primitives/s/core). The distributed number above includes ~0.3s of
-    # fixed job/Arrow overhead, which dwarfs a 2M-node file's decode time.
+    # primitives/s/core). The distributed wall above saturates the
+    # PYTHON-DATASOURCE JOB FLOOR, not the decoder: a null Python data
+    # source with the same 9 partitions yielding one 10-row batch each
+    # measures 0.33-0.44s per count() on this machine (r06), so at ~0.06s
+    # of actual decode the wall metric is ~85% fixed task machinery and
+    # its round-to-round variance tracks the floor, not the engine. The
+    # per-core number is the engineering signal.
     from osmpbf_spark.sources.pbf.datasource import OsmPbfDataSource
 
     ds = OsmPbfDataSource(options={"path": path, "primitive": "node"})

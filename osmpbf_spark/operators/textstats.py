@@ -811,6 +811,14 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_text_tokens_bpe discipline; replacement order (emails first)
     removes the digit-bearing local parts before the looser IP/phone
     patterns scan.
+
+    Semantic caveat (both engines compute identically, so parity holds):
+    the n_emails/n_phones/n_ips counts are RAW-TEXT occurrences, counted
+    before any replacement, while redaction is sequential — a phone- or
+    IP-shaped substring inside an email match is counted in its own
+    column yet disappears under <EMAIL>, so counts may exceed what is
+    visible in ``redacted``. A redaction REPORT wants raw occurrences
+    (what was found); recount on ``redacted`` if you need what remains.
     """
     d = load(spark, sf_dir, "documents")
     aug = F.concat(
@@ -970,6 +978,13 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_a",
             "token_b",
             "n_ab",
+            # overflow bound (the q_anomaly_zscore discipline): the BIGINT
+            # numerator n_ab * n_docs * 10^6 overflows int64 once
+            # n_ab * n_docs exceeds ~9.2e12 — e.g. a pair co-occurring in
+            # 1M docs of a 10M-doc corpus. Under ANSI both engines fail
+            # LOUDLY (no silent divergence); production headroom comes
+            # from staged division, (n_ab * 1000000 div na) * n_docs
+            # div nb, or a DECIMAL(38) cast — not needed at any tested SF.
             F.expr("(n_ab * n_docs * 1000000) div (na * nb)").alias(
                 "lift_ppm"
             ),

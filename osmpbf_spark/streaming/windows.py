@@ -38,7 +38,16 @@ _STREAM_RUN_SEQ = [0]
 def _stream_src(spark, df, key: str) -> str:
     """Materialize (once per process+key) the parquet image backing a
     file-stream source; the setup dir is removed at interpreter exit so
-    repeated bench runs don't grow /tmp."""
+    repeated bench runs don't grow /tmp.
+
+    The ``coalesce(1)`` below is LOAD-BEARING for the in-order-ingest
+    oracles: s_anomaly_stream's and s_funnel_stream's exactness argument
+    (prefix statistics / min-merge equals the batch form) assumes the
+    whole fixture arrives as ONE in-order availableNow batch, which holds
+    only because the source is a single part file. Splitting this into
+    multiple files (or adding maxFilesPerTrigger) would reorder events
+    across micro-batches and silently break those two oracles at a
+    distance — change them together or not at all."""
     import atexit
     import shutil
     import tempfile

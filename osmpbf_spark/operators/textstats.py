@@ -720,8 +720,10 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     The posting slice is surfaced as a space-joined STRING, not an
     array column: the driver's canonicalizer hashes output values with
     pandas, where array cells are unhashable (the r05 red). The
-    registry now lints this contract at registration time (catalog.py),
-    so no oracle-carrying query can emit array/map output columns.
+    contract is enforced twice in CI — tests/test_oracle_types.py binds
+    every registered oracle and rejects LIST/MAP/STRUCT output columns,
+    and tests/parity.py raises on container cells from the Spark side —
+    so local green implies driver green for all future queries.
     """
     d = load(spark, sf_dir, "documents")
     toks = d.select(
@@ -1142,6 +1144,38 @@ def _bpe_train_local(vocab: list) -> list:
     return rows
 
 
+def _bpe_words(d: DataFrame) -> DataFrame:
+    """The distributed corpus pass: explode, keep alphabetic words, count
+    — the word-frequency table BOTH trainer paths consume (and the only
+    100 TB-scale stage of BPE training)."""
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word").rlike("\\A[a-z]+\\z"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wcnt"))
+    )
+
+
+def _bpe_frame(words: DataFrame) -> DataFrame:
+    """Exploded (word, wcnt, pos, tok) symbol corpus, hash-partitioned by
+    word ONCE and persisted: every per-round window clusters on word, so
+    the cached distribution satisfies them all and no round re-exchanges
+    the corpus. Shared by the distributed trainer and its plan-freeze
+    test so the frozen plan can never drift from the real pipeline."""
+    return (
+        words.select(
+            "word",
+            "wcnt",
+            F.posexplode(
+                F.regexp_extract_all("word", F.lit("[a-z]"), F.lit(0))
+            ).alias("pos0", "tok"),
+        )
+        .select("word", "wcnt", (F.col("pos0") + 1).alias("pos"), "tok")
+        .repartition("word")
+        .persist()
+    )
+
+
 def _bpe_train_distributed(words: DataFrame) -> list:
     """Merge rounds as distributed window algebra — the scale path for
     vocabularies past BPE_DRIVER_VOCAB_MAX.
@@ -1161,18 +1195,7 @@ def _bpe_train_distributed(words: DataFrame) -> list:
     action. The symbol corpus is hash-partitioned by word ONCE and
     persisted per round: every window clusters on word, so no round
     re-exchanges the corpus."""
-    frame = (
-        words.select(
-            "word",
-            "wcnt",
-            F.posexplode(
-                F.regexp_extract_all("word", F.lit("[a-z]"), F.lit(0))
-            ).alias("pos0", "tok"),
-        )
-        .select("word", "wcnt", (F.col("pos0") + 1).alias("pos"), "tok")
-        .repartition("word")
-        .persist()
-    )
+    frame = _bpe_frame(words)
     n_total = 0
     rows = []
     prev = None
@@ -1196,6 +1219,7 @@ def _bpe_train_distributed(words: DataFrame) -> list:
         if prev is not None:
             prev.unpersist()  # this round's action no longer reads it
         if not top:
+            frame.unpersist()  # dry candidates: release the corpus cache
             break
         ma, mb, mc = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
         n_total -= mc
@@ -1237,13 +1261,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential greedy pass) are excluded from pair CANDIDACY, a
     documented deviation some production tokenizers share.
     """
-    d = load(spark, sf_dir, "documents")
-    words = (
-        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
-        .filter(F.col("word").rlike("\\A[a-z]+\\z"))
-        .groupBy("word")
-        .agg(F.count("*").alias("wcnt"))
-    )
+    words = _bpe_words(load(spark, sf_dir, "documents"))
     vocab = [
         (row["word"], int(row["wcnt"]))
         for row in words.limit(BPE_DRIVER_VOCAB_MAX + 1).collect()

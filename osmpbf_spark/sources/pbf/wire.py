@@ -156,7 +156,14 @@ def encode_packed_uint(values) -> bytes:
     every varint written with one fancy-index store. Negative inputs are
     masked to 64-bit two's complement first (protobuf int64 semantics,
     same as the scalar ``write_varint``)."""
-    v = np.asarray(values)
+    try:
+        v = np.asarray(values)
+    except OverflowError:
+        # NumPy >= 2 raises here for Python ints outside int64 instead of
+        # coercing to float64/object — fold exactly, same as below
+        v = np.array(
+            [int(x) & (1 << 64) - 1 for x in values], dtype=np.uint64
+        )
     if v.size == 0:
         return b""
     # two's-complement fold for negative int64 inputs, then view as uint64
@@ -165,9 +172,9 @@ def encode_packed_uint(values) -> bytes:
     elif v.dtype.kind == "u":
         v = v.astype(np.uint64, copy=False)
     else:
-        # Python ints outside int64 (or mixed magnitudes) coerce to
-        # float64/object under asarray — float64 would silently round
-        # values past 2^53; fold each element exactly instead
+        # NumPy 1.x: Python ints outside int64 (or mixed magnitudes)
+        # coerce to float64/object under asarray — float64 would silently
+        # round values past 2^53; fold each element exactly instead
         v = np.array(
             [int(x) & (1 << 64) - 1 for x in values], dtype=np.uint64
         )

@@ -339,12 +339,16 @@ def q_pbf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = _ROUNDTRIP_DIR[0]
     if out is None:
-        out = _ROUNDTRIP_DIR[0] = tempfile.mkdtemp(prefix="osmpbf_roundtrip_")
+        out = tempfile.mkdtemp(prefix="osmpbf_roundtrip_")
         atexit.register(shutil.rmtree, out, ignore_errors=True)
         nodes = _read(spark, "node")
         nodes.write.format("osmpbf").option("path", out).option(
             "primitive", "node"
         ).mode("overwrite").save()
+        # mark the cache done only AFTER the write succeeds — assigning
+        # first would let a failed write poison every later call (they
+        # would skip the write and read a partial directory forever)
+        _ROUNDTRIP_DIR[0] = out
     back = read_pbf(spark, out, "node")
     return back.select("id", "lat", "lon")
 

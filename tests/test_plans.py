@@ -432,28 +432,15 @@ def test_bpe_round_topk_is_heap_and_window_reuses_partitioning(spark):
     window over a word-partitioned cached frame must NOT re-exchange the
     corpus: the only exchange in the round plan is the (a,b) pair-count
     aggregation's."""
-    from pyspark.sql import functions as F
-
     from osmpbf_spark.catalog import load
-    from osmpbf_spark.operators.textstats import _bpe_round_top
-
-    d = load(spark, SF_DIR, "documents")
-    frame = (
-        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
-        .filter(F.col("word").rlike("\\A[a-z]+\\z"))
-        .groupBy("word")
-        .agg(F.count("*").alias("wcnt"))
-        .select(
-            "word",
-            "wcnt",
-            F.posexplode(
-                F.regexp_extract_all("word", F.lit("[a-z]"), F.lit(0))
-            ).alias("pos0", "tok"),
-        )
-        .select("word", "wcnt", (F.col("pos0") + 1).alias("pos"), "tok")
-        .repartition("word")
-        .persist()
+    from osmpbf_spark.operators.textstats import (
+        _bpe_frame,
+        _bpe_round_top,
+        _bpe_words,
     )
+
+    # the trainer's own builders — the frozen plan IS the production plan
+    frame = _bpe_frame(_bpe_words(load(spark, SF_DIR, "documents")))
     try:
         frame.count()  # materialize the cache, as the trainer does
         p = (
@@ -494,22 +481,15 @@ def test_bpe_train_distributed_matches_local(spark):
     must produce the exact trajectory of the driver-side trainer — rounds
     chosen, pair counts, and closed-form token totals — and spend one
     action per round plus nothing else."""
-    from pyspark.sql import functions as F
-
     from osmpbf_spark.catalog import load
     from osmpbf_spark.operators.textstats import (
         BPE_TRAIN_ROUNDS,
         _bpe_train_distributed,
         _bpe_train_local,
+        _bpe_words,
     )
 
-    d = load(spark, SF_DIR, "documents")
-    words = (
-        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
-        .filter(F.col("word").rlike("\\A[a-z]+\\z"))
-        .groupBy("word")
-        .agg(F.count("*").alias("wcnt"))
-    )
+    words = _bpe_words(load(spark, SF_DIR, "documents"))
     vocab = [(r["word"], int(r["wcnt"])) for r in words.collect()]
     store = spark._jsparkSession.sharedState().statusStore()
     before = store.executionsCount()

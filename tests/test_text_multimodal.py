@@ -77,10 +77,12 @@ def test_doc_pack_chunks_invariants(spark, duck):
 
 
 def test_png_codec_roundtrips_every_filter_type():
-    """The PNG encoder cycles scanline filters 0-4 across rows (h >= 5
-    for doc ids chosen here), so one roundtrip exercises None/Sub/Up/
-    Average/Paeth reversal on real data; the decoded checksum must match
-    the generator's closed form, and dims must match the PPM formulas."""
+    """PNG roundtrip against the closed form for a spread of doc ids.
+    h = 3 + doc_id % 4 caps at 6, and the encoder assigns filter r % 5
+    per row — so ids with h in {3, 4} exercise filters 0-2/0-3 and the
+    h >= 5 ids (6, 18, 30, 42) are the ones that reach Average AND
+    Paeth; keep at least one of those in the list or filter-4 reversal
+    loses its only coverage."""
     import numpy as np
 
     from osmpbf_spark.operators.multimodal import _gen_png, decode_png

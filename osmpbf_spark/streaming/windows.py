@@ -64,8 +64,10 @@ def _stream_src(spark, df, key: str) -> str:
 # production you size it for the stream's rate once, deliberately, and it
 # never re-plans. A stream-stream join keeps 4 state stores per partition,
 # so 32 partitions = 128 file-backed store commits per micro-batch — pure
-# fixed cost at fixture volume (measured: s_join_stream 6.4s -> 2.9s at 8).
-_STREAM_STATE_PARTITIONS = "8"
+# fixed cost at fixture volume (measured: s_join_stream 6.4s -> 2.9s at 8,
+# -> 1.4s at 4; s_tumble_stream 1.1s -> 0.97s at 4; 2 is no better than 4
+# and halves state parallelism headroom — r06 re-measurement).
+_STREAM_STATE_PARTITIONS = "4"
 
 
 class _scoped_state_partitions:

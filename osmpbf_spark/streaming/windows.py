@@ -695,7 +695,11 @@ def _inc_lsh_pairs(
     name_prefix: str,
     n_groups: int = 64,
     ttl_minutes: int = 60,
-    state_partitions: str | None = None,
+    # pinned at 8 while the family default moved to 4 (r06): the LSH
+    # bucket state commits 64 key-groups per trigger and re-measured
+    # better at 8 (s_dedup_embed_stream 2.28s vs 2.66s at 4); the
+    # lighter stateful streams prefer 4
+    state_partitions: str | None = "8",
 ) -> DataFrame:
     """Incremental LSH bucket state (round 5, replacing the complete-mode
     memory-sink shape the r04 judge flagged as driver-bounded): an

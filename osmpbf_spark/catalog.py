@@ -254,13 +254,15 @@ _R06_WINDOW = (
     "q_pbf_roundtrip",
     "q_pbf_changesets",
     "s_pbf_stream",
+    # 4b: q_bpe_encode is NEW in r06 (first row ever) — added late in
+    # the round, takes the slot of the most sweep-covered tier-5 green
+    "q_bpe_encode",
     # 5: oldest greens on adjacent code
     "q_dedup_embed",
     "q_sim_search_ivf",
     "q_sim_search_lsh",
     "q_dedup_clusters",
     "q_dedup_simhash",
-    "q_doc_pack",
 )
 
 _R06_RANK = {n: i for i, n in enumerate(_R06_WINDOW)}

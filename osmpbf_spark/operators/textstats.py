@@ -1001,7 +1001,10 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_TRAIN_ROUNDS = 3
 
 
-def _bpe_train_oracle() -> str:
+def _bpe_oracle_chain() -> str:
+    """The WITH-chain both BPE oracles share: word counts, exploded symbol
+    frame, and per-round (pair count, top-1, merge application, stats)
+    CTEs — s{BPE_TRAIN_ROUNDS} is the fully-merged symbol corpus."""
     parts = [
         """
     WITH w AS (SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS wcnt FROM (
@@ -1039,11 +1042,28 @@ def _bpe_train_oracle() -> str:
                       AS n_tokens_after
              FROM t{r})""")
         prev = f"s{r}"
-    body = ",".join(parts)
+    return ",".join(parts)
+
+
+def _bpe_train_oracle() -> str:
     tail = " UNION ALL ".join(
         f"SELECT * FROM r{r}" for r in range(1, BPE_TRAIN_ROUNDS + 1)
     )
-    return f"{body}\n    {tail}"
+    return f"{_bpe_oracle_chain()}\n    {tail}"
+
+
+def _bpe_encode_oracle() -> str:
+    return f"""{_bpe_oracle_chain()},
+    wl AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_tok
+           FROM s{BPE_TRAIN_ROUNDS} GROUP BY word),
+    dt AS (SELECT doc_id, t AS word FROM (
+             SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+             FROM documents)
+           WHERE regexp_matches(t, '\\A[a-z]+\\z'))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens_bpe
+    FROM dt JOIN wl USING (word) GROUP BY doc_id
+    """
 
 
 def _bpe_pairs(frame: DataFrame) -> DataFrame:
@@ -1112,6 +1132,13 @@ def _bpe_train_local(vocab: list) -> list:
     identical to the distributed window algebra (pair candidacy lhs != rhs,
     greedy-left non-overlapping apply, cnt desc / lhs / rhs tie-break),
     property-tested equal against _bpe_train_distributed."""
+    return _bpe_local(vocab)[0]
+
+
+def _bpe_local(vocab: list) -> tuple[list, dict]:
+    """Driver-side trainer core: returns (trajectory rows, final per-word
+    symbol lists) so q_bpe_train takes the rows and q_bpe_encode the
+    merged segmentation."""
     toks = {w: list(w) for w, _ in vocab}
     n_total = sum(wcnt * len(w) for w, wcnt in vocab)
     rows = []
@@ -1128,20 +1155,22 @@ def _bpe_train_local(vocab: list) -> list:
         (ma, mb), mc = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         n_total -= mc
         rows.append((r, ma, mb, mc, n_total))
-        if r < BPE_TRAIN_ROUNDS:
-            merged = ma + mb
-            for w, _ in vocab:
-                s = toks[w]
-                out, i = [], 0
-                while i < len(s):
-                    if i + 1 < len(s) and s[i] == ma and s[i + 1] == mb:
-                        out.append(merged)
-                        i += 2
-                    else:
-                        out.append(s[i])
-                        i += 1
-                toks[w] = out
-    return rows
+        # apply EVERY round's merge (including the last): the trajectory
+        # doesn't need the final application (closed-form n_total), but
+        # q_bpe_encode consumes the fully-merged segmentation
+        merged = ma + mb
+        for w, _ in vocab:
+            s = toks[w]
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == ma and s[i + 1] == mb:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            toks[w] = out
+    return rows, toks
 
 
 def _bpe_words(d: DataFrame) -> DataFrame:
@@ -1283,4 +1312,67 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 T.StructField("n_tokens_after", T.LongType(), True),
             ]
         ),
+    )
+
+
+@query("q_bpe_encode", oracle=_bpe_encode_oracle(), tags=("text",))
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the other half of q_bpe_train: encode every
+    document with the 3 trained merges and report per-document token
+    counts (n_words alphabetic words in, n_tokens_bpe BPE tokens out) —
+    the sizing pass a training pipeline runs with its production
+    tokenizer before packing sequences. The oracle re-derives the merges
+    AND the merged segmentation relationally (the full trainer chain),
+    so a wrong merge order, a mis-applied merge, or a wrong per-word
+    length hash-mismatches.
+
+    Plan: training reuses q_bpe_train's one-action corpus pass; encoding
+    is then ONE broadcast join — BPE segmentation is a pure per-word
+    function, so the corpus never tokenizes twice: the vocabulary-bounded
+    (word -> token count) table broadcasts and the exploded corpus joins
+    map-side, one aggregation by doc_id behind it. At 100 TB the corpus
+    side is scan -> explode -> broadcast-join -> partial agg: no wide
+    shuffle of anything corpus-sized except the final per-doc
+    aggregation, and that is keyed by doc_id (pre-aggregated map-side).
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = _bpe_words(docs)
+    vocab = [
+        (row["word"], int(row["wcnt"]))
+        for row in words.limit(BPE_DRIVER_VOCAB_MAX + 1).collect()
+    ]
+    if len(vocab) <= BPE_DRIVER_VOCAB_MAX:
+        _, toks = _bpe_local(vocab)
+        wmap = spark.createDataFrame(
+            [(w, len(t)) for w, t in toks.items()],
+            T.StructType(
+                [
+                    T.StructField("word", T.StringType(), True),
+                    T.StructField("n_tok", T.LongType(), True),
+                ]
+            ),
+        )
+    else:  # distributed escape hatch: run the merges on the cluster and
+        # reduce the final symbol frame to per-word token counts
+        frame = _bpe_frame(words)
+        for _ in range(BPE_TRAIN_ROUNDS):
+            top = _bpe_round_top(frame).collect()
+            if not top:
+                break
+            prev, frame = frame, _bpe_apply_merge(
+                frame, top[0]["a"], top[0]["b"]
+            ).persist()
+            prev.unpersist()
+        wmap = frame.groupBy("word").agg(F.count("*").alias("n_tok"))
+    dt = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), " ")).alias("word"),
+    ).filter(F.col("word").rlike("\\A[a-z]+\\z"))
+    return (
+        dt.join(F.broadcast(wmap), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_tok").alias("n_tokens_bpe"),
+        )
     )

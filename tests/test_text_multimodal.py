@@ -119,3 +119,43 @@ def test_png_decoder_rejects_corruption():
     payload[idat_body + 2] ^= 0x01
     with _pytest.raises(ValueError, match="CRC mismatch"):
         decode_png(bytes(payload))
+
+
+def test_bpe_encode_distributed_segmentation_matches_local(spark):
+    """q_bpe_encode's distributed escape hatch (vocab past the driver cap)
+    must produce the same per-word token counts as the driver-side
+    segmentation — the merges and greedy-left application are semantics,
+    not an implementation detail of either path."""
+    from pyspark.sql import functions as F
+
+    from osmpbf_spark.catalog import load
+    from osmpbf_spark.operators.textstats import (
+        BPE_TRAIN_ROUNDS,
+        _bpe_apply_merge,
+        _bpe_frame,
+        _bpe_local,
+        _bpe_round_top,
+        _bpe_words,
+    )
+    from tests.conftest import SF_DIR
+
+    words = _bpe_words(load(spark, SF_DIR, "documents"))
+    vocab = [(r["word"], int(r["wcnt"])) for r in words.collect()]
+    _, toks = _bpe_local(vocab)
+    local = {w: len(t) for w, t in toks.items()}
+
+    frame = _bpe_frame(words)
+    for _ in range(BPE_TRAIN_ROUNDS):
+        top = _bpe_round_top(frame).collect()
+        if not top:
+            break
+        prev, frame = frame, _bpe_apply_merge(
+            frame, top[0]["a"], top[0]["b"]
+        ).persist()
+        prev.unpersist()
+    dist = {
+        r["word"]: int(r["n_tok"])
+        for r in frame.groupBy("word").agg(F.count("*").alias("n_tok")).collect()
+    }
+    frame.unpersist()
+    assert dist == local

@@ -272,15 +272,26 @@ def _gen_png(doc_id: int) -> bytes:
     chunk. PNG is the one compressed image format this sandbox can
     honestly produce and parse: it is struct + stdlib zlib, the same
     toolkit as the PBF codec."""
-    import struct
-    import zlib
-
     import numpy as np
 
     w, h = 4 + doc_id % 5, 3 + doc_id % 4
     px = ((doc_id * 7 + np.arange(w * h * 3, dtype=np.int64)) % 256).astype(
         np.uint8
     ).reshape(h, w * 3)
+    return _encode_png(px)
+
+
+def _encode_png(px) -> bytes:
+    """Encode an (h, w*3) uint8 raster as 8-bit RGB PNG, filter r % 5 per
+    row. Split from _gen_png so property tests can roundtrip arbitrary
+    rasters, not just the doc_id closed form."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, stride = px.shape
+    w = stride // 3
     bpp = 3  # bytes per pixel (RGB8)
     stream = bytearray()
     prev = np.zeros(w * 3, dtype=np.uint8)
@@ -336,6 +347,22 @@ def decode_png(payload: bytes) -> dict:
     and per-scanline reversal of all five PNG filter types. Supports the
     8-bit RGB non-interlaced profile the generator emits; anything else
     raises rather than guessing."""
+    out = _decode_png_raster(payload)
+    import numpy as np
+
+    return {
+        "width": int(out.shape[1] // 3),
+        "height": int(out.shape[0]),
+        "n_samples": None,
+        "checksum": int(out.sum(dtype=np.int64)),
+        "decoder": "png",
+    }
+
+
+def _decode_png_raster(payload: bytes):
+    """decode_png's core, returning the recovered (h, w*3) uint8 raster —
+    split out so the property test can assert full pixel equality, not
+    just the order-insensitive checksum."""
     import struct
     import zlib
 
@@ -404,13 +431,7 @@ def decode_png(payload: bytes) -> dict:
             raise ValueError(f"unknown PNG filter type {ft}")
         out[r] = line
         prev = line
-    return {
-        "width": int(w),
-        "height": int(h),
-        "n_samples": None,
-        "checksum": int(out.sum(dtype=np.int64)),
-        "decoder": "png",
-    }
+    return out
 
 
 def decode_ppm(payload: bytes) -> dict:

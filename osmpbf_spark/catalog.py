@@ -179,7 +179,7 @@ def all_oracles() -> dict[str, str]:
 
 
 # Round-6 rotation for the driver's 50-query correctness window (the
-# driver checks only the FIRST 50 registered queries each round; with 121
+# driver checks only the FIRST 50 registered queries each round; with 122
 # registered, ordering decides what gets a fresh hard row). The r06 window
 # is an explicit 50-query list, composed per the r05 verdict's rotation
 # policy (VERDICT.md "Next round" #2):
@@ -200,7 +200,9 @@ def all_oracles() -> dict[str, str]:
 #   5. Remaining slots: the oldest r04 greens sitting on code adjacent to
 #      r06 changes (q_dedup_embed / q_sim_search_ivf / q_sim_search_lsh
 #      share similarity.py with the scale-k work; q_dedup_clusters /
-#      q_dedup_simhash / q_doc_pack are the aged dedup/doc tail).
+#      q_dedup_simhash are the aged dedup tail). q_bpe_encode (NEW late
+#      in r06, first row ever) took the slot initially given to
+#      q_doc_pack — the most sweep-covered of the tier-5 candidates.
 #
 # Everything else keeps its r04/r05 green and rotates behind the window;
 # the named pytest sweeps still exercise every registered query each CI

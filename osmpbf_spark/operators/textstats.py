@@ -1030,7 +1030,14 @@ def _bpe_oracle_chain() -> str:
                              AND lead(tok) OVER (PARTITION BY word
                                                  ORDER BY pos) = t{r}.b,
                              FALSE) AS m
-             FROM {prev} CROSS JOIN t{r}),
+             -- LEFT JOIN ON TRUE, not CROSS JOIN: when a round finds no
+             -- candidate pair t{r} is EMPTY, and a cross join would
+             -- vaporize the whole symbol corpus — s{r} must instead pass
+             -- through unchanged (null ma/mb => m false), matching both
+             -- implementations' break semantics (q_bpe_encode reads the
+             -- final frame; the trainer tail reads only r{{...}} rows,
+             -- which stay empty for dry rounds either way)
+             FROM {prev} LEFT JOIN t{r} ON TRUE),
     mb{r} AS (SELECT *, COALESCE(lag(m) OVER (PARTITION BY word
                                               ORDER BY pos), FALSE) AS cons
               FROM m{r}),
@@ -1173,16 +1180,22 @@ def _bpe_local(vocab: list) -> tuple[list, dict]:
     return rows, toks
 
 
+def _bpe_tokens(d: DataFrame, *carry: str) -> DataFrame:
+    """The ONE word-tokenization rule (explode on spaces, lowercase,
+    alphabetic-only) with optional carried columns — shared by the
+    vocabulary pass and q_bpe_encode's corpus side so the two can never
+    silently drift apart (a divergent corpus-side rule would shrink the
+    encode join instead of failing)."""
+    return d.select(
+        *carry, F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).filter(F.col("word").rlike("\\A[a-z]+\\z"))
+
+
 def _bpe_words(d: DataFrame) -> DataFrame:
     """The distributed corpus pass: explode, keep alphabetic words, count
     — the word-frequency table BOTH trainer paths consume (and the only
     100 TB-scale stage of BPE training)."""
-    return (
-        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
-        .filter(F.col("word").rlike("\\A[a-z]+\\z"))
-        .groupBy("word")
-        .agg(F.count("*").alias("wcnt"))
-    )
+    return _bpe_tokens(d).groupBy("word").agg(F.count("*").alias("wcnt"))
 
 
 def _bpe_frame(words: DataFrame) -> DataFrame:
@@ -1224,6 +1237,21 @@ def _bpe_train_distributed(words: DataFrame) -> list:
     action. The symbol corpus is hash-partitioned by word ONCE and
     persisted per round: every window clusters on word, so no round
     re-exchanges the corpus."""
+    rows, _ = _bpe_distributed_core(words)
+    return rows
+
+
+def _bpe_distributed_core(words: DataFrame, finish=None) -> tuple:
+    """The ONE distributed merge-round loop (mirrors _bpe_local's split):
+    returns (trajectory rows, finish(final_frame)). Every round's merge
+    is applied, including the last — the trainer passes no ``finish``
+    (the final merge stays lazy and unmaterialized, so its persist marker
+    costs nothing) while q_bpe_encode's ``finish`` reduces the merged
+    frame to per-word token counts and MUST materialize its result
+    (localCheckpoint/collect) because every cache this loop created is
+    unpersisted before returning. Per-round cache discipline: prev is
+    unpersisted only AFTER the next round's action has run against the
+    new frame."""
     frame = _bpe_frame(words)
     n_total = 0
     rows = []
@@ -1247,17 +1275,18 @@ def _bpe_train_distributed(words: DataFrame) -> list:
             top = _bpe_round_top(frame).collect()
         if prev is not None:
             prev.unpersist()  # this round's action no longer reads it
+            prev = None
         if not top:
-            frame.unpersist()  # dry candidates: release the corpus cache
-            break
+            break  # dry candidates: frame is final
         ma, mb, mc = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
         n_total -= mc
         rows.append((r, ma, mb, mc, n_total))
-        if r < BPE_TRAIN_ROUNDS:
-            prev, frame = frame, _bpe_apply_merge(frame, ma, mb).persist()
-        else:
-            frame.unpersist()
-    return rows
+        prev, frame = frame, _bpe_apply_merge(frame, ma, mb).persist()
+    result = finish(frame) if finish is not None else None
+    if prev is not None:
+        prev.unpersist()
+    frame.unpersist()
+    return rows, result
 
 
 @query("q_bpe_train", oracle=_bpe_train_oracle(), tags=("text",))
@@ -1352,24 +1381,26 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             ),
         )
-    else:  # distributed escape hatch: run the merges on the cluster and
-        # reduce the final symbol frame to per-word token counts
-        frame = _bpe_frame(words)
-        for _ in range(BPE_TRAIN_ROUNDS):
-            top = _bpe_round_top(frame).collect()
-            if not top:
-                break
-            prev, frame = frame, _bpe_apply_merge(
-                frame, top[0]["a"], top[0]["b"]
-            ).persist()
-            prev.unpersist()
-        wmap = frame.groupBy("word").agg(F.count("*").alias("n_tok"))
-    dt = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower("text"), " ")).alias("word"),
-    ).filter(F.col("word").rlike("\\A[a-z]+\\z"))
+        # the table fits on the driver by the branch condition — broadcast
+        join_side = F.broadcast(wmap)
+    else:
+        # distributed escape hatch: the shared merge-round core reduces
+        # the final symbol frame to per-word token counts, materialized
+        # (localCheckpoint) before the core releases its caches. NO
+        # broadcast here: the hatch exists precisely because the table
+        # exceeds the driver cap, so the join is left to the planner
+        # (shuffled, or AQE-broadcast if stats say it fits after all).
+        def _finish(frame: DataFrame) -> DataFrame:
+            return (
+                frame.groupBy("word")
+                .agg(F.count("*").alias("n_tok"))
+                .localCheckpoint(eager=True)
+            )
+
+        _, join_side = _bpe_distributed_core(words, finish=_finish)
+    dt = _bpe_tokens(docs, "doc_id")
     return (
-        dt.join(F.broadcast(wmap), "word")
+        dt.join(join_side, "word")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_words"),

@@ -130,35 +130,27 @@ def test_bpe_encode_distributed_segmentation_matches_local(spark):
 
     from osmpbf_spark.catalog import load
     from osmpbf_spark.operators.textstats import (
-        BPE_TRAIN_ROUNDS,
-        _bpe_apply_merge,
-        _bpe_frame,
+        _bpe_distributed_core,
         _bpe_local,
-        _bpe_round_top,
         _bpe_words,
     )
     from tests.conftest import SF_DIR
 
     words = _bpe_words(load(spark, SF_DIR, "documents"))
     vocab = [(r["word"], int(r["wcnt"])) for r in words.collect()]
-    _, toks = _bpe_local(vocab)
+    local_rows, toks = _bpe_local(vocab)
     local = {w: len(t) for w, t in toks.items()}
 
-    frame = _bpe_frame(words)
-    for _ in range(BPE_TRAIN_ROUNDS):
-        top = _bpe_round_top(frame).collect()
-        if not top:
-            break
-        prev, frame = frame, _bpe_apply_merge(
-            frame, top[0]["a"], top[0]["b"]
-        ).persist()
-        prev.unpersist()
-    dist = {
-        r["word"]: int(r["n_tok"])
-        for r in frame.groupBy("word").agg(F.count("*").alias("n_tok")).collect()
-    }
-    frame.unpersist()
+    # the exact code q_bpe_encode's hatch runs (shared core + finish)
+    dist_rows, counts = _bpe_distributed_core(
+        words,
+        finish=lambda f: f.groupBy("word")
+        .agg(F.count("*").alias("n_tok"))
+        .collect(),
+    )
+    dist = {r["word"]: int(r["n_tok"]) for r in counts}
     assert dist == local
+    assert dist_rows == local_rows  # trajectories agree too
 
 
 def test_png_codec_property_roundtrip():
@@ -189,3 +181,30 @@ def test_png_codec_property_roundtrip():
         assert (got == px).all()  # full pixel equality, position-exact
 
     roundtrip()
+
+
+def test_bpe_encode_oracle_survives_dry_merge_rounds(duck):
+    """When a merge round finds no candidate pair (single-character
+    vocabulary), the oracle's per-round frame must pass through unchanged
+    — the pre-fix CROSS JOIN against the empty top-1 CTE vaporized the
+    whole symbol corpus and returned ZERO rows while both implementations
+    returned per-doc counts (round-6 review finding). LEFT JOIN ON TRUE
+    keeps the frame; every word encodes to its single symbol."""
+    import duckdb as _duckdb
+
+    from osmpbf_spark.operators.textstats import (
+        _bpe_encode_oracle,
+        _bpe_local,
+    )
+
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES"
+        " (0, 'a b c'), (1, 'b c a a')) AS t(doc_id, text)"
+    )
+    rows = con.sql(_bpe_encode_oracle()).fetchall()
+    got = {int(r[0]): (int(r[1]), int(r[2])) for r in rows}
+    assert got == {0: (3, 3), 1: (4, 4)}, got
+    # the local trainer agrees: no merges, every word stays one symbol
+    traj, toks = _bpe_local([("a", 3), ("b", 2), ("c", 2)])
+    assert traj == [] and all(len(t) == 1 for t in toks.values())

@@ -158,31 +158,37 @@ def main() -> None:
     spark.stop()
 
 
-def _pbf_scan_throughput(spark) -> dict:
+def _gen_bench_pbf(path: str, n: int) -> None:
     import numpy as np
 
     from osmpbf_spark.sources.pbf import encode
+
+    if os.path.exists(path):
+        return
+    rng = np.random.RandomState(1)
+    ids = np.cumsum(rng.randint(1, 5, n)) + 1_000_000
+    lat7 = rng.randint(-900_000_000, 900_000_000, n)
+    lon7 = rng.randint(-1_800_000_000, 1_800_000_000, n)
+    blocks = [
+        {
+            "nodes": {
+                "id": ids[i : i + 8000],
+                "lat_nano": lat7[i : i + 8000] * 100,
+                "lon_nano": lon7[i : i + 8000] * 100,
+                "tags": [None] * len(ids[i : i + 8000]),
+            }
+        }
+        for i in range(0, n, 8000)
+    ]
+    encode.write_pbf(path, blocks)
+
+
+def _pbf_scan_throughput(spark) -> dict:
     from osmpbf_spark.sources.pbf.datasource import read_pbf
 
     path = "/tmp/osmpbf_bench_2m.pbf"
     n = 2_000_000
-    if not os.path.exists(path):
-        rng = np.random.RandomState(1)
-        ids = np.cumsum(rng.randint(1, 5, n)) + 1_000_000
-        lat7 = rng.randint(-900_000_000, 900_000_000, n)
-        lon7 = rng.randint(-1_800_000_000, 1_800_000_000, n)
-        blocks = [
-            {
-                "nodes": {
-                    "id": ids[i : i + 8000],
-                    "lat_nano": lat7[i : i + 8000] * 100,
-                    "lon_nano": lon7[i : i + 8000] * 100,
-                    "tags": [None] * len(ids[i : i + 8000]),
-                }
-            }
-            for i in range(0, n, 8000)
-        ]
-        encode.write_pbf(path, blocks)
+    _gen_bench_pbf(path, n)
     df = read_pbf(spark, path, "node", partition_target_bytes=2 * 1024 * 1024)
     df.count()  # warm (footer/index cache, workers)
     t0 = time.perf_counter()
@@ -206,12 +212,48 @@ def _pbf_scan_throughput(spark) -> dict:
         b.num_rows for p in rdr.partitions() for b in rdr.read(p)
     )
     core_dt = time.perf_counter() - t0
+    # Steady-state distributed rate on a 20M-node file: at 2M nodes the
+    # wall is ~85% job floor (above), so the distributed Mnodes/s number
+    # measures latency, not throughput. 10x the data amortizes the floor
+    # and shows what a long scan actually sustains per job second — the
+    # number that matters for a 100 TB planet file.
+    path20 = "/tmp/osmpbf_bench_20m.pbf"
+    n20 = 20_000_000
+    if not os.path.exists(path20):
+        # stitch 10 copies of the 2M file's DATA blocks behind one header:
+        # PBF blocks are self-contained (delta chains restart per block),
+        # so byte-level repetition is a valid file and costs ~1s instead
+        # of a 25s re-encode (node ids repeat across copies — irrelevant
+        # for a scan-rate measurement)
+        from osmpbf_spark.sources.pbf.decode import index_blocks
+
+        with open(path, "rb") as f:
+            raw = f.read()
+        # the first OSMData file block starts right after the OSMHeader
+        # file block, which ends at its data_offset + data_size
+        head = next(
+            m for m in index_blocks(path) if m.block_type == "OSMHeader"
+        )
+        split = head.data_offset + head.data_size
+        with open(path20, "wb") as f:
+            f.write(raw[:split])
+            for _ in range(10):
+                f.write(raw[split:])
+        del raw
+    df20 = read_pbf(
+        spark, path20, "node", partition_target_bytes=2 * 1024 * 1024
+    )
+    df20.count()  # warm
+    t0 = time.perf_counter()
+    assert df20.count() == n20
+    dt20 = time.perf_counter() - t0
     return {
         "nodes": n,
         "wall_sec": round(dt, 4),
         "mnodes_per_sec": round(n / dt / 1e6, 2),
         "partitions": df.rdd.getNumPartitions(),
         "decode_mnodes_per_sec_core": round(n_core / core_dt / 1e6, 2),
+        "steady_state_20m_mnodes_per_sec": round(n20 / dt20 / 1e6, 2),
     }
 
 

@@ -409,7 +409,9 @@ def _decode_png_raster(payload: bytes):
         elif ft == 1:  # Sub: cumulative per channel, uint8 wraparound
             line = f.copy()
             for i in range(bpp, stride):
-                line[i] += line[i - bpp]
+                # & 0xFF in int space: numpy uint8 += wraps identically
+                # but raises RuntimeWarning on every overflow
+                line[i] = (int(line[i]) + int(line[i - bpp])) & 0xFF
         elif ft == 2:  # Up
             line = f + prev
         elif ft == 3:  # Average

@@ -1,0 +1,76 @@
+"""Full-registry oracle sweep — the driver's correctness gate, locally.
+
+Runs EVERY registered query (not just the 50-query driver window) against
+its DuckDB twin at sf0.01 and compares with tests/parity.assert_frames_match
+(strict value equality — a superset of the driver's order-insensitive
+value-hash). Exit code 0 means every oracle-carrying query is exactly
+equal and every rows-only query executed; non-zero prints the failures.
+
+Usage:
+    python scripts/sweep_oracles.py              # full registry at sf0.01
+    python scripts/sweep_oracles.py q_grid_agg   # one or more named queries
+    SWEEP_SF_DIR=/root/testdata/sf0.001 python scripts/sweep_oracles.py
+
+Prior rounds ran this sweep ad hoc; it is a script so "local green implies
+driver green" is a one-command check before each round ends.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+import duckdb  # noqa: E402
+
+from osmpbf_spark.catalog import TABLES, all_oracles, all_queries  # noqa: E402
+from osmpbf_spark.session import get_spark  # noqa: E402
+from parity import assert_frames_match  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SWEEP_SF_DIR", "/root/testdata/sf0.01")
+    only = set(sys.argv[1:])
+
+    spark = get_spark("oracle_sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = all_queries(), all_oracles()
+    names = [n for n in qs if not only or n in only]
+    failures: list[str] = []
+    t0 = time.time()
+    for i, name in enumerate(names, 1):
+        try:
+            pdf = qs[name](spark, sf_dir).toPandas()
+            if name in oracles:
+                duck_pdf = con.execute(oracles[name]).df()
+                assert_frames_match(pdf, duck_pdf, name)
+                status = f"green ({len(pdf)} rows)"
+            else:
+                status = f"rows-only ({len(pdf)} rows)"
+        except Exception as exc:  # noqa: BLE001 — report and continue
+            failures.append(name)
+            status = f"FAIL: {exc}"
+            traceback.print_exc()
+        print(f"[{i}/{len(names)}] {name}: {status}", flush=True)
+
+    print(
+        f"\n{len(names) - len(failures)}/{len(names)} green"
+        f" in {time.time() - t0:.0f}s"
+        + (f"; FAILURES: {failures}" if failures else "")
+    )
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

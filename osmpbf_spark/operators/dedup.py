@@ -1109,3 +1109,162 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("_c", 6).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental (snapshot-delta) dedup — batch vs historical corpus
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_incremental",
+    oracle="""
+    WITH inc AS (
+      SELECT doc_id, source, lang, n_chars, md5(text) AS h,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+               AS rn
+      FROM documents WHERE doc_id % 5 = 0),
+    hist AS (
+      SELECT DISTINCT md5(text) AS h
+      FROM documents WHERE doc_id % 5 <> 0)
+    SELECT i.doc_id, i.source, i.lang, i.n_chars
+    FROM inc i LEFT JOIN hist ON i.h = hist.h
+    WHERE i.rn = 1 AND hist.h IS NULL
+    """,
+    tags=("dedup",),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a new crawl batch (doc_id % 5 = 0 here;
+    a date partition in production) is deduplicated WITHIN the batch
+    (keep lowest doc_id per content hash) and AGAINST the historical
+    corpus (drop anything whose hash already exists) — the shape every
+    continuously-updated training corpus runs per snapshot, instead of
+    re-deduplicating the whole corpus from scratch.
+
+    Every stage keys on the SAME content hash: the history side reduces
+    to distinct hashes (shuffle volume = #distinct history docs — at
+    scale this is a bucketed/Z-ordered hash index maintained across
+    snapshots, so the exchange disappears entirely), the batch window
+    and the anti-join reuse that partitioning, and AQE broadcast-converts
+    whichever side is small (the batch, in steady state — a day's crawl
+    vs years of corpus; the JOIN's build side is the DISTINCT-hash
+    index, never raw history text). LEFT JOIN + IS NULL rather than
+    NOT IN: identical semantics here (hashes are never null), but
+    anti-join is the plan Spark executes and DuckDB optimizes both the
+    same way.
+    """
+    d = load(spark, sf_dir, "documents").withColumn("h", F.md5("text"))
+    inc = d.filter(F.col("doc_id") % 5 == 0)
+    hist = d.filter(F.col("doc_id") % 5 != 0).select("h").distinct()
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
+    return (
+        inc.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .join(hist, "h", "left_anti")
+        .select("doc_id", "source", "lang", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact passage-level dedup (C4-style: drop repeated spans, keep first)
+# ---------------------------------------------------------------------------
+
+PASSAGE_W = 8  # words per passage block
+
+
+@query(
+    "q_dedup_passage",
+    oracle=f"""
+    WITH words AS (
+      -- parallel unnests in one SELECT zip positionally in DuckDB
+      -- (WITH ORDINALITY is not implemented in this build)
+      SELECT doc_id,
+             CAST(unnest(generate_series(1, len(parts))) - 1 AS BIGINT)
+               AS pos,
+             unnest(parts) AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS parts
+            FROM documents)),
+    pas AS (
+      SELECT doc_id, pos // {PASSAGE_W} AS chunk,
+             string_agg(w, ' ' ORDER BY pos) AS passage
+      FROM words GROUP BY doc_id, pos // {PASSAGE_W}),
+    ranked AS (
+      SELECT doc_id, chunk, passage,
+             ROW_NUMBER() OVER (PARTITION BY passage
+                                ORDER BY doc_id, chunk) AS rn,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_total
+      FROM pas)
+    SELECT doc_id, MAX(n_total) AS n_total,
+           COUNT(*) AS n_kept,
+           string_agg(passage, ' ' ORDER BY chunk) AS clean_text
+    FROM ranked WHERE rn = 1
+    GROUP BY doc_id
+    """,
+    tags=("dedup",),
+)
+def q_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (the C4 / RefinedWeb span-dedup shape,
+    at fixed {W}-word passage granularity since the synthetic corpus has
+    no sentence boundaries): every document splits into consecutive
+    passages, a passage occurring anywhere else in the corpus keeps only
+    its FIRST occurrence (lowest doc_id, then position), and surviving
+    passages reassemble per-document — so an exactly duplicated document
+    survives as one full copy plus empty shells that vanish (documents
+    with zero kept passages drop from the output by construction;
+    LEFT-join the corpus spine if the report needs them as zero rows).
+
+    Scale shape: three exchanges, each unavoidable for exact span dedup
+    because the unit of comparison crosses documents — (doc, chunk)
+    passage assembly, the passage-hash window (shuffle volume = corpus
+    text, the same price q_dedup_exact pays at document grain), and the
+    per-doc reassembly. Passage order inside each aggregation is pinned
+    by sort_array over (pos, word) structs — collect_list is
+    order-nondeterministic under retries/AQE, so both aggregations sort
+    explicitly rather than trusting arrival order; in production the
+    passage column would hash to 128 bits (xxhash64/md5) before the
+    window to cut the shuffle bytes — kept as text here so the oracle
+    compares the passages themselves.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "w")
+    pas = words.groupBy(
+        "doc_id", F.expr(f"pos div {PASSAGE_W}").alias("chunk")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda x: x["w"],
+            ),
+            " ",
+        ).alias("passage")
+    )
+    from pyspark.sql import Window
+
+    ranked = pas.select(
+        "doc_id",
+        "chunk",
+        "passage",
+        F.row_number()
+        .over(Window.partitionBy("passage").orderBy("doc_id", "chunk"))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n_total"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_total").alias("n_total"),
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk", "passage"))),
+                    lambda x: x["passage"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )

@@ -1407,3 +1407,79 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("n_tokens_bpe"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus mixing (weighted multi-source sampling with epoch factors)
+# ---------------------------------------------------------------------------
+
+MIX_BUCKETS = 4096  # md5 sampling resolution: 3 hex chars
+
+
+@query(
+    "q_corpus_mix",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, lang, n_chars,
+             CAST(substr(source, 4) AS INTEGER) AS sn,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3))::BIGINT
+               AS bucket
+      FROM documents)
+    SELECT doc_id, source, lang, n_chars,
+           CAST((sn % 4 + 1) AS DOUBLE) / 4.0 AS sample_rate,
+           CAST(unnest(generate_series(1, sn % 3 + 1)) AS BIGINT) AS epoch
+    FROM d
+    WHERE bucket * 4 < (sn % 4 + 1) * {MIX_BUCKETS}
+    """,
+    tags=("text",),
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction: per-source sampling rates plus
+    per-source epoch (repeat) factors — the "data recipe" step that turns
+    raw sources into a weighted training corpus (downsample the
+    low-quality sources, run the high-quality ones for multiple epochs).
+    Rates and epochs here derive from the source number (rate
+    (sn%4+1)/4, epochs sn%3+1) so the oracle can replicate them; a real
+    pipeline would broadcast-join a recipe table instead — same plan.
+
+    The sampling predicate is a DETERMINISTIC md5 bucket of doc_id (the
+    q_sample_stratified discipline: stable across runs, partitionings,
+    and cluster sizes, unlike df.sample whose result depends on
+    partition layout), at 1/4096 resolution so rates are exact dyadics.
+
+    MAP-ONLY: scan -> filter -> project -> explode(sequence) — ZERO
+    exchanges (plan-frozen in test_plans.py, the q_pii_redact class).
+    At 100 TB the mixture is a pure scan-side pass: each executor keeps
+    or repeats its own rows, nothing shuffles; epoch repetition is a
+    generator, not a self-union, so the scan runs once per source row
+    regardless of the epoch factor. sample_rate is k/4 (exact double).
+    """
+    d = load(spark, sf_dir, "documents")
+    sn = F.substring("source", 4, 10).cast("int")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 3), 16, 10).cast(
+        "long"
+    )
+    rate_k = sn % 4 + 1
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            sn.alias("sn"),
+            bucket.alias("bucket"),
+        )
+        .filter(F.col("bucket") * 4 < F.col("sn") % 4 * MIX_BUCKETS + MIX_BUCKETS)
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            ((F.col("sn") % 4 + 1).cast("double") / 4.0).alias("sample_rate"),
+            F.explode(
+                F.sequence(
+                    F.lit(1).cast("long"), (F.col("sn") % 3 + 1).cast("long")
+                )
+            ).alias("epoch"),
+        )
+    )

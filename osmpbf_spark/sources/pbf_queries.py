@@ -412,3 +412,96 @@ def s_pbf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
     agg = stream.groupBy(tile.alias("tile")).agg(F.count("*").alias("cnt"))
     return _run_stream_to_memory(spark, agg, "s_pbf_stream", "complete")
+
+
+@query(
+    "q_pbf_way_geom",
+    oracle=f"""
+    WITH ex AS (
+      SELECT id AS way_id,
+             CAST(unnest(generate_series(1, len(refs))) - 1 AS BIGINT)
+               AS pos,
+             unnest(refs) AS nodeid
+      FROM read_parquet('{_DIR}/osm_ways.parquet')),
+    j AS (
+      SELECT ex.way_id, ex.pos,
+             CAST(ROUND(n.lat * 10000000) AS BIGINT) AS lat7,
+             CAST(ROUND(n.lon * 10000000) AS BIGINT) AS lon7
+      FROM ex JOIN read_parquet('{_DIR}/osm_nodes.parquet') n
+        ON ex.nodeid = n.id),
+    seg AS (
+      SELECT way_id, pos, lat7, lon7,
+             LEAD(lat7) OVER w AS nlat7, LEAD(lon7) OVER w AS nlon7
+      FROM j WINDOW w AS (PARTITION BY way_id ORDER BY pos))
+    SELECT way_id, pos AS seg_start,
+           nlon7 - lon7 AS dx7, nlat7 - lat7 AS dy7,
+           sqrt(CAST((nlon7 - lon7) * (nlon7 - lon7)
+                   + (nlat7 - lat7) * (nlat7 - lat7) AS DOUBLE)) AS seg_len7
+    FROM seg WHERE nlat7 IS NOT NULL
+    """,
+    tags=("pbf", "join"),
+)
+def q_pbf_way_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Way geometry assembly: resolve each way's refs to coordinates and
+    emit per-SEGMENT deltas and planar lengths — the step between "a way
+    is a list of node ids" (osmformat.proto Way.refs; the join the
+    reference's record layout exists to enable) and any real geometry
+    analytics (road length, shape simplification, map matching).
+
+    Exactness: coordinates re-quantize to 1e-7-degree integers (the PBF
+    wire resolution at the default granularity=100 — lat*1e7 lands
+    within 1 ulp of an integer, both engines compute the identical
+    double chain, so ROUND agrees), deltas are exact i64, the squared
+    sum stays far under 2^53 and casts to double exactly, and IEEE-754
+    sqrt is correctly rounded in both engines — so seg_len7 (units of
+    1e-7 deg) is bit-exact without transcendentals. Haversine needs
+    sin/cos, which are NOT correctly rounded and differ across engines
+    in the last ulp — a production length query multiplies seg_len7 by
+    the local metres-per-unit factor instead (exactness analysis:
+    SURVEY.md §2A notes).
+
+    Dangling refs (~5% of the fixture, FIXTURES.md) inner-join away and
+    LEAD then pairs each node with the next RESOLVED one — both engines
+    identically, and the honest production choice (a segment to a
+    missing node has no geometry). Per-segment ROWS, not a per-way sum:
+    double addition is order-dependent, so the exact aggregate belongs
+    to the consumer (integer-cents style) — emitting segments keeps
+    every value bit-exact.
+
+    Scale: explode is per-partition; ONE shuffle of the exploded refs
+    joins the node store (at planet scale the nodes side is the big one
+    — shuffle-hash on nodeid, or bucketed node storage making it
+    exchange-free, the test_plans.py:301 shape); the LEAD window
+    re-shuffles way-keyed rows once. No driver state, no collects.
+    """
+    from pyspark.sql import Window
+
+    ways = _read(spark, "way")
+    nodes = _read(spark, "node")
+    ex = ways.select(
+        F.col("id").alias("way_id"),
+        F.posexplode("refs").alias("pos0", "nodeid"),
+    ).select("way_id", F.col("pos0").cast("long").alias("pos"), "nodeid")
+    coords = nodes.select(
+        F.col("id").alias("nodeid"),
+        F.round(F.col("lat") * 10000000).cast("long").alias("lat7"),
+        F.round(F.col("lon") * 10000000).cast("long").alias("lon7"),
+    )
+    w = Window.partitionBy("way_id").orderBy("pos")
+    seg = ex.join(coords, "nodeid").select(
+        "way_id",
+        "pos",
+        "lat7",
+        "lon7",
+        F.lead("lat7").over(w).alias("nlat7"),
+        F.lead("lon7").over(w).alias("nlon7"),
+    )
+    dx = F.col("nlon7") - F.col("lon7")
+    dy = F.col("nlat7") - F.col("lat7")
+    return seg.filter(F.col("nlat7").isNotNull()).select(
+        "way_id",
+        F.col("pos").alias("seg_start"),
+        dx.alias("dx7"),
+        dy.alias("dy7"),
+        F.sqrt((dx * dx + dy * dy).cast("double")).alias("seg_len7"),
+    )

@@ -251,3 +251,70 @@ def test_udf_simhash_cross_checked_by_exact_twin(spark, duck):
     if tight:
         got = len(tight & set(u)) / len(tight)
         assert got >= 0.8, f"UDF path found only {got:.0%} of twin's hamming-0 pairs"
+
+
+def test_dedup_incremental_parity_and_semantics(spark, duck):
+    """Incremental dedup: oracle parity, plus the ground-truth invariants
+    recomputed independently — no survivor's content hash exists in the
+    historical partition, survivors are batch-unique, and every dropped
+    batch doc is explained by a history hit or an in-batch twin."""
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_dedup_incremental")
+    rows = duck.sql(
+        "SELECT doc_id, md5(text) AS h FROM documents"
+    ).fetchall()
+    hist = {h for d, h in rows if d % 5 != 0}
+    batch = {d: h for d, h in rows if d % 5 == 0}
+    surv = set(pdf["doc_id"])
+    assert surv <= set(batch)
+    seen_h = set()
+    expect = set()
+    for d in sorted(batch):
+        h = batch[d]
+        if h not in hist and h not in seen_h:
+            expect.add(d)
+        seen_h.add(h)
+    assert surv == expect
+
+
+def test_dedup_passage_parity_and_reassembly(spark, duck):
+    """Passage dedup: oracle parity, plus reassembly ground truth — a doc
+    with all passages kept reassembles to its original text exactly;
+    kept-passage totals equal the number of DISTINCT passages in the
+    corpus; and a fully-duplicated document family keeps exactly one
+    full copy."""
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_dedup_passage")
+    docs = dict(duck.sql("SELECT doc_id, text FROM documents").fetchall())
+    from osmpbf_spark.operators.dedup import PASSAGE_W
+
+    def passages(text):
+        ws = text.split(" ")
+        return [
+            " ".join(ws[i : i + PASSAGE_W])
+            for i in range(0, len(ws), PASSAGE_W)
+        ]
+
+    # ground truth: first occurrence of each passage by (doc_id, chunk)
+    first = {}
+    for d in sorted(docs):
+        for c, p in enumerate(passages(docs[d])):
+            first.setdefault(p, (d, c))
+    n_distinct = len(first)
+    assert int(pdf["n_kept"].sum()) == n_distinct
+
+    by_doc = {int(r.doc_id): r for r in pdf.itertuples()}
+    full_docs = 0
+    for d, text in docs.items():
+        pas = passages(text)
+        kept = [p for c, p in enumerate(pas) if first[p] == (d, c)]
+        if d not in by_doc:
+            assert not kept, f"doc {d} dropped but has kept passages"
+            continue
+        r = by_doc[d]
+        assert r.n_total == len(pas)
+        assert r.n_kept == len(kept)
+        assert r.clean_text == " ".join(kept)
+        if len(kept) == len(pas):
+            assert r.clean_text == text
+            full_docs += 1
+    assert full_docs > 0  # at least one doc fully survives
+    assert len(by_doc) < len(docs)  # and at least one dup doc vanished

@@ -522,3 +522,24 @@ def test_udtf_filter_is_below_the_python_boundary(spark):
     p = plan_of(spark, "u_udtf")
     below = p.split("BatchEvalPythonUDTF")[1]
     assert "LessThan(doc_id,10)" in below.split("PushedFilters")[1][:120], p
+
+
+def test_corpus_mix_is_map_only(spark):
+    """The mixture pass is scan→filter→project→generate: any Exchange
+    means the epoch repetition or the sampling predicate started
+    shuffling what must stay a pure scan-side pass at 100 TB."""
+    p = plan_of(spark, "q_corpus_mix")
+    assert "Exchange" not in p
+    assert "Generate explode" in p  # epochs via generator, not self-union
+
+
+def test_dedup_incremental_copartitions_on_content_hash(spark):
+    """Every stage keys on the content hash: the history DISTINCT, the
+    batch window, and the anti-join must share that one key — a second
+    hashpartitioning key appearing here means a stage stopped reusing
+    the hash partitioning."""
+    p = plan_of(spark, "q_dedup_incremental")
+    import re
+
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", p))
+    assert keys == {"h"}, keys

@@ -1268,3 +1268,136 @@ def q_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clean_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup (crawl-frontier / post-crawl URL dedup)
+# ---------------------------------------------------------------------------
+
+# tracking params to strip; Java-regex ∩ RE2 dialect (q_pii_redact rules)
+_URL_TRACK = "(utm_[a-z]+|ref)=[^&#]*&?"
+
+
+@query(
+    "q_dedup_url",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 5 < 2 THEN 'http://' ELSE 'https://' END)
+             || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+             || (CASE WHEN doc_id % 2 = 0 THEN 'ExAmple.COM'
+                      ELSE 'example.com' END)
+             || '/Page/' || CAST(doc_id // 7 AS VARCHAR)
+             || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+             || COALESCE('?' || nullif(concat_ws('&',
+                  CASE WHEN doc_id % 2 = 1
+                       THEN 'utm_source=news&utm_id='
+                            || CAST(doc_id % 9 AS VARCHAR) END,
+                  CASE WHEN doc_id % 11 = 0
+                       THEN 'p=' || CAST(doc_id % 3 AS VARCHAR) END,
+                  CASE WHEN doc_id % 7 = 0 THEN 'ref=tw' END), ''), '')
+             || (CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END)
+               AS url
+      FROM documents),
+    canon AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(lower(url),
+                 '^https?://', ''),
+                 '^www\\.', ''),
+                 '#.*$', ''),
+                 '{_URL_TRACK}', '', 'g'),
+                 '[?&]+$', ''),
+                 '/$', '') AS curl
+      FROM raw)
+    SELECT curl, MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_dupes
+    FROM canon GROUP BY curl
+    """,
+    tags=("dedup",),
+)
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the crawl-side twin of content dedup:
+    scheme, www, host case, tracking parameters (utm_*, ref), fragments,
+    and trailing slashes all collapse, MEANINGFUL query params survive,
+    and each canonical URL keeps its lowest doc_id. The corpus has no
+    URL column, so messy URLs are synthesized deterministically from
+    doc_id (the q_pii_redact salting pattern — identical construction in
+    both engines) with deliberate collision groups (doc_id div 7 shares
+    a path) split by surviving params; the oracle therefore checks the
+    real canonicalization chain, not a no-op.
+
+    The chain is six regexp_replace passes in the Java-regex ∩ RE2
+    dialect intersection (Spark replaces globally by default; DuckDB
+    takes the explicit 'g' flag): lowercase → scheme → www → fragment →
+    tracking params (with their trailing '&') → dangling '?'/'&' →
+    trailing slash. Lowercasing the whole URL (not just the host) is a
+    simplification documented here; a production canonicalizer
+    case-folds host only.
+
+    Scale: map-only canonicalization + ONE hash aggregation keyed by
+    canonical URL (map-side combine; shuffle volume = #distinct URLs) —
+    the same shape as q_dedup_exact, because after canonicalization URL
+    dedup IS exact dedup.
+    """
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 5 < 2, F.lit("http://")).otherwise(
+            F.lit("https://")
+        ),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("ExAmple.COM")).otherwise(
+            F.lit("example.com")
+        ),
+        F.lit("/Page/"),
+        F.expr("CAST(doc_id div 7 AS STRING)"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.coalesce(
+            F.concat(
+                F.lit("?"),
+                F.nullif(
+                    F.concat_ws(
+                        "&",
+                        F.when(
+                            F.col("doc_id") % 2 == 1,
+                            F.concat(
+                                F.lit("utm_source=news&utm_id="),
+                                (F.col("doc_id") % 9).cast("string"),
+                            ),
+                        ),
+                        F.when(
+                            F.col("doc_id") % 11 == 0,
+                            F.concat(
+                                F.lit("p="),
+                                (F.col("doc_id") % 3).cast("string"),
+                            ),
+                        ),
+                        F.when(F.col("doc_id") % 7 == 0, F.lit("ref=tw")),
+                    ),
+                    F.lit(""),
+                ),
+            ),
+            F.lit(""),
+        ),
+        F.when(F.col("doc_id") % 6 == 0, F.lit("#section-2")).otherwise(
+            F.lit("")
+        ),
+    )
+    curl = F.lower(url)
+    for pat, rep in (
+        ("^https?://", ""),
+        ("^www\\.", ""),
+        ("#.*$", ""),
+        (_URL_TRACK, ""),
+        ("[?&]+$", ""),
+        ("/$", ""),
+    ):
+        curl = F.regexp_replace(curl, F.lit(pat), F.lit(rep))
+    return (
+        d.select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_dupes"),
+        )
+    )

@@ -318,3 +318,57 @@ def test_dedup_passage_parity_and_reassembly(spark, duck):
             full_docs += 1
     assert full_docs > 0  # at least one doc fully survives
     assert len(by_doc) < len(docs)  # and at least one dup doc vanished
+
+
+def test_dedup_url_canonicalization_ground_truth(spark, duck):
+    """URL dedup: oracle parity plus an independent Python recomputation
+    of the synthesis + canonicalization chain — groups must collapse
+    scheme/www/case/tracking/fragment/slash noise, keep meaningful
+    params as group splitters, and keep the lowest doc_id."""
+    import re
+
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_dedup_url")
+    ids = [r[0] for r in duck.sql("SELECT doc_id FROM documents").fetchall()]
+
+    def synth(d):
+        u = ("http://" if d % 5 < 2 else "https://")
+        u += "www." if d % 3 == 0 else ""
+        u += "ExAmple.COM" if d % 2 == 0 else "example.com"
+        u += f"/Page/{d // 7}"
+        u += "/" if d % 4 == 0 else ""
+        parts = []
+        if d % 2 == 1:
+            parts.append(f"utm_source=news&utm_id={d % 9}")
+        if d % 11 == 0:
+            parts.append(f"p={d % 3}")
+        if d % 7 == 0:
+            parts.append("ref=tw")
+        if parts:
+            u += "?" + "&".join(parts)
+        u += "#section-2" if d % 6 == 0 else ""
+        return u
+
+    def canon(u):
+        s = u.lower()
+        s = re.sub(r"^https?://", "", s)
+        s = re.sub(r"^www\.", "", s)
+        s = re.sub(r"#.*$", "", s)
+        s = re.sub(r"(utm_[a-z]+|ref)=[^&#]*&?", "", s)
+        s = re.sub(r"[?&]+$", "", s)
+        s = re.sub(r"/$", "", s)
+        return s
+
+    groups = {}
+    for d in ids:
+        groups.setdefault(canon(synth(d)), []).append(d)
+    got = {r.curl: (r.keep_id, r.n_dupes) for r in pdf.itertuples()}
+    assert got == {
+        c: (min(ds), len(ds)) for c, ds in groups.items()
+    }
+    # the chain does real work: multi-member groups exist, some with a
+    # kept meaningful param, none with residual tracking noise
+    assert any(n > 1 for _, n in got.values())
+    assert any("?p=" in c for c in got)
+    assert not any(
+        "utm" in c or "ref=" in c or "#" in c or "www." in c for c in got
+    )

@@ -873,6 +873,44 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_window_dist",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           NTH_VALUE(o_orderkey, 2) OVER
+             (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window",),
+)
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows — percent_rank, cume_dist, nth_value — the
+    §2B navigation/ranking family's remaining members. Exactness:
+    percent_rank = (rank-1)/(n-1) and cume_dist = peers/n are one IEEE
+    division of exact small integers each, bit-identical across engines
+    (no accumulation, no transcendentals); nth_value needs the full
+    partition frame spelled out because the SQL-standard default frame
+    (RANGE UNBOUNDED PRECEDING..CURRENT ROW) would make it
+    order-prefix-dependent — both engines get the explicit frame. All
+    three share ONE (o_custkey, o_totalprice) sort within a single
+    exchange; the tie-broken ORDER BY keeps rank deterministic."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_order"),
+    )
+
+
+@query(
     "q_window_frame",
     oracle="""
     SELECT o_custkey, o_orderkey,

@@ -1333,3 +1333,68 @@ def test_pushdown_bounds_are_conservative_at_float_boundaries(tmp_path):
     parts = rdr.partitions()
     rows = sum(b.num_rows for part in parts for b in rdr.read(part))
     assert rows == 1, "boundary row was pruned at plan time"
+
+
+def test_zorder_layout_prunes_row_groups(spark, tmp_path):
+    """END-TO-END proof of the Z-order layout claim (q_pbf_zorder): the
+    same bbox query over the same points reads far fewer parquet row
+    groups from a Morton-sorted file than from an insertion-ordered one,
+    via real footer min/max stats — and Spark pushes the Morton range
+    to the scan and returns exactly the numpy ground-truth rows.
+
+    The bbox is an ALIGNED quadtree cell, so it rewrites to ONE Morton
+    range; an arbitrary bbox decomposes into several ranges plus the
+    exact residual x/y refilter — same mechanism, more ranges."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(7)
+    n = 200_000
+    lon = rng.uniform(-64.4, -63.9, n)
+    lat = rng.uniform(10.2, 10.7, n)
+    zx = np.floor((lon + 180) * 32768 / 360).astype(np.int64)
+    zy = np.floor((lat + 90) * 32768 / 180).astype(np.int64)
+    m = np.zeros(n, dtype=np.int64)
+    for i in range(15):  # independent numpy reimplementation of _morton_sql
+        m |= ((zx >> i) & 1) << (2 * i)
+        m |= ((zy >> i) & 1) << (2 * i + 1)
+    tbl = pa.table({"pid": np.arange(n), "lon": lon, "lat": lat, "morton": m})
+
+    zsorted = str(tmp_path / "zsorted.parquet")
+    unsorted = str(tmp_path / "unsorted.parquet")
+    order = np.argsort(m, kind="mergesort")
+    pq.write_table(tbl.take(order), zsorted, row_group_size=8192)
+    pq.write_table(tbl, unsorted, row_group_size=8192)  # insertion order
+
+    # aligned 256-code cell around the median point
+    p = int(np.median(m)) >> 8
+    lo, hi = p << 8, (p << 8) + 255
+    truth = int(((m >= lo) & (m <= hi)).sum())
+    assert truth > 0
+
+    def overlapping_row_groups(path: str) -> int:
+        md = pq.ParquetFile(path).metadata
+        idx = md.schema.names.index("morton")
+        hits = 0
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            if st.min <= hi and st.max >= lo:
+                hits += 1
+        return hits
+
+    total_groups = pq.ParquetFile(zsorted).metadata.num_row_groups
+    z_hits = overlapping_row_groups(zsorted)
+    u_hits = overlapping_row_groups(unsorted)
+    # z-sorted: the 256-code range spans ~a couple of 8k-row groups;
+    # unsorted: every group's min/max covers the whole space
+    assert z_hits <= 2, f"z-sorted should prune to <=2 groups, got {z_hits}"
+    assert u_hits == total_groups, "unsorted layout should prune nothing"
+
+    df = spark.read.parquet(zsorted).filter(
+        (F.col("morton") >= lo) & (F.col("morton") <= hi)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "morton" in plan.split("PushedFilters")[1][:200]
+    assert df.count() == truth

@@ -564,3 +564,85 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_rows",
     ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
+
+
+# ---------------------------------------------------------------------------
+# multi-resolution rollup cascade (continuous-aggregate hierarchy)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_rollup_cascade",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_value,
+           MIN(value) AS min_value, MAX(value) AS max_value,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             / COUNT(*) AS avg_value
+    FROM events
+    WHERE ts IS NOT NULL
+    GROUP BY day, event_type
+    """,
+    tags=("cdc", "agg"),
+)
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution continuous-aggregate cascade — the hypertable
+    rollup hierarchy: raw events reduce to MINUTE partials, hours derive
+    from minutes, days from hours, and ONLY partial statistics (count,
+    exact integer-cents sum, min, max) flow between levels; avg derives
+    at the final level. The oracle aggregates raw→day directly, so a
+    hash match proves the whole cascade lossless — the same merge
+    algebra as q_incr_agg, but composed through two intermediate
+    resolutions (the classic wrong answers — averaging averages, or
+    double-counting via overlapping truncation — all hash-mismatch).
+
+    WHY a cascade at 100 TB: each level's output is the next level's
+    input AND a queryable continuous aggregate in its own right; a
+    dashboard reads hours, the day rollup maintains itself from hour
+    partials (cardinality #hours × #types), and raw events are touched
+    exactly once. Shuffle volume collapses geometrically: #minutes →
+    #hours → #days per type, each with map-side partial aggregation; at
+    ingest time the same algebra runs incrementally (s_time_rollup /
+    q_incr_agg are the single-level forms).
+
+    date_trunc chains (minute→hour→day) are pure integer floor
+    operations on microsecond epochs — truncating a truncation equals
+    truncating raw, which is what the oracle's direct day-grain check
+    certifies.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("long")
+    minutes = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("slot"), "event_type"
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum(cents).alias("cents"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+
+    def up(frame: DataFrame, grain: str) -> DataFrame:
+        return frame.groupBy(
+            F.date_trunc(grain, "slot").alias("slot"), "event_type"
+        ).agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("cents").alias("cents"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+
+    days = up(up(minutes, "hour"), "day")
+    return days.select(
+        F.col("slot").alias("day"),
+        "event_type",
+        "cnt",
+        (F.col("cents").cast("double") / 100.0).alias("sum_value"),
+        F.col("mn").alias("min_value"),
+        F.col("mx").alias("max_value"),
+        (F.col("cents").cast("double") / 100.0 / F.col("cnt")).alias(
+            "avg_value"
+        ),
+    )

@@ -543,3 +543,15 @@ def test_dedup_incremental_copartitions_on_content_hash(spark):
 
     keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", p))
     assert keys == {"h"}, keys
+
+
+def test_rollup_cascade_collapses_geometrically(spark):
+    """Three aggregation levels, each with map-side partials (two
+    HashAggregates per exchange); only partial stats cross levels — no
+    re-scan of raw events above the minute level, so exactly one
+    FileScan of events feeds the whole cascade."""
+    p = plan_of(spark, "q_rollup_cascade")
+    shuffles = p.count("Exchange hashpartitioning")
+    assert shuffles == 3, f"expected 3 level exchanges, got {shuffles}"
+    assert p.count("HashAggregate") == 6  # partial+final per level
+    assert p.count("FileScan") == 1

@@ -1206,7 +1206,7 @@ PASSAGE_W = 8  # words per passage block
 )
 def q_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Passage-level exact dedup (the C4 / RefinedWeb span-dedup shape,
-    at fixed {W}-word passage granularity since the synthetic corpus has
+    at fixed 8-word (PASSAGE_W) passage granularity since the synthetic corpus has
     no sentence boundaries): every document splits into consecutive
     passages, a passage occurring anywhere else in the corpus keeps only
     its FIRST occurrence (lowest doc_id, then position), and surviving

@@ -432,12 +432,19 @@ def s_pbf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg AS (
       SELECT way_id, pos, lat7, lon7,
              LEAD(lat7) OVER w AS nlat7, LEAD(lon7) OVER w AS nlon7
-      FROM j WINDOW w AS (PARTITION BY way_id ORDER BY pos))
-    SELECT way_id, pos AS seg_start,
-           nlon7 - lon7 AS dx7, nlat7 - lat7 AS dy7,
-           sqrt(CAST((nlon7 - lon7) * (nlon7 - lon7)
-                   + (nlat7 - lat7) * (nlat7 - lat7) AS DOUBLE)) AS seg_len7
-    FROM seg WHERE nlat7 IS NOT NULL
+      FROM j WINDOW w AS (PARTITION BY way_id ORDER BY pos)),
+    wrapped AS (
+      SELECT way_id, pos,
+             CASE WHEN nlon7 - lon7 >  1800000000
+                    THEN nlon7 - lon7 - 3600000000
+                  WHEN nlon7 - lon7 < -1800000000
+                    THEN nlon7 - lon7 + 3600000000
+                  ELSE nlon7 - lon7 END AS dx7,
+             nlat7 - lat7 AS dy7
+      FROM seg WHERE nlat7 IS NOT NULL)
+    SELECT way_id, pos AS seg_start, dx7, dy7,
+           sqrt(CAST(dx7 * dx7 + dy7 * dy7 AS DOUBLE)) AS seg_len7
+    FROM wrapped
     """,
     tags=("pbf", "join"),
 )
@@ -451,10 +458,15 @@ def q_pbf_way_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: coordinates re-quantize to 1e-7-degree integers (the PBF
     wire resolution at the default granularity=100 — lat*1e7 lands
     within 1 ulp of an integer, both engines compute the identical
-    double chain, so ROUND agrees), deltas are exact i64, the squared
-    sum stays far under 2^53 and casts to double exactly, and IEEE-754
-    sqrt is correctly rounded in both engines — so seg_len7 (units of
-    1e-7 deg) is bit-exact without transcendentals. Haversine needs
+    double chain, so ROUND agrees); lon deltas wrap across the
+    antimeridian (shortest direction), which also bounds |dx7| ≤ 1.8e9
+    so dx²+dy² ≤ ~6.5e18 can never overflow i64; the squared sum casts
+    to double EXACTLY while below 2^53 (every segment under ~6.7° per
+    axis — all real OSM ways) and identically-correctly-rounded in both
+    engines above it, and IEEE-754 sqrt is correctly rounded in both —
+    so seg_len7 (units of 1e-7 deg) is bit-exact cross-engine without
+    transcendentals at ANY delta, and exact-integer-pedigree for real
+    way geometry. Haversine needs
     sin/cos, which are NOT correctly rounded and differ across engines
     in the last ulp — a production length query multiplies seg_len7 by
     the local metres-per-unit factor instead (exactness analysis:
@@ -496,7 +508,12 @@ def q_pbf_way_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("lat7").over(w).alias("nlat7"),
         F.lead("lon7").over(w).alias("nlon7"),
     )
-    dx = F.col("nlon7") - F.col("lon7")
+    raw_dx = F.col("nlon7") - F.col("lon7")
+    dx = (
+        F.when(raw_dx > 1_800_000_000, raw_dx - 3_600_000_000)
+        .when(raw_dx < -1_800_000_000, raw_dx + 3_600_000_000)
+        .otherwise(raw_dx)
+    )
     dy = F.col("nlat7") - F.col("lat7")
     return seg.filter(F.col("nlat7").isNotNull()).select(
         "way_id",
@@ -529,8 +546,13 @@ def _morton_sql(x: str, y: str) -> str:
     return " + ".join(terms)
 
 
-_ZX = "CAST(FLOOR((lon + 180) * 32768 / 360) AS BIGINT)"
-_ZY = "CAST(FLOOR((lat + 90) * 32768 / 180) AS BIGINT)"
+# grid size derives from Z_BITS; LEAST-clamp the two domain-edge points
+# (lon=180 / lat=90 floor to exactly 2^Z_BITS, whose bit 15 the
+# interleave would silently drop, folding the pole/antimeridian into
+# the x=0/y=0 Morton rows)
+_ZGRID = 1 << Z_BITS
+_ZX = f"LEAST(CAST(FLOOR((lon + 180) * {_ZGRID} / 360) AS BIGINT), {_ZGRID - 1})"
+_ZY = f"LEAST(CAST(FLOOR((lat + 90) * {_ZGRID} / 180) AS BIGINT), {_ZGRID - 1})"
 
 
 @query(
@@ -563,7 +585,7 @@ def q_pbf_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     Z-sorted file than from an id-sorted one, via parquet footer stats.
 
     The bit-interleave is one shared SQL string (shift/mask arithmetic,
-    engine-agnostic, unrolled over 11 bits) evaluated in whole-stage
+    engine-agnostic, unrolled over 15 bits) evaluated in whole-stage
     codegen — integer-exact, no UDF. One exchange: the Morton map is
     scan-side; the rollup shuffles #cells, not #nodes (map-side
     partials, same bound as q_pbf_grid_agg).

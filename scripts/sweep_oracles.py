@@ -46,6 +46,12 @@ def main() -> int:
         )
 
     qs, oracles = all_queries(), all_oracles()
+    unknown = only - set(qs)
+    if unknown:
+        # fail loudly: a typo'd name silently running nothing would make
+        # the gate exit 0 having verified nothing
+        print(f"unknown queries: {sorted(unknown)}", file=sys.stderr)
+        return 2
     names = [n for n in qs if not only or n in only]
     failures: list[str] = []
     t0 = time.time()

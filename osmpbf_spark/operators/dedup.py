@@ -1401,3 +1401,145 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_dupes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# entity resolution: blocking + edit-distance verify + best-match resolve
+# ---------------------------------------------------------------------------
+
+# word pools for deterministic person-like names (>=6 chars so the
+# corruption position always exists)
+_ER_W1 = (
+    "anderson bennett carlson dawson edwards foster graham harper "
+    "ingram jackson keller lawson mitchel norris oakley parker quincy"
+).split()
+# 'joseph'/'jasper' share a first char ON PURPOSE: their block contains
+# cross-name candidate pairs whose edit distance (>=2 in every corrupted
+# combination) the verify step must reject — the blocking is deliberately
+# not so clean that the verifier has nothing to do
+_ER_W2 = (
+    "albert bridget charles duncan eleanor francis gregory harriet "
+    "isabel joseph kenneth lillian jasper"
+).split()
+
+
+def _er_sql_list(words: tuple | list) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@query(
+    "q_er_fuzzy",
+    oracle=f"""
+    WITH a AS (
+      SELECT c_custkey AS a_key,
+             list_extract({_er_sql_list(_ER_W1)},
+                          CAST(c_custkey % 17 + 1 AS INTEGER)) AS w1,
+             list_extract({_er_sql_list(_ER_W2)},
+                          CAST(c_custkey % 13 + 1 AS INTEGER)) AS w2
+      FROM customer),
+    b AS (
+      SELECT a_key AS b_key, w1,
+             CASE WHEN a_key % 5 = 4 THEN w2
+                  ELSE substr(w2, 1, CAST(1 + a_key % 3 AS INTEGER))
+                       || substr(w2, CAST(3 + a_key % 3 AS INTEGER), 99)
+             END AS w2c
+      FROM a),
+    cand AS (
+      SELECT b.b_key, a.a_key,
+             levenshtein(a.w1 || ' ' || a.w2, b.w1 || ' ' || b.w2c) AS dist
+      FROM b JOIN a
+        ON a.w1 = b.w1 AND substr(a.w2, 1, 1) = substr(b.w2c, 1, 1)
+      WHERE levenshtein(a.w1 || ' ' || a.w2, b.w1 || ' ' || b.w2c) <= 1),
+    best AS (
+      SELECT b_key, a_key, dist,
+             ROW_NUMBER() OVER (PARTITION BY b_key
+                                ORDER BY dist, a_key) AS rn
+      FROM cand)
+    SELECT b_key, a_key AS matched_key, dist
+    FROM best WHERE rn = 1
+    """,
+    tags=("dedup",),
+)
+def q_er_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution — the fuzzy-match pipeline (blocking → bounded
+    edit-distance verify → best-match resolve) that links dirty records
+    to a master list: record set A holds clean two-word names derived
+    deterministically from c_custkey (so the oracle replicates them);
+    record set B is A with a deterministic typo (a character deleted
+    from the second word at a key-dependent position; every 5th record
+    left clean). A B-record matches A-records at levenshtein <= 1
+    within its block, and ROW_NUMBER over (dist, a_key) picks the one
+    resolution — ambiguous cross-matches (distinct keys sharing a name)
+    resolve deterministically, the tie-break every production ER system
+    needs.
+
+    Blocking is the scale story: candidates come from an EQUI-join on
+    (first word, first char of second word) — never a cross join —
+    so pair volume is sum of block-size products, not |A|x|B|; the
+    block key is chosen robust to the corruption (typos never touch
+    word 1 or the first char of word 2), which is exactly how real ER
+    picks blocking features (phonetic codes, zips) that survive the
+    noise they block over. At 100 TB blocks come from higher-cardinality
+    features; the within-block product term is the same knob as
+    SemDeDup's cell bound (operators/similarity.py) and the levenshtein
+    verify runs in whole-stage codegen on candidates only.
+
+    Exactness: names are list-indexed words, the corruption is pure
+    substr arithmetic, and levenshtein is an integer — nothing rounds
+    anywhere, both engines agree bit-for-bit.
+    """
+    c = load(spark, sf_dir, "customer")
+    w1 = F.element_at(
+        F.array(*[F.lit(w) for w in _ER_W1]),
+        (F.col("c_custkey") % 17 + 1).cast("int"),
+    )
+    w2 = F.element_at(
+        F.array(*[F.lit(w) for w in _ER_W2]),
+        (F.col("c_custkey") % 13 + 1).cast("int"),
+    )
+    a = c.select(F.col("c_custkey").alias("a_key"), w1.alias("w1"), w2.alias("w2"))
+    cut = (F.col("b_key") % 3 + 1).cast("int")
+    b = a.select(
+        F.col("a_key").alias("b_key"),
+        "w1",
+        F.col("w2").alias("w2_orig"),
+    ).select(
+        "b_key",
+        "w1",
+        F.when(F.col("b_key") % 5 == 4, F.col("w2_orig"))
+        .otherwise(
+            F.concat(
+                F.substring(F.col("w2_orig"), 1, cut),
+                F.expr("substr(w2_orig, CAST(3 + b_key % 3 AS INT), 99)"),
+            )
+        )
+        .alias("w2c"),
+    )
+    # the A/B frames share lineage (both derive from the customer scan),
+    # so the block join is a self-join: qualify through DataFrame aliases
+    aa, bb = a.alias("A"), b.alias("B")
+    name_a = F.concat_ws(" ", F.col("A.w1"), F.col("A.w2"))
+    name_b = F.concat_ws(" ", F.col("B.w1"), F.col("B.w2c"))
+    cand = (
+        bb.join(
+            aa,
+            (F.col("A.w1") == F.col("B.w1"))
+            & (
+                F.substring(F.col("A.w2"), 1, 1)
+                == F.substring(F.col("B.w2c"), 1, 1)
+            ),
+        )
+        .withColumn("dist", F.levenshtein(name_a, name_b))
+        .filter(F.col("dist") <= 1)
+        .select("b_key", "a_key", "dist")
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("b_key").orderBy("dist", "a_key")
+    )
+    return (
+        cand.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("b_key", F.col("a_key").alias("matched_key"), "dist")
+    )

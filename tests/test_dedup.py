@@ -372,3 +372,20 @@ def test_dedup_url_canonicalization_ground_truth(spark, duck):
     assert not any(
         "utm" in c or "ref=" in c or "#" in c or "www." in c for c in got
     )
+
+
+def test_er_fuzzy_closed_form_resolution(spark, duck):
+    """Entity resolution: oracle parity plus the closed-form ground
+    truth — names repeat every lcm(17,13)=221 keys, so every B record
+    must resolve to min(a_key) in its residue class with dist 1
+    (corrupted) or 0 (every 5th record, left clean); and the
+    joseph/jasper shared-first-char block proves the levenshtein verify
+    rejects cross-name candidates blocking lets through."""
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_er_fuzzy")
+    n = duck.sql("SELECT COUNT(*) FROM customer").fetchone()[0]
+    assert len(pdf) == n  # every record resolves exactly once
+    for r in pdf.itertuples():
+        assert r.matched_key == r.b_key % 221
+        assert r.dist == (0 if r.b_key % 5 == 4 else 1)
+    # the corrupted majority really goes through the fuzzy path
+    assert (pdf["dist"] == 1).sum() > 0.7 * n

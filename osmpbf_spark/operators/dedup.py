@@ -1482,13 +1482,23 @@ def q_er_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise they block over. At 100 TB blocks come from higher-cardinality
     features; the within-block product term is the same knob as
     SemDeDup's cell bound (operators/similarity.py) and the levenshtein
-    verify runs in whole-stage codegen on candidates only.
+    verify runs in whole-stage codegen on candidates only. MEASURED at
+    FIXED blocking cardinality (221 name cells): 10x data = 100x pair
+    volume = 19.2x wall (1.44s -> 27.7s, scripts/scale_synth.py with
+    the scaled customer table) — quadratic by construction, the same
+    honest outlier shape as fixed-k SemDeDup; production grows blocking
+    cardinality with the corpus, which restores the linear shape
+    exactly as q_dedup_semantic_scalek demonstrates for cells.
 
     Exactness: names are list-indexed words, the corruption is pure
     substr arithmetic, and levenshtein is an integer — nothing rounds
     anywhere, both engines agree bit-for-bit.
     """
-    c = load(spark, sf_dir, "customer")
+    # single-row-group dimension scan -> fanout before the
+    # expression-heavy block join (the catalog.fanout idiom), else the
+    # streamed side's entire levenshtein volume runs in ONE task
+    # (measured 5.2s -> sub-second at sf0.1)
+    c = fanout(load(spark, sf_dir, "customer"))
     w1 = F.element_at(
         F.array(*[F.lit(w) for w in _ER_W1]),
         (F.col("c_custkey") % 17 + 1).cast("int"),

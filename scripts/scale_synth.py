@@ -68,7 +68,15 @@ def build() -> None:
                  user_id + k*10000 AS user_id, event_type, value, props
           FROM read_parquet('{SRC}/events.parquet'), {copies})
     TO '{OUT}/events.parquet' (FORMAT PARQUET)""")
-    for t in ("region", "nation", "customer", "supplier", "part"):
+    # customer scales too (q_er_fuzzy reads it); key-shifted copies keep
+    # every 221-residue name cell uniformly 10x denser — the honest way
+    # to expose the fixed-blocking quadratic term
+    con.execute(f"""
+    COPY (SELECT c_custkey + k*1000000 AS c_custkey, c_name, c_nationkey,
+                 c_acctbal, c_mktsegment
+          FROM read_parquet('{SRC}/customer.parquet'), {copies})
+    TO '{OUT}/customer.parquet' (FORMAT PARQUET)""")
+    for t in ("region", "nation", "supplier", "part"):
         shutil.copy(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
 
 

@@ -1227,7 +1227,10 @@ def q_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
     window to cut the shuffle bytes — kept as text here so the oracle
     compares the passages themselves.
     """
-    d = load(spark, sf_dir, "documents")
+    # fanout: the single-row-group corpus scan would otherwise run the
+    # split+explode (the corpus-sized part of the pipeline) in ONE task;
+    # measured 10x-data wall 4.0s -> 1.8s at sf0.1-x10
+    d = fanout(load(spark, sf_dir, "documents"))
     words = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "w")

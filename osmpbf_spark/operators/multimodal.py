@@ -627,3 +627,117 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_samples long, checksum long, decoder string"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL resize (round 6): the remaining multimodal verb — decode, then
+# 2x nearest-neighbor downsample of the actual raster, then re-checksum
+# ---------------------------------------------------------------------------
+
+
+def _raster_of(payload: bytes):
+    """(h, w*3) uint8 raster from a sniffed PNG or PPM payload — the
+    decode step resize sits on top of."""
+    import re
+
+    import numpy as np
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png_raster(payload)
+    m = re.match(rb"P6\s(\d+)\s(\d+)\s255\s", payload)
+    if not m:
+        raise ValueError("unknown image container")
+    w, h = int(m.group(1)), int(m.group(2))
+    return np.frombuffer(
+        payload, np.uint8, count=w * h * 3, offset=m.end()
+    ).reshape(h, w * 3)
+
+
+def resize_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas resizer: decode payload -> raster, keep every other
+    pixel row/column (2x nearest-neighbor), checksum the RESIZED raster.
+    Operates on the real pixels — a misdecoded filter row or a slice
+    that grabs bytes instead of pixels changes the checksum."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = {
+            "doc_id": [],
+            "decoder": [],
+            "w_in": [],
+            "h_in": [],
+            "w_out": [],
+            "h_out": [],
+            "checksum_out": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raster = _raster_of(payload)
+            h, stride = raster.shape
+            w = stride // 3
+            px = raster.reshape(h, w, 3)
+            small = px[::2, ::2, :]
+            rows["doc_id"].append(doc_id)
+            rows["decoder"].append(
+                "png" if payload[:4] == b"\x89PNG"[:4] else "ppm"
+            )
+            rows["w_in"].append(w)
+            rows["h_in"].append(h)
+            rows["w_out"].append(small.shape[1])
+            rows["h_out"].append(small.shape[0])
+            rows["checksum_out"].append(int(small.sum(dtype=np.int64)))
+        yield pd.DataFrame(rows)
+
+
+@query(
+    "q_multimodal_resize",
+    oracle="""
+    WITH img AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+                 FROM documents WHERE doc_id % 3 = 0),
+    ri AS (SELECT doc_id, w, h, unnest(range(0, (h + 1) // 2)) AS r
+           FROM img),
+    ci AS (SELECT doc_id, w, h, r, unnest(range(0, (w + 1) // 2)) AS c
+           FROM ri),
+    px AS (SELECT doc_id, w, h, r, c, unnest(range(0, 3)) AS ch FROM ci)
+    SELECT doc_id,
+           CASE WHEN doc_id % 6 = 0 THEN 'png' ELSE 'ppm' END AS decoder,
+           CAST(MIN(w) AS INTEGER) AS w_in,
+           CAST(MIN(h) AS INTEGER) AS h_in,
+           CAST(MIN((w + 1) // 2) AS INTEGER) AS w_out,
+           CAST(MIN((h + 1) // 2) AS INTEGER) AS h_out,
+           CAST(SUM((doc_id * 7 + (2 * r * w + 2 * c) * 3 + ch) % 256)
+                AS BIGINT) AS checksum_out
+    FROM px GROUP BY doc_id
+    """,
+    tags=("multimodal", "udf"),
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize — the remaining multimodal verb next to decode /
+    feature-extract / frame-sample: every image payload (PNG via the
+    full chunk-walk/inflate/filter-reversal decoder, PPM via the P6
+    parser) decodes to its actual raster, downsampled 2x nearest-neighbor
+    (every other pixel row and column), and the checksum of the RESIZED
+    raster is emitted. The oracle recomputes that checksum from the
+    generator's closed pixel form ((id*7 + k) % 256 at the kept pixel
+    indices), so the hash proves the whole decode -> pixel-grid ->
+    stride-slice pipeline touched exactly the right pixels — a
+    byte-level (instead of pixel-level) slice, an off-by-one in the
+    filter reversal, or ceil/floor confusion in the output dims all
+    mismatch.
+
+    Map-only at any scale: synthesize -> resize are two chained
+    Arrow-batched Python stages with no shuffle (the q_multimodal_decode
+    shape); a production resize (PIL/OpenCV inside the same mapInPandas
+    signature) swaps the kernel, not the plan."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    typed = d.select("doc_id", "text", F.lit("image").alias("media_type"))
+    media = typed.mapInPandas(
+        synthesize_payloads,
+        schema="doc_id long, media_type string, payload binary",
+    )
+    return media.mapInPandas(
+        resize_images,
+        schema=(
+            "doc_id long, decoder string, w_in int, h_in int, "
+            "w_out int, h_out int, checksum_out long"
+        ),
+    )

@@ -1398,3 +1398,36 @@ def test_zorder_layout_prunes_row_groups(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "morton" in plan.split("PushedFilters")[1][:200]
     assert df.count() == truth
+
+
+def test_morton_sql_matches_numpy_interleave(spark):
+    """Property check: the shared _morton_sql string evaluated by Spark
+    equals an independent numpy bit-interleave for random in-range and
+    boundary coordinates — the SQL arithmetic (shift/mask/+ precedence)
+    is exactly the mathematical Morton code."""
+    import numpy as np
+
+    from osmpbf_spark.sources.pbf_queries import Z_BITS, _morton_sql
+
+    rng = np.random.RandomState(11)
+    n = 500
+    zx = np.concatenate(
+        [rng.randint(0, 1 << Z_BITS, n - 4), [0, (1 << Z_BITS) - 1, 0, (1 << Z_BITS) - 1]]
+    ).astype(np.int64)
+    zy = np.concatenate(
+        [rng.randint(0, 1 << Z_BITS, n - 4), [0, 0, (1 << Z_BITS) - 1, (1 << Z_BITS) - 1]]
+    ).astype(np.int64)
+    expect = np.zeros(n, dtype=np.int64)
+    for i in range(Z_BITS):
+        expect |= ((zx >> i) & 1) << (2 * i)
+        expect |= ((zy >> i) & 1) << (2 * i + 1)
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(zx, zy)], "zx long, zy long"
+    )
+    got = [
+        r[0]
+        for r in df.selectExpr(f"{_morton_sql('zx', 'zy')} AS m")
+        .toPandas()
+        .itertuples(index=False)
+    ]
+    assert got == expect.tolist()

@@ -555,3 +555,14 @@ def test_rollup_cascade_collapses_geometrically(spark):
     assert shuffles == 3, f"expected 3 level exchanges, got {shuffles}"
     assert p.count("HashAggregate") == 6  # partial+final per level
     assert p.count("FileScan") == 1
+
+
+def test_er_fuzzy_blocks_broadcast_and_limits(spark):
+    """ER must candidate-generate through a hash join on the blocking
+    keys (never a cartesian/nested-loop over A x B) and resolve via
+    WindowGroupLimit — losing either degrades to all-pairs or unbounded
+    per-key collection."""
+    p = plan_of(spark, "q_er_fuzzy")
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "WindowGroupLimit" in p

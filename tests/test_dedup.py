@@ -389,3 +389,121 @@ def test_er_fuzzy_closed_form_resolution(spark, duck):
         assert r.dist == (0 if r.b_key % 5 == 4 else 1)
     # the corrupted majority really goes through the fuzzy path
     assert (pdf["dist"] == 1).sum() > 0.7 * n
+
+
+def _canon_url(u: str) -> str:
+    """Python replica of q_dedup_url's canonicalization chain (kept in
+    sync with dedup._URL_TRACK and the regexp sequence)."""
+    import re
+
+    s = u.lower()
+    s = re.sub(r"^https?://", "", s)
+    s = re.sub(r"^www\.", "", s)
+    s = re.sub(r"#.*$", "", s)
+    s = re.sub(r"(utm_[a-z]+|ref)=[^&#]*&?", "", s)
+    s = re.sub(r"[?&]+$", "", s)
+    s = re.sub(r"/$", "", s)
+    return s
+
+
+def test_url_canonicalizer_is_idempotent_property():
+    """canon(canon(u)) == canon(u) over arbitrary URL-shaped strings —
+    a canonicalizer that is not idempotent merges different groups
+    depending on how many times a pipeline stage happens to apply it.
+    Hypothesis explores hosts/paths/params/fragments combinatorially,
+    including empty and tracking-only queries."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text("abcdefghijklmnopqrstuvwxyz0123456789", min_size=0, max_size=8)
+    url = st.builds(
+        lambda sch, w3, host, path, slash, q, frag: (
+            sch
+            + w3
+            + host
+            + ("/" + path if path else "")
+            + slash
+            + q
+            + frag
+        ),
+        st.sampled_from(["http://", "https://", ""]),
+        st.sampled_from(["www.", ""]),
+        st.sampled_from(["Example.COM", "a.org", "X.Y.Z"]),
+        word,
+        st.sampled_from(["/", ""]),
+        st.one_of(
+            st.just(""),
+            st.builds(
+                lambda parts: "?" + "&".join(parts) if parts else "",
+                st.lists(
+                    st.one_of(
+                        st.builds(lambda v: f"utm_source={v}", word),
+                        st.builds(lambda v: f"ref={v}", word),
+                        st.builds(lambda k, v: f"{k}={v}", word, word),
+                    ),
+                    max_size=3,
+                ),
+            ),
+        ),
+        st.sampled_from(["", "#frag", "#a#b"]),
+    )
+
+    @given(url)
+    @settings(max_examples=300, deadline=None)
+    def check(u):
+        c = _canon_url(u)
+        assert _canon_url(c) == c, f"not idempotent: {u!r} -> {c!r} -> {_canon_url(c)!r}"
+        assert "#" not in c and not c.endswith(("?", "&", "/"))
+
+    check()
+
+
+def test_dedup_passage_property_arbitrary_corpus(spark):
+    """Passage dedup on hypothesis-generated corpora (tiny vocab to force
+    collisions, variable doc lengths incl. single-word docs) must equal
+    an independent Python first-occurrence implementation — generalizes
+    the fixture test to adversarial shapes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from osmpbf_spark.operators.dedup import PASSAGE_W, q_dedup_passage
+
+    word = st.sampled_from(["a", "bb", "ccc"])  # tiny vocab -> collisions
+    doc = st.lists(word, min_size=1, max_size=30).map(" ".join)
+
+    @given(st.lists(doc, min_size=1, max_size=12))
+    @settings(max_examples=15, deadline=None)
+    def check(texts):
+        import tempfile
+
+        rows = [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)]
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                rows, "doc_id long, text string, lang string, source string, n_chars long"
+            ).write.mode("overwrite").parquet(f"{td}/documents.parquet")
+            got = {
+                int(r.doc_id): (int(r.n_total), int(r.n_kept), r.clean_text)
+                for r in q_dedup_passage(spark, td).collect()
+            }
+        first: dict[str, tuple] = {}
+        expect = {}
+        for d, t in enumerate(texts):
+            ws = t.split(" ")
+            pas = [
+                " ".join(ws[i : i + PASSAGE_W])
+                for i in range(0, len(ws), PASSAGE_W)
+            ]
+            for c, p in enumerate(pas):
+                first.setdefault(p, (d, c))
+        for d, t in enumerate(texts):
+            ws = t.split(" ")
+            pas = [
+                " ".join(ws[i : i + PASSAGE_W])
+                for i in range(0, len(ws), PASSAGE_W)
+            ]
+            kept = [p for c, p in enumerate(pas) if first[p] == (d, c)]
+            if kept:
+                expect[d] = (len(pas), len(kept), " ".join(kept))
+        assert got == expect
+
+    check()

@@ -135,9 +135,13 @@ def main() -> None:
             # immediately after). Min-of-two on disagreement only; a
             # query whose timed run agrees with warmup pays nothing.
             if w is not None and timed > 1.5 * w:
-                t0 = time.perf_counter()
-                materialize(fn(spark, sf_dir))
-                timed = min(timed, time.perf_counter() - t0)
+                try:
+                    t0 = time.perf_counter()
+                    materialize(fn(spark, sf_dir))
+                    timed = min(timed, time.perf_counter() - t0)
+                except Exception:
+                    pass  # keep the valid first measurement
+
             times[name] = round(timed, 4)
         except Exception as exc:  # keep benching; a broken query reads as -1
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)

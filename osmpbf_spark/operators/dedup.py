@@ -1215,7 +1215,9 @@ def q_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
     with zero kept passages drop from the output by construction;
     LEFT-join the corpus spine if the report needs them as zero rows).
 
-    Scale shape: three exchanges, each unavoidable for exact span dedup
+    Scale shape: four exchanges — the fanout repartition (test-data
+    single-row-group artifact; a real multi-row-group corpus scan drops
+    it) plus three each unavoidable for exact span dedup
     because the unit of comparison crosses documents — (doc, chunk)
     passage assembly, the passage-hash window (shuffle volume = corpus
     text, the same price q_dedup_exact pays at document grain), and the
@@ -1279,6 +1281,18 @@ def q_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # tracking params to strip; Java-regex ∩ RE2 dialect (q_pii_redact rules)
 _URL_TRACK = "(utm_[a-z]+|ref)=[^&#]*&?"
+# the full canonicalization chain, applied to lower(url) in order — the
+# SINGLE home of the patterns: the Spark query iterates this tuple, the
+# oracle embeds _URL_TRACK, and tests/test_dedup.py imports it for the
+# idempotence property, so a chain tweak cannot silently diverge
+URL_CANON_STEPS = (
+    ("^https?://", ""),
+    ("^www\\.", ""),
+    ("#.*$", ""),
+    (_URL_TRACK, ""),
+    ("[?&]+$", ""),
+    ("/$", ""),
+)
 
 
 @query(
@@ -1387,14 +1401,7 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     curl = F.lower(url)
-    for pat, rep in (
-        ("^https?://", ""),
-        ("^www\\.", ""),
-        ("#.*$", ""),
-        (_URL_TRACK, ""),
-        ("[?&]+$", ""),
-        ("/$", ""),
-    ):
+    for pat, rep in URL_CANON_STEPS:
         curl = F.regexp_replace(curl, F.lit(pat), F.lit(rep))
     return (
         d.select("doc_id", curl.alias("curl"))

@@ -436,9 +436,11 @@ def _decode_png_raster(payload: bytes):
     return out
 
 
-def decode_ppm(payload: bytes) -> dict:
-    """Real P6 parser: header regex (single-whitespace separators, as the
-    format specifies), numpy view over the raster, integer channel sum."""
+def _decode_ppm_raster(payload: bytes):
+    """(h, w*3) uint8 raster from a P6 payload — the single home of the
+    P6 header parse (the _decode_png_raster split), shared by the
+    feature decoder and the resizer so a header-format tweak cannot
+    make them disagree on the same bytes."""
     import re
 
     import numpy as np
@@ -447,9 +449,20 @@ def decode_ppm(payload: bytes) -> dict:
     if not m:
         raise ValueError("not a P6 PPM payload")
     w, h = int(m.group(1)), int(m.group(2))
-    raster = np.frombuffer(payload, np.uint8, count=w * h * 3, offset=m.end())
+    return np.frombuffer(
+        payload, np.uint8, count=w * h * 3, offset=m.end()
+    ).reshape(h, w * 3)
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Real P6 parser: header regex (single-whitespace separators, as the
+    format specifies), numpy view over the raster, integer channel sum."""
+    import numpy as np
+
+    raster = _decode_ppm_raster(payload)
+    h, stride = raster.shape
     return {
-        "width": w,
+        "width": stride // 3,
         "height": h,
         "n_samples": None,
         "checksum": int(raster.sum(dtype=np.int64)),
@@ -638,19 +651,9 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _raster_of(payload: bytes):
     """(h, w*3) uint8 raster from a sniffed PNG or PPM payload — the
     decode step resize sits on top of."""
-    import re
-
-    import numpy as np
-
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png_raster(payload)
-    m = re.match(rb"P6\s(\d+)\s(\d+)\s255\s", payload)
-    if not m:
-        raise ValueError("unknown image container")
-    w, h = int(m.group(1)), int(m.group(2))
-    return np.frombuffer(
-        payload, np.uint8, count=w * h * 3, offset=m.end()
-    ).reshape(h, w * 3)
+    return _decode_ppm_raster(payload)
 
 
 def resize_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -18,6 +18,8 @@ import time
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = "/tmp/sf_synth_1"
+# bump when build() changes what it writes (v2: customer table scales)
+_MARKER = "_built_v2"
 K = 10
 
 DEFAULT_SET = [
@@ -78,11 +80,18 @@ def build() -> None:
     TO '{OUT}/customer.parquet' (FORMAT PARQUET)""")
     for t in ("region", "nation", "supplier", "part"):
         shutil.copy(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
+    # explicit versioned marker written LAST: plain file-existence checks
+    # can pass on a stale dir from an older script version (which also
+    # had a customer.parquet — just unscaled) or on a build killed
+    # mid-COPY, silently timing "10x" against wrong data
+    with open(f"{OUT}/{_MARKER}", "w") as fh:
+        fh.write("ok")
 
 
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    if not os.path.exists(f"{OUT}/events.parquet"):  # last-written = completion marker
+    if not os.path.exists(f"{OUT}/{_MARKER}"):
+        shutil.rmtree(OUT, ignore_errors=True)  # stale/partial build
         build()
 
     from osmpbf_spark.catalog import all_queries

@@ -392,17 +392,16 @@ def test_er_fuzzy_closed_form_resolution(spark, duck):
 
 
 def _canon_url(u: str) -> str:
-    """Python replica of q_dedup_url's canonicalization chain (kept in
-    sync with dedup._URL_TRACK and the regexp sequence)."""
+    """Python evaluation of the PRODUCTION pattern list — imports
+    dedup.URL_CANON_STEPS, so a chain change in the query is what this
+    property tests (no hand-copied replica to fall out of sync)."""
     import re
 
+    from osmpbf_spark.operators.dedup import URL_CANON_STEPS
+
     s = u.lower()
-    s = re.sub(r"^https?://", "", s)
-    s = re.sub(r"^www\.", "", s)
-    s = re.sub(r"#.*$", "", s)
-    s = re.sub(r"(utm_[a-z]+|ref)=[^&#]*&?", "", s)
-    s = re.sub(r"[?&]+$", "", s)
-    s = re.sub(r"/$", "", s)
+    for pat, rep in URL_CANON_STEPS:
+        s = re.sub(pat, rep, s)
     return s
 
 

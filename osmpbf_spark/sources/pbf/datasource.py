@@ -270,6 +270,18 @@ class OsmPbfReader(DataSourceReader):
             raise ValueError("osmpbf requires a path")
         self.primitive = options.get("primitive", "node")
         self.tags_as = options.get("tags_as", "map")
+        # tag-filtered extract (the osmium/imposm tag-filter shape):
+        # return only primitives CARRYING this tag key, and prune whole
+        # blocks whose indexdata tag-key fingerprint proves absence.
+        # An option, not pushFilters: Spark's datasource filter API
+        # pushes attribute predicates only — a map-access predicate like
+        # tags['highway'] IS NOT NULL never reaches the reader.
+        self.tag_key = options.get("tag_key")
+        if self.tag_key and self.primitive == "changeset":
+            raise ValueError(
+                "tag_key is not applicable to changesets (id-only "
+                "entities, osmformat.proto:174-189)"
+            )
         self.with_meta = _bool_opt(options, "with_meta")
         self.pos_mode = _pos_mode(options)
         self.with_pos = self.pos_mode is not None
@@ -298,6 +310,18 @@ class OsmPbfReader(DataSourceReader):
         kinds = stats.get("kinds")
         if kinds is not None and not kinds & self._KIND_BIT[self.primitive]:
             return True  # no group of the requested primitive type at all
+        if self.tag_key:
+            bits = stats.get("tag_key_bits")
+            if bits is not None:
+                import zlib as _z
+
+                bit = _z.crc32(self.tag_key.encode("utf-8")) % 64
+                if not (bits >> bit) & 1:
+                    # a clear bit PROVES no primitive in the block has
+                    # the key (set bits may be collisions -> keep +
+                    # re-filter rows); legacy files without the field
+                    # are never pruned
+                    return True
         if self.primitive == "changeset":
             # encode_block_stats excludes changeset ids from min_id/max_id
             # (they share blocks with other primitives), so id-range
@@ -417,7 +441,30 @@ class OsmPbfReader(DataSourceReader):
                 # (pos = fileFD.getPos() at OsmPbfRecordReader.java:184,
                 # emitted via getCurrentKey :69-72) — i.e. blob end, not
                 # blob start.
-                yield self._to_batch(cols, n, offset + size)
+                batch = self._to_batch(cols, n, offset + size)
+                if self.tag_key:
+                    batch = self._filter_tag_key(batch, cols, n)
+                    if batch.num_rows == 0:
+                        continue
+                yield batch
+
+    def _filter_tag_key(self, batch, cols, n: int):
+        """Keep rows whose tag set contains ``self.tag_key`` — exact
+        row-level semantics regardless of whether block stats pruned
+        anything (stats only ever skip provably-empty blocks). Runs on
+        the flattened decode layout: one vectorized equality over the
+        block's tag keys + a cumsum-per-row presence test, then one
+        Arrow filter that rebuilds list/map children correctly."""
+        offs = np.asarray(cols["tag_offsets"], dtype=np.int64)
+        keys = np.asarray(cols["tag_keys"], dtype=object)
+        if len(keys) == 0:
+            return batch.slice(0, 0)
+        matches = keys == self.tag_key
+        cum = np.concatenate([[0], np.cumsum(matches)])
+        mask = (cum[offs[1:]] - cum[offs[:-1]]) > 0
+        if mask.all():
+            return batch
+        return batch.filter(pa.array(mask))
 
     def _to_batch(self, cols, n: int, block_end: int) -> pa.RecordBatch:
         arrays: list[pa.Array] = [pa.array(cols["id"], type=pa.int64())]

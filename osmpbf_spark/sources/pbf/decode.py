@@ -122,6 +122,7 @@ _STATS_FIELDS = {
     5: ("max_lat_nano", True),
     6: ("min_lon_nano", True),
     7: ("max_lon_nano", True),
+    8: ("tag_key_bits", False),
 }
 
 

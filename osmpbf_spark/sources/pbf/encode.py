@@ -202,6 +202,12 @@ STATS_MIN_LAT = 4  # sint nanodegrees
 STATS_MAX_LAT = 5  # sint nanodegrees
 STATS_MIN_LON = 6  # sint nanodegrees
 STATS_MAX_LON = 7  # sint nanodegrees
+STATS_TAG_BITS = 8  # varint: u64 bitmap of crc32(tag key) % 64 over the
+#                     block's tag KEYS (nodes+ways+relations). ALWAYS
+#                     written (even 0 = "no tags, prune any tag query") so
+#                     absence of the field cleanly means "legacy writer,
+#                     never prune" — a zero-suppressed field would make
+#                     those two states indistinguishable
 
 
 def encode_block_stats(blk: dict) -> bytes:
@@ -237,7 +243,32 @@ def encode_block_stats(blk: dict) -> bytes:
     if ids:
         out += field_varint(STATS_MIN_ID, wire.zigzag_encode(min(ids)))
         out += field_varint(STATS_MAX_ID, wire.zigzag_encode(max(ids)))
+    out += field_varint(STATS_TAG_BITS, _tag_key_bits(blk))
     return out
+
+
+def _tag_key_bits(blk: dict) -> int:
+    """u64 bitmap of crc32(key) % 64 over every tag key in the block —
+    the pruning fingerprint for tag-filtered scans. Bloom-style: a set
+    bit may be a collision (block kept, rows re-filtered), a clear bit
+    PROVES key absence (block pruned). The all-untagged common case
+    short-circuits on any() (C-speed scan, no dict iteration)."""
+    import zlib as _z
+
+    bits = 0
+    nodes = blk.get("nodes")
+    if nodes is not None:
+        tags = nodes.get("tags") or []
+        if any(tags):
+            for t in tags:
+                if t:
+                    for k in t:
+                        bits |= 1 << (_z.crc32(k.encode("utf-8")) % 64)
+    for group in ("ways", "relations"):
+        for prim in blk.get(group) or []:
+            for k in prim.get("tags") or {}:
+                bits |= 1 << (_z.crc32(k.encode("utf-8")) % 64)
+    return bits
 
 
 def encode_header_block(

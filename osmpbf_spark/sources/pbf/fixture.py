@@ -316,7 +316,7 @@ FIXTURE_DIR = os.path.join(
 # changes: artifact-existence alone can't detect byte changes, so a stale
 # fixtures/ dir would silently serve old bytes (both oracle sides derive
 # from the same stale file, hiding the drift from the hash gate)
-FIXTURE_VERSION = "r05-1"
+FIXTURE_VERSION = "r06-1"  # r06: encoder always writes STATS_TAG_BITS
 
 
 def ensure_fixture(fixture_dir: str = FIXTURE_DIR) -> str:

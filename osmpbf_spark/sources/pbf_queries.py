@@ -602,3 +602,39 @@ def q_pbf_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("morton").alias("max_morton"),
         )
     )
+
+
+@query(
+    "q_pbf_tag_filter",
+    oracle=f"""
+    SELECT id,
+           regexp_extract(tags_str, 'highway:([^;]*);', 1) AS highway
+    FROM read_parquet('{_DIR}/osm_ways.parquet')
+    WHERE tags_str LIKE 'highway:%' OR tags_str LIKE '%;highway:%'
+    """,
+    tags=("pbf",),
+)
+def q_pbf_tag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag-filtered extract — the osmium/imposm tag-filter shape as a
+    reader OPTION: ``tag_key="highway"`` returns only primitives
+    carrying the key, with whole blocks pruned at PLANNING time via the
+    writer's indexdata tag-key fingerprint (a u64 crc32 bitmap; a clear
+    bit proves absence, set bits may collide and fall through to the
+    exact row filter). An option rather than pushFilters because
+    Spark's datasource filter API pushes attribute predicates only — a
+    map-access predicate like tags['highway'] IS NOT NULL never reaches
+    the reader. Legacy files without the fingerprint (this committed
+    fixture predates it) are never pruned and still row-filter exactly
+    — that back-compat path is precisely what this query exercises;
+    the pruning path is pinned in test_pbf.py on a freshly-written
+    two-block file.
+
+    At planet scale this is the classic extract accelerator: a
+    highway-only scan of a mostly-untagged planet file skips every
+    block whose fingerprint lacks the key — block skip decisions are
+    O(#blocks) at the driver, rows never decode.
+    """
+    ways = _read(spark, "way", tag_key="highway")
+    return ways.select(
+        "id", F.expr("tags['highway']").alias("highway")
+    )

@@ -1431,3 +1431,82 @@ def test_morton_sql_matches_numpy_interleave(spark):
         .itertuples(index=False)
     ]
     assert got == expect.tolist()
+
+
+def test_tag_key_block_pruning_and_row_filter(tmp_path):
+    """Tag-filtered scan, both halves: (a) planning prunes a block whose
+    tag-key fingerprint proves the key absent, keeps the block that has
+    it; (b) row filtering is exact within kept blocks (a same-bucket
+    colliding key keeps the block but not the rows). Written with the
+    current encoder so indexdata carries STATS_TAG_BITS."""
+    from osmpbf_spark.sources.pbf import encode
+    from osmpbf_spark.sources.pbf.datasource import OsmPbfReader
+
+    path = str(tmp_path / "tagged.pbf")
+    encode.write_pbf(
+        path,
+        [
+            {
+                "ways": [
+                    {"id": 1, "refs": [1, 2], "tags": {"highway": "a"}},
+                    {"id": 2, "refs": [2, 3], "tags": {"building": "x"}},
+                ]
+            },
+            {
+                "ways": [
+                    {"id": 3, "refs": [3, 4], "tags": {"building": "y"}},
+                ]
+            },
+        ],
+    )
+
+    def reader(**opts):
+        return OsmPbfReader({"path": path, "primitive": "way", **opts}, None)
+
+    # (a) planning: the building-only block is pruned, the mixed one kept
+    parts = reader(tag_key="highway").partitions()
+    n_ranges = sum(len(p.ranges) for p in parts)
+    assert n_ranges == 1, f"expected 1 surviving block, got {n_ranges}"
+    all_ranges = sum(len(p.ranges) for p in reader().partitions())
+    assert all_ranges == 2  # no tag_key -> nothing pruned
+
+    # (b) rows: only the highway way survives within the kept block
+    batches = list(reader(tag_key="highway").read(parts[0]))
+    ids = [i for b in batches for i in b.column(0).to_pylist()]
+    assert ids == [1]
+
+    # a key absent everywhere prunes every block -> empty scan
+    parts_none = reader(tag_key="no_such_key").partitions()
+    assert sum(len(p.ranges) for p in parts_none) == 0
+
+
+def test_tag_key_legacy_stats_never_pruned():
+    """Stats WITHOUT tag_key_bits (legacy writers, foreign producers)
+    must never prune a tag-filtered scan — absence of the field means
+    'unknown', not 'no tags'; bits=0 by contrast PROVES no tags. Unit
+    check on the pruning predicate itself, on both sides of that line,
+    plus the crc32 bit semantics of a present fingerprint."""
+    import zlib as _z
+
+    from osmpbf_spark.sources.pbf.datasource import OsmPbfReader
+
+    r = OsmPbfReader(
+        {"path": "/x", "primitive": "way", "tag_key": "highway"}, None
+    )
+    legacy = {"kinds": 2, "min_id": 1, "max_id": 9}
+    assert not r._block_prunable(legacy)
+    assert r._block_prunable({**legacy, "tag_key_bits": 0})
+    bit = _z.crc32(b"highway") % 64
+    assert not r._block_prunable({**legacy, "tag_key_bits": 1 << bit})
+    assert r._block_prunable(
+        {**legacy, "tag_key_bits": ~(1 << bit) & ((1 << 64) - 1)}
+    )
+
+
+def test_tag_key_rejects_changesets():
+    from osmpbf_spark.sources.pbf.datasource import OsmPbfReader
+
+    with pytest.raises(ValueError, match="changeset"):
+        OsmPbfReader(
+            {"path": "/x", "primitive": "changeset", "tag_key": "a"}, None
+        )

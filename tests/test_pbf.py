@@ -1510,3 +1510,49 @@ def test_tag_key_rejects_changesets():
         OsmPbfReader(
             {"path": "/x", "primitive": "changeset", "tag_key": "a"}, None
         )
+
+
+def test_pbf_stream_composes_with_tag_filter(spark, tmp_path):
+    """Streaming ingest x tag-filtered extract: the stream reader wraps
+    the batch reader, so tag_key pruning (planning) and the exact row
+    filter (read) must compose — a streamed two-file directory where one
+    file is building-only yields exactly the highway ways."""
+    from osmpbf_spark.sources.pbf import encode
+    from osmpbf_spark.sources.pbf.datasource import register
+
+    register(spark)
+    src = tmp_path / "in"
+    src.mkdir()
+    encode.write_pbf(
+        str(src / "part-00000.osm.pbf"),
+        [
+            {
+                "ways": [
+                    {"id": 1, "refs": [1, 2], "tags": {"highway": "a"}},
+                    {"id": 2, "refs": [2, 3], "tags": {"building": "x"}},
+                ]
+            }
+        ],
+    )
+    encode.write_pbf(
+        str(src / "part-00001.osm.pbf"),
+        [{"ways": [{"id": 3, "refs": [3, 4], "tags": {"building": "y"}}]}],
+    )
+    sink = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("osmpbf")
+        .option("path", str(src))
+        .option("primitive", "way")
+        .option("tag_key", "highway")
+        .load()
+        .select("id")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [r.id for r in spark.read.parquet(sink).collect()]
+    assert got == [1]

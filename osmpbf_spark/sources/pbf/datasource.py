@@ -44,6 +44,15 @@ Options (SURVEY.md §7 Milestone 2):
                   keys_vals repeats the last node's tags), ``pig_x2``
                   (§1.4.5 Pig loader's double-advance drops even-indexed
                   records), ``zlib_only`` (§1.4.6 reject raw/lzma blobs)
+  tag_key         return only primitives CARRYING this tag key (the
+                  osmium/imposm tag-filtered-extract shape). Whole blocks
+                  whose indexdata tag-key fingerprint (STATS_TAG_BITS)
+                  proves the key absent are pruned at planning; kept
+                  blocks are row-filtered exactly. Legacy files without
+                  the fingerprint are never pruned. Not applicable to
+                  changesets, and incompatible with compat=pig_x2 (the
+                  record-index emulation is defined over the UNFILTERED
+                  record stream).
   filter_pushdown true -> prune whole blocks at planning time against
                   pushed id/lat/lon range filters using the per-block
                   stats our encoder stores in BlobHeader.indexdata (the
@@ -55,6 +64,7 @@ from __future__ import annotations
 
 import os
 import uuid
+import zlib
 from dataclasses import dataclass
 
 import numpy as np
@@ -277,11 +287,20 @@ class OsmPbfReader(DataSourceReader):
         # pushes attribute predicates only — a map-access predicate like
         # tags['highway'] IS NOT NULL never reaches the reader.
         self.tag_key = options.get("tag_key")
+        if self.tag_key is not None and not self.tag_key:
+            # an empty templated option silently meaning "no filter"
+            # is the opposite of a filtered extract — fail loudly
+            raise ValueError("tag_key must be a non-empty tag key")
         if self.tag_key and self.primitive == "changeset":
             raise ValueError(
                 "tag_key is not applicable to changesets (id-only "
                 "entities, osmformat.proto:174-189)"
             )
+        self._tag_bit = (
+            zlib.crc32(self.tag_key.encode("utf-8")) % 64
+            if self.tag_key
+            else None
+        )
         self.with_meta = _bool_opt(options, "with_meta")
         self.pos_mode = _pos_mode(options)
         self.with_pos = self.pos_mode is not None
@@ -295,6 +314,17 @@ class OsmPbfReader(DataSourceReader):
             raise ValueError(
                 f"unknown compat flag(s) {sorted(bad)}; supported: "
                 "stale_tags (§1.4.2), pig_x2 (§1.4.5), zlib_only (§1.4.6)"
+            )
+        if self.tag_key and "pig_x2" in self.compat:
+            # pig_x2 emulates which RECORD INDICES the reference's Pig
+            # loader yields from the raw stream; a tag-filtered (and
+            # block-pruned) scan renumbers records, so the combination
+            # has no byte-exact reference semantics to emulate — reject
+            # rather than silently pick an ordering
+            raise ValueError(
+                "tag_key cannot combine with compat=pig_x2: the "
+                "record-index emulation is defined over the unfiltered "
+                "record stream"
             )
         # column -> [lo, hi] bounds accumulated by pushFilters (block-stat
         # units: id raw, lat/lon in nanodegrees)
@@ -313,10 +343,7 @@ class OsmPbfReader(DataSourceReader):
         if self.tag_key:
             bits = stats.get("tag_key_bits")
             if bits is not None:
-                import zlib as _z
-
-                bit = _z.crc32(self.tag_key.encode("utf-8")) % 64
-                if not (bits >> bit) & 1:
+                if not (bits >> self._tag_bit) & 1:
                     # a clear bit PROVES no primitive in the block has
                     # the key (set bits may be collisions -> keep +
                     # re-filter rows); legacy files without the field
@@ -441,30 +468,35 @@ class OsmPbfReader(DataSourceReader):
                 # (pos = fileFD.getPos() at OsmPbfRecordReader.java:184,
                 # emitted via getCurrentKey :69-72) — i.e. blob end, not
                 # blob start.
-                batch = self._to_batch(cols, n, offset + size)
                 if self.tag_key:
-                    batch = self._filter_tag_key(batch, cols, n)
-                    if batch.num_rows == 0:
+                    # mask from the flattened layout BEFORE Arrow batch
+                    # construction: a fingerprint-collision block with
+                    # zero matches skips batch building entirely (the
+                    # common kept-but-empty case at planet scale)
+                    mask = self._tag_key_mask(cols)
+                    if not mask.any():
                         continue
-                yield batch
+                    batch = self._to_batch(cols, n, offset + size)
+                    if not mask.all():
+                        batch = batch.filter(pa.array(mask))
+                    yield batch
+                    continue
+                yield self._to_batch(cols, n, offset + size)
 
-    def _filter_tag_key(self, batch, cols, n: int):
-        """Keep rows whose tag set contains ``self.tag_key`` — exact
-        row-level semantics regardless of whether block stats pruned
-        anything (stats only ever skip provably-empty blocks). Runs on
-        the flattened decode layout: one vectorized equality over the
-        block's tag keys + a cumsum-per-row presence test, then one
-        Arrow filter that rebuilds list/map children correctly."""
+    def _tag_key_mask(self, cols) -> np.ndarray:
+        """Per-row bool: does the row's tag set contain ``self.tag_key``
+        — exact semantics regardless of whether stats pruned anything
+        (stats only ever skip provably-empty blocks). One vectorized
+        equality over the block's flattened tag keys + a cumsum-per-row
+        presence test; the Arrow filter that consumes it rebuilds
+        list/map children correctly."""
         offs = np.asarray(cols["tag_offsets"], dtype=np.int64)
         keys = np.asarray(cols["tag_keys"], dtype=object)
         if len(keys) == 0:
-            return batch.slice(0, 0)
+            return np.zeros(len(offs) - 1, dtype=bool)
         matches = keys == self.tag_key
         cum = np.concatenate([[0], np.cumsum(matches)])
-        mask = (cum[offs[1:]] - cum[offs[:-1]]) > 0
-        if mask.all():
-            return batch
-        return batch.filter(pa.array(mask))
+        return (cum[offs[1:]] - cum[offs[:-1]]) > 0
 
     def _to_batch(self, cols, n: int, block_end: int) -> pa.RecordBatch:
         arrays: list[pa.Array] = [pa.array(cols["id"], type=pa.int64())]

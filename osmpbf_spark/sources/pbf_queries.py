@@ -623,11 +623,11 @@ def q_pbf_tag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact row filter). An option rather than pushFilters because
     Spark's datasource filter API pushes attribute predicates only — a
     map-access predicate like tags['highway'] IS NOT NULL never reaches
-    the reader. Legacy files without the fingerprint (this committed
-    fixture predates it) are never pruned and still row-filter exactly
-    — that back-compat path is precisely what this query exercises;
-    the pruning path is pinned in test_pbf.py on a freshly-written
-    two-block file.
+    the reader. The fixture (regenerated at FIXTURE_VERSION r06-1)
+    carries the fingerprint, so this query exercises the
+    fingerprint-present path end-to-end; the two-block pruning proof,
+    the collision fall-through, and the legacy never-prune semantics
+    for files WITHOUT the field are each pinned in test_pbf.py.
 
     At planet scale this is the classic extract accelerator: a
     highway-only scan of a mostly-untagged planet file skips every

@@ -1556,3 +1556,23 @@ def test_pbf_stream_composes_with_tag_filter(spark, tmp_path):
     q.awaitTermination(120)
     got = [r.id for r in spark.read.parquet(sink).collect()]
     assert got == [1]
+
+
+def test_tag_key_option_validation():
+    """Empty tag_key errors (a templated-empty option must not silently
+    mean 'no filter'), and the pig_x2 combination is rejected — the
+    record-index emulation is defined over the unfiltered stream."""
+    from osmpbf_spark.sources.pbf.datasource import OsmPbfReader
+
+    with pytest.raises(ValueError, match="non-empty"):
+        OsmPbfReader({"path": "/x", "primitive": "way", "tag_key": ""}, None)
+    with pytest.raises(ValueError, match="pig_x2"):
+        OsmPbfReader(
+            {
+                "path": "/x",
+                "primitive": "way",
+                "tag_key": "highway",
+                "compat": "pig_x2",
+            },
+            None,
+        )

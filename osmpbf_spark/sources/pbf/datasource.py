@@ -53,6 +53,10 @@ Options (SURVEY.md §7 Milestone 2):
                   changesets, and incompatible with compat=pig_x2 (the
                   record-index emulation is defined over the UNFILTERED
                   record stream).
+  tag_value       with tag_key: keep only primitives where the key's
+                  value EQUALS this (the osmium k=v filter). Requires
+                  tag_key; block pruning still keys on tag_key's
+                  fingerprint (values are not fingerprinted).
   filter_pushdown true -> prune whole blocks at planning time against
                   pushed id/lat/lon range filters using the per-block
                   stats our encoder stores in BlobHeader.indexdata (the
@@ -301,6 +305,9 @@ class OsmPbfReader(DataSourceReader):
             if self.tag_key
             else None
         )
+        self.tag_value = options.get("tag_value")
+        if self.tag_value is not None and not self.tag_key:
+            raise ValueError("tag_value requires tag_key")
         self.with_meta = _bool_opt(options, "with_meta")
         self.pos_mode = _pos_mode(options)
         self.with_pos = self.pos_mode is not None
@@ -495,6 +502,9 @@ class OsmPbfReader(DataSourceReader):
         if len(keys) == 0:
             return np.zeros(len(offs) - 1, dtype=bool)
         matches = keys == self.tag_key
+        if self.tag_value is not None:
+            vals = np.asarray(cols["tag_vals"], dtype=object)
+            matches = matches & (vals == self.tag_value)
         cum = np.concatenate([[0], np.cumsum(matches)])
         return (cum[offs[1:]] - cum[offs[:-1]]) > 0
 

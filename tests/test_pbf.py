@@ -1576,3 +1576,43 @@ def test_tag_key_option_validation():
             },
             None,
         )
+
+
+def test_tag_value_filter(tmp_path):
+    """The osmium k=v filter: tag_value narrows tag_key matches to an
+    exact value; pruning still keys on the key fingerprint; tag_value
+    without tag_key errors."""
+    from osmpbf_spark.sources.pbf import encode
+    from osmpbf_spark.sources.pbf.datasource import OsmPbfReader
+
+    path = str(tmp_path / "kv.pbf")
+    encode.write_pbf(
+        path,
+        [
+            {
+                "ways": [
+                    {"id": 1, "refs": [1, 2], "tags": {"highway": "residential"}},
+                    {"id": 2, "refs": [2, 3], "tags": {"highway": "primary"}},
+                    {"id": 3, "refs": [3, 4], "tags": {"building": "residential"}},
+                ]
+            }
+        ],
+    )
+
+    def ids(**opts):
+        r = OsmPbfReader({"path": path, "primitive": "way", **opts}, None)
+        return [
+            i
+            for p in r.partitions()
+            for b in r.read(p)
+            for i in b.column(0).to_pylist()
+        ]
+
+    assert ids(tag_key="highway") == [1, 2]
+    assert ids(tag_key="highway", tag_value="residential") == [1]
+    # value match on the WRONG key must not leak through
+    assert ids(tag_key="highway", tag_value="nope") == []
+    with pytest.raises(ValueError, match="requires tag_key"):
+        OsmPbfReader(
+            {"path": path, "primitive": "way", "tag_value": "x"}, None
+        )

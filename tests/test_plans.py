@@ -566,3 +566,28 @@ def test_er_fuzzy_blocks_broadcast_and_limits(spark):
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "WindowGroupLimit" in p
+
+
+def test_multimodal_resize_is_map_only(spark):
+    """Synthesize -> decode -> resize is two chained Arrow Python stages
+    with no shuffle — an Exchange here means the pixel pipeline stopped
+    being embarrassingly parallel."""
+    p = plan_of(spark, "q_multimodal_resize")
+    assert "Exchange" not in p
+    assert p.count("MapInPandas") == 2
+
+
+def test_way_geom_join_and_window_keys(spark):
+    """Way geometry: the node-resolution join (both sides keyed on
+    nodeid) plus ONE way-keyed window — three exchanges, every key one
+    of the two the docstring claims; a fourth exchange or a foreign key
+    means the LEAD stopped riding the way partitioning or the join
+    degraded."""
+    import re
+
+    p = plan_of(spark, "q_pbf_way_geom")
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)#", p)
+    assert len(keys) <= 3, f"expected <=3 hash exchanges, got {keys}"
+    assert set(keys) <= {"nodeid", "way_id"}, keys

@@ -10,6 +10,12 @@ Usage:
     python scripts/sweep_oracles.py              # full registry at sf0.01
     python scripts/sweep_oracles.py q_grid_agg   # one or more named queries
     SWEEP_SF_DIR=/root/testdata/sf0.001 python scripts/sweep_oracles.py
+    SWEEP_PERTURB=1 python scripts/sweep_oracles.py
+        # re-prove value parity under shuffle.partitions=7 + AQE off —
+        # the determinism recipes (integer-cents sums, array_sort'ed
+        # aggregations, fixed-point chains) must be partitioning- and
+        # plan-choice-independent, because the DRIVER compares under its
+        # own session config, not get_spark's (133/133 green r06)
 
 Prior rounds ran this sweep ad hoc; it is a script so "local green implies
 driver green" is a one-command check before each round ends.
@@ -38,6 +44,9 @@ def main() -> int:
 
     spark = get_spark("oracle_sweep")
     spark.sparkContext.setLogLevel("ERROR")
+    if os.environ.get("SWEEP_PERTURB"):
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

@@ -488,6 +488,46 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure,
+           CAST(ROUND(val * 100) AS BIGINT) AS val_cents
+    FROM (
+      UNPIVOT (SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+                      l_tax
+               FROM lineitem WHERE l_orderkey % 50 = 0)
+      ON l_extendedprice, l_discount, l_tax
+      INTO NAME measure VALUE val)
+    """,
+    tags=("unpivot",),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse of q_pivot and the wide→long reshape
+    every metrics pipeline needs: three money columns melt to
+    (measure, value) rows via both engines' NATIVE unpivot (Spark
+    ``DataFrame.unpivot``, which compiles to an Expand node — one pass,
+    3x row output, NO shuffle; DuckDB ``UNPIVOT``). Values compare as
+    exact integer cents (the dsum discipline applied to a row-level
+    reshape: 2-decimal money in a double is within 1 ulp of its cents,
+    both engines round identically). Map-only at any scale: Expand is
+    per-partition row generation, the scan's pushed filter keeps the
+    fixture small on both sides."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    melted = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+    return melted.select(
+        "l_orderkey",
+        "l_linenumber",
+        "measure",
+        F.round(F.col("val") * 100).cast("long").alias("val_cents"),
+    )
+
+
+@query(
     "q_percentile",
     oracle="""
     SELECT l_returnflag,

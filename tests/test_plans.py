@@ -591,3 +591,12 @@ def test_way_geom_join_and_window_keys(spark):
     keys = re.findall(r"Exchange hashpartitioning\((\w+)#", p)
     assert len(keys) <= 3, f"expected <=3 hash exchanges, got {keys}"
     assert set(keys) <= {"nodeid", "way_id"}, keys
+
+
+def test_unpivot_is_expand_no_shuffle(spark):
+    """Native unpivot compiles to an Expand node — per-partition row
+    generation, no Exchange; a shuffle here means the reshape stopped
+    being map-only."""
+    p = plan_of(spark, "q_unpivot")
+    assert "Expand" in p
+    assert "Exchange" not in p

@@ -218,3 +218,72 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.groupBy(F.col("apex").alias("node_id")).agg(
         F.count("*").alias("n_triangles")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-hop BFS shortest paths (frontier expansion — the traversal member of
+# the graph family next to PageRank's damped iteration)
+# ---------------------------------------------------------------------------
+
+BFS_SEED = 0  # deterministic source node
+BFS_K = 4  # hop bound
+
+
+@query(
+    "q_bfs_khop",
+    oracle=f"""
+    WITH RECURSIVE e AS ({_EDGE_CTE}),
+    bfs(node, dist) AS (
+      SELECT CAST({BFS_SEED} AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+      UNION
+      SELECT e.dst, bfs.dist + 1
+      FROM bfs JOIN e ON e.src = bfs.node
+      WHERE bfs.dist < {BFS_K}
+    )
+    SELECT node, MIN(dist) AS dist FROM bfs GROUP BY node
+    """,
+    tags=("graph",),
+)
+def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop BFS from a seed node: exact shortest-path distances within
+    BFS_K=4 hops over the shared event-derived link graph — the traversal
+    primitive (crawl frontier expansion, influence radius) next to
+    PageRank's damped iteration and the triangle counter's wedge join.
+    The oracle is DuckDB's RECURSIVE CTE with UNION-dedup termination;
+    Spark runs the same frontier expansion as K bounded join rounds —
+    frontier JOIN edges -> next frontier minus visited — with the
+    visited set broadcast each round (node universe is 128, so the
+    broadcast is bounded; at planet scale the visited set becomes a
+    bucketed anti-join and the frontier stays the small side). Distances
+    are exact integers; a wrong frontier round, a lost dedup, or a
+    revisit all change MIN(dist) somewhere and hash-mismatch.
+
+    Checkpointing: the edge list materializes ONCE (eager
+    localCheckpoint, the q_pagerank discipline) so K rounds don't
+    re-derive the DISTINCT; each round's frontier is tiny (<= 128 rows)
+    and stays driver-free.
+    """
+    ev = load(spark, sf_dir, "events")
+    edges = _edges(ev).localCheckpoint(eager=True)
+    spark_sess = spark
+    dist = spark_sess.createDataFrame(
+        [(BFS_SEED, 0)], "node long, dist long"
+    )
+    frontier = dist
+    for hop in range(1, BFS_K + 1):
+        nxt = (
+            edges.join(
+                F.broadcast(frontier.select(F.col("node").alias("src"))),
+                "src",
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(F.broadcast(dist.select("node")), "node", "left_anti")
+            .withColumn("dist", F.lit(hop).cast("long"))
+        )
+        # materialize the round: dist/frontier feed the NEXT round's
+        # joins twice; without this each round re-runs the whole prefix
+        nxt = nxt.localCheckpoint(eager=True)
+        dist = dist.unionByName(nxt)
+        frontier = nxt
+    return dist

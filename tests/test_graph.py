@@ -75,3 +75,37 @@ def test_triangle_count_parity_and_replication(spark, duck):
     expected = {k: v // 3 for k, v in expected.items() if v}
     got = dict(zip(pdf["node_id"].astype(int), pdf["n_triangles"].astype(int)))
     assert got == {k: v for k, v in expected.items() if v}
+
+
+def test_bfs_khop_matches_python_bfs(spark, duck):
+    """k-hop BFS: oracle parity plus an independent Python BFS over the
+    same edge derivation — distances, the hop bound, and unreachable
+    node absence all checked against a third implementation."""
+    from collections import deque
+
+    from osmpbf_spark.operators.graph import BFS_K, BFS_SEED, PR_NODES
+    from tests.conftest import SF_DIR
+    from tests.parity import check_query
+
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_bfs_khop")
+    rows = duck.sql(
+        f"SELECT DISTINCT user_id % {PR_NODES},"
+        f" (user_id + 3 * event_id) % {PR_NODES} FROM events"
+        f" WHERE user_id % {PR_NODES} <> (user_id + 3 * event_id) % {PR_NODES}"
+    ).fetchall()
+    adj: dict[int, list[int]] = {}
+    for s, d in rows:
+        adj.setdefault(int(s), []).append(int(d))
+    expect = {BFS_SEED: 0}
+    q = deque([BFS_SEED])
+    while q:
+        u = q.popleft()
+        if expect[u] >= BFS_K:
+            continue
+        for v in adj.get(u, []):
+            if v not in expect:
+                expect[v] = expect[u] + 1
+                q.append(v)
+    got = {int(r.node): int(r.dist) for r in pdf.itertuples()}
+    assert got == expect
+    assert max(got.values()) <= BFS_K

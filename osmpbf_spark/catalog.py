@@ -213,7 +213,8 @@ def all_oracles() -> dict[str, str]:
 # was frozen at 50; each is oracle-green in the local sweep this round):
 # q_corpus_mix, q_dedup_incremental, q_dedup_passage, q_pbf_way_geom,
 # q_dedup_url, q_window_dist, q_pbf_zorder, q_rollup_cascade, q_er_fuzzy,
-# q_multimodal_resize, q_pbf_tag_filter, q_unpivot, q_bfs_khop.
+# q_multimodal_resize, q_pbf_tag_filter, q_unpivot, q_bfs_khop,
+# q_lateral_topk.
 _R06_WINDOW = (
     # 1-2: the red fix + the new query
     "q_inverted_index",

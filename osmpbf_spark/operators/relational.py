@@ -528,6 +528,41 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey AS top_order, t.o_totalprice AS top_price
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+    """,
+    tags=("join", "lateral"),
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — top order per customer written the
+    way an analyst writes it (a per-row subquery), executed the way a
+    planner should: Catalyst DECORRELATES the lateral into ONE join of
+    customer against orders plus a per-group limit — no per-row
+    nested-loop execution anywhere (plan-frozen: a BroadcastHashJoin /
+    shuffled join, never BroadcastNestedLoopJoin over the correlation).
+    DuckDB runs the identical SQL through its own lateral unnesting.
+    Same semantics as a rank()=1 window (q_window_rank), but exercising
+    the decorrelation path — the piece of the optimizer that makes
+    correlated SQL scale instead of degenerating to N subquery runs.
+    Inner ORDER BY carries the o_orderkey tie-break so both engines
+    pick the same order deterministically."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql("""
+      SELECT c.c_custkey, t.o_orderkey AS top_order,
+             t.o_totalprice AS top_price
+      FROM customer c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+    """)
+
+
+@query(
     "q_percentile",
     oracle="""
     SELECT l_returnflag,

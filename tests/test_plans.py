@@ -600,3 +600,12 @@ def test_unpivot_is_expand_no_shuffle(spark):
     p = plan_of(spark, "q_unpivot")
     assert "Expand" in p
     assert "Exchange" not in p
+
+
+def test_lateral_topk_decorrelates_to_join(spark):
+    """The correlated LATERAL must decorrelate into a hash join + group
+    limit — BroadcastNestedLoopJoin here means the optimizer fell back
+    to per-row correlated execution."""
+    p = plan_of(spark, "q_lateral_topk")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p

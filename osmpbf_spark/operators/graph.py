@@ -265,8 +265,7 @@ def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load(spark, sf_dir, "events")
     edges = _edges(ev).localCheckpoint(eager=True)
-    spark_sess = spark
-    dist = spark_sess.createDataFrame(
+    dist = spark.createDataFrame(
         [(BFS_SEED, 0)], "node long, dist long"
     )
     frontier = dist

@@ -519,6 +519,11 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "val",
     )
+    # explicit NULL semantics: Spark's unpivot KEEPS null-valued rows
+    # while DuckDB's UNPIVOT drops them by default — these columns are
+    # non-null today, but the filter makes the contract engine-agnostic
+    # instead of data-luck (both engines now mean "existing measures")
+    melted = melted.filter(F.col("val").isNotNull())
     return melted.select(
         "l_orderkey",
         "l_linenumber",

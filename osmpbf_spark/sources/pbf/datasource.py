@@ -306,6 +306,10 @@ class OsmPbfReader(DataSourceReader):
             else None
         )
         self.tag_value = options.get("tag_value")
+        if self.tag_value is not None and not self.tag_value:
+            # same templated-option hazard as tag_key: empty must not
+            # silently become an exact filter on value == ""
+            raise ValueError("tag_value must be a non-empty tag value")
         if self.tag_value is not None and not self.tag_key:
             raise ValueError("tag_value requires tag_key")
         self.with_meta = _bool_opt(options, "with_meta")

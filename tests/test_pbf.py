@@ -1616,3 +1616,18 @@ def test_tag_value_filter(tmp_path):
         OsmPbfReader(
             {"path": path, "primitive": "way", "tag_value": "x"}, None
         )
+
+
+def test_tag_value_rejects_empty_string(tmp_path):
+    from osmpbf_spark.sources.pbf.datasource import OsmPbfReader
+
+    with pytest.raises(ValueError, match="non-empty tag value"):
+        OsmPbfReader(
+            {
+                "path": "/x",
+                "primitive": "way",
+                "tag_key": "highway",
+                "tag_value": "",
+            },
+            None,
+        )

@@ -178,107 +178,93 @@ def all_oracles() -> dict[str, str]:
     return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
 
 
-# Round-6 rotation for the driver's 50-query correctness window (the
-# driver checks only the FIRST 50 registered queries each round; with 122
-# registered, ordering decides what gets a fresh hard row). The r06 window
-# is an explicit 50-query list, composed per the r05 verdict's rotation
-# policy (VERDICT.md "Next round" #2):
+# Round-7 rotation for the driver's 50-query correctness window (the
+# driver checks only the FIRST 50 registered queries each round; with 137
+# registered, ordering decides what gets a fresh hard row). Composition,
+# per the r06 verdict's Next #1:
 #
-#   1. q_inverted_index — RED in r05 (driver canonicalizer crash on the
-#      array postings column); fixed this round (string postings), must
-#      re-front for a green row.
-#   2. q_dedup_semantic_scalek — NEW in r06, first row ever.
-#   3. The 27 _R06_AGED queries (r05's deliberate spill set): their last
-#      hard rows are r03, three rounds old by now; each is also
-#      re-exercised every round by a named pytest parity sweep, but the
-#      driver row is the hard evidence.
-#   4. Every query whose Spark code changed in r06: q_bpe_train (trainer
-#      reshape), q_multimodal_decode (PNG decode added), q_dedup_semantic
-#      (prune/assign refactored into shared helpers), and the eleven
-#      q_pbf_* / s_pbf_stream queries (wire.py decode fast paths +
-#      vectorized encode + roundtrip write-once sit under ALL of them).
-#   5. Remaining slots: the oldest r04 greens sitting on code adjacent to
-#      r06 changes (q_dedup_embed / q_sim_search_ivf / q_sim_search_lsh
-#      share similarity.py with the scale-k work; q_dedup_clusters /
-#      q_dedup_simhash are the aged dedup tail). q_bpe_encode (NEW late
-#      in r06, first row ever) took the slot initially given to
-#      q_doc_pack — the most sweep-covered of the tier-5 candidates.
+#   1. The 14 operators added after the r06 window froze (all local-sweep
+#      green in r06, zero driver rows — the registry's least-verified
+#      sixth). Fronted verbatim from the r06 queue comment.
+#   2. Queries whose code changes in r07: q_profile (single-pass reshape,
+#      verdict Next #3), q_bpe_train / q_bpe_encode (count-based branch +
+#      LocalRelation tail, verdict Next #8 + ADVICE #4), and the new
+#      q_er_fuzzy_scaleb (verdict Next #4). q_dedup_url / q_dedup_passage /
+#      q_bfs_khop / q_pbf_tag_filter also change this round but already
+#      sit in tier 1.
+#   3. Remaining 32 slots: the oldest r04 greens (38 queries carry r04
+#      rows, now three rounds old). Six spill to the r08 front, chosen as
+#      the most sibling-covered: q_doc_pack (q_doc_pack_chunks greened
+#      r05), q_multimodal + q_multimodal_frames (agg/decode/resize
+#      siblings greened r06, resize in tier 1), q_agg_cube + q_agg_gsets
+#      (q_agg_rollup stays as the grouping-analytics representative),
+#      q_set_except (union/intersect stay). All six remain in the named
+#      pytest parity sweep every CI run.
 #
-# Everything else keeps its r04/r05 green and rotates behind the window;
-# the named pytest sweeps still exercise every registered query each CI
-# run, so a regression outside the window surfaces locally even while its
-# driver row ages.
-#
-# Queued for the FRONT of the r07 window (registered after the r06 window
-# was frozen at 50; each is oracle-green in the local sweep this round):
-# q_corpus_mix, q_dedup_incremental, q_dedup_passage, q_pbf_way_geom,
-# q_dedup_url, q_window_dist, q_pbf_zorder, q_rollup_cascade, q_er_fuzzy,
-# q_multimodal_resize, q_pbf_tag_filter, q_unpivot, q_bfs_khop,
-# q_lateral_topk.
-_R06_WINDOW = (
-    # 1-2: the red fix + the new query
-    "q_inverted_index",
-    "q_dedup_semantic_scalek",
-    # 3: the 27 aged-out r03 greens (r05 spill set)
-    "s_dedup_stream",
-    "s_tumble",
-    "s_slide",
-    "s_session",
-    "s_late",
-    "s_time_rollup",
-    "q_multimodal_agg",
-    "q_bpe_merge_count",
-    "u_udf",
-    "u_udaf",
-    "u_udtf",
-    "q_dedup_exact",
-    "q_dedup_ngram",
-    "q_sim_search",
-    "q_vec_centroid",
-    "q_vec_quantize",
-    "q_text_stats",
-    "q_text_lang",
-    "q_text_quality",
-    "q_text_token_freq",
-    "q_text_fingerprint",
-    "q_text_tokens_bpe",
-    "q_text_repetition",
-    "q_mix_sources",
-    "q_array_hof",
-    "q_window_ntile",
-    "q_approx_percentile",
-    # 4: r06-changed code
+# Queued for the FRONT of the r08 window: q_doc_pack, q_multimodal,
+# q_multimodal_frames, q_agg_cube, q_agg_gsets, q_set_except, plus any
+# query registered after this window froze.
+_R07_WINDOW = (
+    # 1: the 14 r06-queued operators, first driver rows
+    "q_pbf_tag_filter",
+    "q_pbf_zorder",
+    "q_pbf_way_geom",
+    "q_er_fuzzy",
+    "q_dedup_passage",
+    "q_dedup_url",
+    "q_dedup_incremental",
+    "q_corpus_mix",
+    "q_multimodal_resize",
+    "q_rollup_cascade",
+    "q_window_dist",
+    "q_unpivot",
+    "q_bfs_khop",
+    "q_lateral_topk",
+    # 2: r07-changed code + new queries
+    "q_profile",
     "q_bpe_train",
-    "q_multimodal_decode",
-    "q_dedup_semantic",
-    "q_pbf_scan_nodes",
-    "q_pbf_node_tags",
-    "q_pbf_ways_bag",
-    "q_pbf_grid_agg",
-    "q_pbf_join_way_nodes",
-    "q_pbf_relations",
-    "q_pbf_meta",
-    "q_pbf_pushdown",
-    "q_pbf_compat_pig",
-    "q_pbf_roundtrip",
-    "q_pbf_changesets",
-    "s_pbf_stream",
-    # 4b: q_bpe_encode is NEW in r06 (first row ever) — added late in
-    # the round, takes the slot of the most sweep-covered tier-5 green
     "q_bpe_encode",
-    # 5: oldest greens on adjacent code
-    "q_dedup_embed",
-    "q_sim_search_ivf",
-    "q_sim_search_lsh",
-    "q_dedup_clusters",
-    "q_dedup_simhash",
+    "q_er_fuzzy_scaleb",
+    # 3: the oldest r04 greens (32 of 38; spill set documented above)
+    "q_scan_project",
+    "q_filter_pred",
+    "q_agg_basic",
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_range",
+    "q_join_skew_salt",
+    "q_sort_limit",
+    "q_window_rank",
+    "q_window_frame",
+    "q_window_lead_lag",
+    "q_set_union",
+    "q_set_intersect",
+    "q_str_funcs",
+    "q_map_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_case_null",
+    "q_subq_scalar",
+    "q_subq_in",
+    "q_having",
+    "q_approx_cd",
+    "q_json_funcs",
+    "q_asof_join",
+    "q_percentile",
+    "q_pivot",
+    "q_sample_stratified",
 )
 
-_R06_RANK = {n: i for i, n in enumerate(_R06_WINDOW)}
+_R07_RANK = {n: i for i, n in enumerate(_R07_WINDOW)}
 
 
 def _window_tier(name: str) -> int:
-    return _R06_RANK.get(name, len(_R06_WINDOW))
+    return _R07_RANK.get(name, len(_R07_WINDOW))
 
 
 def _import_all() -> None:

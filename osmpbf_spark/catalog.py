@@ -178,93 +178,91 @@ def all_oracles() -> dict[str, str]:
     return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
 
 
-# Round-7 rotation for the driver's 50-query correctness window (the
+# Round-8 rotation for the driver's 50-query correctness window (the
 # driver checks only the FIRST 50 registered queries each round; with 137
-# registered, ordering decides what gets a fresh hard row). Composition,
-# per the r06 verdict's Next #1:
+# registered, ordering decides what gets a fresh hard row). After r07,
+# cumulative driver coverage is 136/136 (134 hash-green + 2
+# rows-only-by-design), so the window's job is now AGE: re-stamp the
+# oldest rows first. Composition, per the r07 verdict's Next #8:
 #
-#   1. The 14 operators added after the r06 window froze (all local-sweep
-#      green in r06, zero driver rows — the registry's least-verified
-#      sixth). Fronted verbatim from the r06 queue comment.
-#   2. Queries whose code changes in r07: q_profile (single-pass reshape,
-#      verdict Next #3), q_bpe_train / q_bpe_encode (count-based branch +
-#      LocalRelation tail, verdict Next #8 + ADVICE #4), and the new
-#      q_er_fuzzy_scaleb (verdict Next #4). q_dedup_url / q_dedup_passage /
-#      q_bfs_khop / q_pbf_tag_filter also change this round but already
-#      sit in tier 1.
-#   3. Remaining 32 slots: the oldest r04 greens (38 queries carry r04
-#      rows, now three rounds old). Six spill to the r08 front, chosen as
-#      the most sibling-covered: q_doc_pack (q_doc_pack_chunks greened
-#      r05), q_multimodal + q_multimodal_frames (agg/decode/resize
-#      siblings greened r06, resize in tier 1), q_agg_cube + q_agg_gsets
-#      (q_agg_rollup stays as the grouping-analytics representative),
-#      q_set_except (union/intersect stay). All six remain in the named
-#      pytest parity sweep every CI run.
+#   1. The six r04-green spill set queued in the r07 comment (their rows
+#      are four rounds old, the registry's oldest) plus the newly
+#      registered q_er_fuzzy_scaleb (verdict Next #1 — first driver row).
+#   2. Queries whose CODE changes in r08: q_profile (single-pass fold,
+#      Next #5), q_dedup_passage (exchange cut, Next #6), q_bfs_khop
+#      (per-hop barrier collapse, Next #7) — changed plans need fresh
+#      driver rows, not just local sweeps.
+#   3. All 31 r05 greens (three rounds old — the streaming family, the
+#      graph pair, the JVM dedup twins, the kitchen-sink pipelines).
+#   4. Remaining 9 slots: the oldest r06 greens in registration order
+#      (dedup/multimodal/array). The other 38 r06/r07 greens carry
+#      rows <= 2 rounds old and stay in the every-CI pytest sweep.
 #
-# Queued for the FRONT of the r08 window: q_doc_pack, q_multimodal,
-# q_multimodal_frames, q_agg_cube, q_agg_gsets, q_set_except, plus any
-# query registered after this window froze.
-_R07_WINDOW = (
-    # 1: the 14 r06-queued operators, first driver rows
-    "q_pbf_tag_filter",
-    "q_pbf_zorder",
-    "q_pbf_way_geom",
-    "q_er_fuzzy",
-    "q_dedup_passage",
-    "q_dedup_url",
-    "q_dedup_incremental",
-    "q_corpus_mix",
-    "q_multimodal_resize",
-    "q_rollup_cascade",
-    "q_window_dist",
-    "q_unpivot",
-    "q_bfs_khop",
-    "q_lateral_topk",
-    # 2: r07-changed code + new queries
-    "q_profile",
-    "q_bpe_train",
-    "q_bpe_encode",
+# Queued for the FRONT of the r09 window: the remaining r06 greens
+# (q_sim_search family, textstats family, q_pbf_* family, u_* family),
+# oldest first, plus any query registered after this window froze.
+_R08_WINDOW = (
+    # 1: the six r04 spill set + the new scale-blocked ER
+    "q_doc_pack",
+    "q_multimodal",
+    "q_multimodal_frames",
+    "q_agg_cube",
+    "q_agg_gsets",
+    "q_set_except",
     "q_er_fuzzy_scaleb",
-    # 3: the oldest r04 greens (32 of 38; spill set documented above)
-    "q_scan_project",
-    "q_filter_pred",
-    "q_agg_basic",
-    "q_agg_distinct",
-    "q_agg_rollup",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_broadcast",
-    "q_join_range",
-    "q_join_skew_salt",
-    "q_sort_limit",
-    "q_window_rank",
-    "q_window_frame",
-    "q_window_lead_lag",
-    "q_set_union",
-    "q_set_intersect",
-    "q_str_funcs",
-    "q_map_funcs",
-    "q_date_funcs",
-    "q_math_funcs",
-    "q_case_null",
-    "q_subq_scalar",
-    "q_subq_in",
-    "q_having",
-    "q_approx_cd",
-    "q_json_funcs",
-    "q_asof_join",
-    "q_percentile",
-    "q_pivot",
-    "q_sample_stratified",
+    # 2: r08-changed plans
+    "q_profile",
+    "q_dedup_passage",
+    "q_bfs_khop",
+    # 3: the 31 r05 greens
+    "q_merge_upsert",
+    "q_anomaly_zscore",
+    "q_incr_agg",
+    "q_session_funnel",
+    "q_resample_locf",
+    "q_dedup_minhash",
+    "q_dedup_simhash_exact",
+    "q_decontaminate",
+    "q_pagerank",
+    "q_triangle_count",
+    "q_grid_agg",
+    "q_pipeline_e2e",
+    "q_explode_pos",
+    "q_join_full",
+    "q_join_5way",
+    "q_cluster_kmeans",
+    "q_doc_pack_chunks",
+    "q_text_rarity",
+    "q_pii_redact",
+    "q_token_pmi",
+    "s_session_stream",
+    "s_tumble_stream",
+    "s_stateful",
+    "s_join_stream",
+    "s_dedup_embed_stream",
+    "s_dedup_near_stream",
+    "s_upsert_stream",
+    "s_anomaly_stream",
+    "s_funnel_stream",
+    "s_enrich_stream",
+    "s_tumble_append",
+    # 4: the 9 oldest r06 greens
+    "q_dedup_exact",
+    "q_dedup_ngram",
+    "q_dedup_clusters",
+    "q_dedup_embed",
+    "q_multimodal_agg",
+    "q_multimodal_decode",
+    "q_array_hof",
+    "q_window_ntile",
+    "q_approx_percentile",
 )
 
-_R07_RANK = {n: i for i, n in enumerate(_R07_WINDOW)}
+_R08_RANK = {n: i for i, n in enumerate(_R08_WINDOW)}
 
 
 def _window_tier(name: str) -> int:
-    return _R07_RANK.get(name, len(_R07_WINDOW))
+    return _R08_RANK.get(name, len(_R08_WINDOW))
 
 
 def _import_all() -> None:
@@ -284,6 +282,19 @@ def _import_all() -> None:
     from osmpbf_spark.sources import pbf_queries  # noqa: F401
     from osmpbf_spark.streaming import windows  # noqa: F401
 
+    # Phantom-entry guard (r07 postmortem: a window slot named a query
+    # that was never registered; nothing failed and the driver silently
+    # back-filled the slot, so the intended query got no correctness row).
+    # The sweep CLI has the same guard for argv names
+    # (scripts/sweep_oracles.py) — the window, which the driver actually
+    # consumes, must fail just as loudly.
+    phantom = [n for n in _R08_WINDOW if n not in REGISTRY]
+    if phantom:
+        raise RuntimeError(
+            f"correctness-window names not in REGISTRY: {phantom} — "
+            "register the query or remove the slot; a silent back-fill "
+            "means the driver verifies something other than intended"
+        )
     ordered = sorted(REGISTRY, key=_window_tier)
     reordered = {n: REGISTRY[n] for n in ordered}
     REGISTRY.clear()

@@ -1437,9 +1437,47 @@ def _er_sql_list(words: tuple | list) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
 
-@query(
-    "q_er_fuzzy",
-    oracle=f"""
+def _er_ab(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The shared A/B record generation for the ER family: A = clean
+    two-word names derived deterministically from c_custkey, B = A with
+    a deterministic typo (char deleted from word 2 at a key-dependent
+    position; every 5th record left clean). Factored out so q_er_fuzzy
+    and q_er_fuzzy_scaleb resolve the SAME records and their outputs can
+    be asserted equal (tests/test_dedup.py)."""
+    # single-row-group dimension scan -> fanout before the
+    # expression-heavy stages (the catalog.fanout idiom), else the
+    # generation + downstream work runs in ONE task
+    c = fanout(load(spark, sf_dir, "customer"))
+    w1 = F.element_at(
+        F.array(*[F.lit(w) for w in _ER_W1]),
+        (F.col("c_custkey") % 17 + 1).cast("int"),
+    )
+    w2 = F.element_at(
+        F.array(*[F.lit(w) for w in _ER_W2]),
+        (F.col("c_custkey") % 13 + 1).cast("int"),
+    )
+    a = c.select(F.col("c_custkey").alias("a_key"), w1.alias("w1"), w2.alias("w2"))
+    cut = (F.col("b_key") % 3 + 1).cast("int")
+    b = a.select(
+        F.col("a_key").alias("b_key"),
+        "w1",
+        F.col("w2").alias("w2_orig"),
+    ).select(
+        "b_key",
+        "w1",
+        F.when(F.col("b_key") % 5 == 4, F.col("w2_orig"))
+        .otherwise(
+            F.concat(
+                F.substring(F.col("w2_orig"), 1, cut),
+                F.expr("substr(w2_orig, CAST(3 + b_key % 3 AS INT), 99)"),
+            )
+        )
+        .alias("w2c"),
+    )
+    return a, b
+
+
+_ER_ORACLE = f"""
     WITH a AS (
       SELECT c_custkey AS a_key,
              list_extract({_er_sql_list(_ER_W1)},
@@ -1467,9 +1505,10 @@ def _er_sql_list(words: tuple | list) -> str:
       FROM cand)
     SELECT b_key, a_key AS matched_key, dist
     FROM best WHERE rn = 1
-    """,
-    tags=("dedup",),
-)
+    """
+
+
+@query("q_er_fuzzy", oracle=_ER_ORACLE, tags=("dedup",))
 def q_er_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution — the fuzzy-match pipeline (blocking → bounded
     edit-distance verify → best-match resolve) that links dirty records
@@ -1504,37 +1543,10 @@ def q_er_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     substr arithmetic, and levenshtein is an integer — nothing rounds
     anywhere, both engines agree bit-for-bit.
     """
-    # single-row-group dimension scan -> fanout before the
-    # expression-heavy block join (the catalog.fanout idiom), else the
-    # streamed side's entire levenshtein volume runs in ONE task
-    # (measured 5.2s -> sub-second at sf0.1)
-    c = fanout(load(spark, sf_dir, "customer"))
-    w1 = F.element_at(
-        F.array(*[F.lit(w) for w in _ER_W1]),
-        (F.col("c_custkey") % 17 + 1).cast("int"),
-    )
-    w2 = F.element_at(
-        F.array(*[F.lit(w) for w in _ER_W2]),
-        (F.col("c_custkey") % 13 + 1).cast("int"),
-    )
-    a = c.select(F.col("c_custkey").alias("a_key"), w1.alias("w1"), w2.alias("w2"))
-    cut = (F.col("b_key") % 3 + 1).cast("int")
-    b = a.select(
-        F.col("a_key").alias("b_key"),
-        "w1",
-        F.col("w2").alias("w2_orig"),
-    ).select(
-        "b_key",
-        "w1",
-        F.when(F.col("b_key") % 5 == 4, F.col("w2_orig"))
-        .otherwise(
-            F.concat(
-                F.substring(F.col("w2_orig"), 1, cut),
-                F.expr("substr(w2_orig, CAST(3 + b_key % 3 AS INT), 99)"),
-            )
-        )
-        .alias("w2c"),
-    )
+    # fanout lives in _er_ab: without it the streamed side's entire
+    # levenshtein volume runs in ONE task (measured 5.2s -> sub-second
+    # at sf0.1)
+    a, b = _er_ab(spark, sf_dir)
     # the A/B frames share lineage (both derive from the customer scan),
     # so the block join is a self-join: qualify through DataFrame aliases
     aa, bb = a.alias("A"), b.alias("B")
@@ -1562,4 +1574,81 @@ def q_er_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rn", rn)
         .filter(F.col("rn") == 1)
         .select("b_key", F.col("a_key").alias("matched_key"), "dist")
+    )
+
+
+@query("q_er_fuzzy_scaleb", oracle=_ER_ORACLE, tags=("dedup",))
+def q_er_fuzzy_scaleb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution, scale-blocked — q_er_fuzzy's production shape
+    (the q_dedup_semantic_scalek counterpart): identical resolutions
+    (same oracle; tests/test_dedup.py asserts row-for-row equality on
+    the fixture), but RECORDS never meet in a pairwise join. Blocks are
+    keyed by the DISTINCT NAME FORM itself — candidate generation,
+    bounded-levenshtein verify, and the (dist, key) best-match tie-break
+    all run at form granularity, then the per-form resolution broadcasts
+    back onto the record stream as one hash join.
+
+    Why this is the scale route: q_er_fuzzy's record-level block join is
+    quadratic in block POPULATION — at fixed blocking cardinality (221
+    name cells) 10x data = 100x pair volume = 19.2x measured wall. Here
+    blocking cardinality IS the distinct-form count, which grows with
+    the corpus's content diversity while per-block verify cost stays
+    O(forms-per-cell²) — independent of record count. Record volume
+    flows only through two partial-aggregated form extractions (shuffle
+    bytes = #distinct forms per map task, not corpus) and one broadcast
+    join; 10x data re-runs the same tiny form-level verify against 10x
+    the map-side volume, so wall grows ~linearly (scripts/scale_synth.py
+    carries this query in its default set; measured ratio recorded in
+    SURVEY §8). This is the canonical production ER factoring —
+    standardize → dedup attribute forms → pairwise-verify forms →
+    propagate — and it is exact, not approximate: every record of a
+    form shares that form's distance to every A-form, so min over
+    (dist, a_key) per record equals min over (dist, min-a_key-of-form)
+    per form.
+
+    Exactness: same integer levenshtein, same deterministic tie-break
+    (the per-form ROW_NUMBER orders by (dist, fa_key) where fa_key is
+    the form's min a_key — lexicographically identical to the oracle's
+    record-level (dist, a_key) ordering), same oracle as q_er_fuzzy.
+    """
+    a, b = _er_ab(spark, sf_dir)
+    # form extraction: partial agg collapses each map task to its
+    # distinct forms (<= 221 clean / <= 884 corrupted), so the shuffle
+    # moves forms, not records
+    fa = a.groupBy("w1", "w2").agg(F.min("a_key").alias("fa_key"))
+    fb = b.select("w1", "w2c").distinct()
+    faa, fbb = fa.alias("FA"), fb.alias("FB")
+    name_a = F.concat_ws(" ", F.col("FA.w1"), F.col("FA.w2"))
+    name_b = F.concat_ws(" ", F.col("FB.w1"), F.col("FB.w2c"))
+    cand = (
+        fbb.join(
+            F.broadcast(faa),
+            (F.col("FA.w1") == F.col("FB.w1"))
+            & (
+                F.substring(F.col("FA.w2"), 1, 1)
+                == F.substring(F.col("FB.w2c"), 1, 1)
+            ),
+        )
+        .withColumn("dist", F.levenshtein(name_b, name_a))
+        .filter(F.col("dist") <= 1)
+        .select(
+            F.col("FB.w1").alias("w1"),
+            F.col("FB.w2c").alias("w2c"),
+            "fa_key",
+            "dist",
+        )
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("w1", "w2c").orderBy("dist", "fa_key")
+    )
+    resolved = (
+        cand.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("w1", "w2c", F.col("fa_key").alias("matched_key"), "dist")
+    )
+    # record propagation: one broadcast hash join, no record shuffle
+    return b.join(F.broadcast(resolved), ["w1", "w2c"]).select(
+        "b_key", "matched_key", "dist"
     )

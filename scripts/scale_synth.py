@@ -27,6 +27,7 @@ DEFAULT_SET = [
     "q_dedup_exact", "q_dedup_minhash", "q_text_rarity", "q_scd2",
     "q_anomaly_zscore", "q_cluster_kmeans", "q_sim_search_lsh",
     "q_decontaminate", "q_doc_pack", "q_dedup_semantic_scalek",
+    "q_er_fuzzy_scaleb",
 ]
 
 

@@ -391,6 +391,25 @@ def test_er_fuzzy_closed_form_resolution(spark, duck):
     assert (pdf["dist"] == 1).sum() > 0.7 * n
 
 
+def test_er_fuzzy_scaleb_equals_record_level(spark, duck):
+    """The scale-blocked ER (form-level candidate generation + broadcast
+    propagation) must resolve EXACTLY the records q_er_fuzzy resolves —
+    same matched_key, same dist, row for row. This is the q_er_fuzzy_scaleb
+    contract: a pure plan-shape change, zero semantic drift."""
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_er_fuzzy_scaleb")
+    from osmpbf_spark.catalog import REGISTRY
+
+    base = (
+        REGISTRY["q_er_fuzzy"]
+        .fn(spark, SF_DIR)
+        .toPandas()
+        .sort_values("b_key")
+        .reset_index(drop=True)
+    )
+    got = pdf.sort_values("b_key").reset_index(drop=True)
+    assert got.equals(base[got.columns.tolist()])
+
+
 def _canon_url(u: str) -> str:
     """Python evaluation of the PRODUCTION pattern list — imports
     dedup.URL_CANON_STEPS, so a chain change in the query is what this

@@ -56,6 +56,30 @@ def test_queries_run_under_vanilla_session():
     assert "VANILLA_OK" in out.stdout, f"stdout={out.stdout}\nstderr={out.stderr[-2000:]}"
 
 
+def test_correctness_window_names_all_registered():
+    """Every _R0N_WINDOW slot must name a registered query. The r07
+    window listed q_er_fuzzy_scaleb before it existed; the driver
+    silently back-filled the slot with an arbitrary query and the
+    intended one got no correctness row. catalog._import_all now raises
+    on phantom slots — this test proves the guard trips (and that the
+    current window is clean, since all_queries() runs it)."""
+    import osmpbf_spark.catalog as cat
+
+    assert set(cat._R08_WINDOW) <= set(cat.all_queries())  # clean window
+    assert len(cat._R08_WINDOW) == 50  # the driver checks exactly 50
+    import pytest
+
+    # the guard must FAIL LOUDLY on a bogus name, not sort it quietly
+    bogus = cat._R08_WINDOW + ("q_this_query_does_not_exist",)
+    orig = cat._R08_WINDOW
+    try:
+        cat._R08_WINDOW = bogus
+        with pytest.raises(RuntimeError, match="not in REGISTRY"):
+            cat._import_all()
+    finally:
+        cat._R08_WINDOW = orig
+
+
 TZ_SCRIPT = """
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F

@@ -506,64 +506,87 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated to day so the text form is dialect-stable), alongside the
     table row count.
 
-    Two scan passes, both whole-stage hash aggregation. The exact
-    distinct counts deliberately AVOID multi-countDistinct in one agg:
-    Spark's multi-distinct rewrite (Expand + grouping on the mixed
-    distinct keys) planned SortAggregate end to end — measured 4.6s at
-    sf0.1 — while the manual expand (posexplode of the stringified
-    column values, injective per type) into groupBy(gid, v) →
-    groupBy(gid) is two chained HashAggregates with map-side partials:
-    1.5s, identical results. Null counts, min/max, and the row count
-    ride one plain aggregation pass; the 4-row distinct-count frame
-    broadcasts back as a single map, and stack() unpivots the single
-    row. At 100 TB: profiling switches the distinct counts to
-    approx_count_distinct (HLL sketches, q_approx_cd's shape) and drops
-    the expand pass entirely — exact here because the oracle must
-    hash-match, and the fixture makes exact affordable.
+    One independent branch per profiled column — column-pruned scan →
+    groupBy(native value, nulls kept as their own group) → 1-row stats
+    agg — and the output is simply the UNION of the branch rows: no
+    join, no broadcast, no unpivot. Every statistic falls out of the
+    per-branch distinct frame: count(v) skips the null group (=
+    COUNT(DISTINCT)), sum(cnt) over all groups restores the row count,
+    the null group's cnt is the null count, min/max skip nulls by
+    definition. Three shapes measured at sf0.1 before this one:
+
+    - multi-countDistinct in one agg: Spark's multi-distinct rewrite
+      (Expand + grouping on the mixed distinct keys) plans
+      SortAggregate end to end — 4.6s;
+    - stringify-and-posexplode union into one (gid, v) aggregate —
+      4x rows through string-keyed hash aggs, and the companion
+      min/max pass hides a min(string) whose immutable buffer demotes
+      ALL 13 aggregate functions to SortAggregate — 1.3s total;
+    - this shape: every 600k-row aggregation has native keys and
+      mutable (long/int/date) buffers — string min/max rides the
+      already-distinct 3-row frame — 0.52-0.65s, identical results.
+      (A fourth variant, repartition(8, v) before each groupBy, shaved
+      ~0.03s more by narrowing the exchanges — rejected: the explicit
+      repartition replaces the map-side partial aggregate with a
+      raw-row shuffle, which is exactly wrong at 100 TB. The remaining
+      wall is stage-scheduling floor — ~12 sub-50ms stages — not data.)
+
+    The branches are independent subtrees of one union plan, so their
+    stages run concurrently; each scan reads exactly one column
+    (ReadSchema shows single-column structs). At 100 TB the same plan
+    holds — per-column scans read the same total bytes as one wide
+    scan under columnar parquet, each branch shuffles only its distinct
+    values — or profiling switches to approx_count_distinct (HLL,
+    q_approx_cd's shape) when exactness is negotiable; exact here
+    because the oracle must hash-match.
     """
     li = load(spark, sf_dir, "lineitem")
-    # distinct counts: manual expand -> dedup agg -> count agg (hash all
-    # the way); string casts are injective for the profiled types, and
-    # the isNotNull filter matches COUNT(DISTINCT)'s null exclusion
-    expand = li.select(
-        F.posexplode(
-            F.array(
-                *[F.expr(f"CAST({ex} AS STRING)") for _, ex in _PROFILE_COLS]
-            )
-        ).alias("gid", "v")
-    ).filter(F.col("v").isNotNull())
-    nd = (
-        expand.groupBy("gid", "v")
-        .agg(F.lit(1))
-        .groupBy("gid")
-        .agg(F.count("*").alias("nd"))
-    )
-    ndrow = nd.agg(
-        F.map_from_entries(F.collect_list(F.struct("gid", "nd"))).alias("ndm")
-    )
-    aggs = [F.count("*").alias("n_rows")]
+    # One independent branch per profiled column: column-pruned scan ->
+    # groupBy(native value) -> final agg yielding (distinct count, min,
+    # max) off the DISTINCT frame — min/max over distinct values equals
+    # min/max over the column (both ignore nulls), and computing them
+    # post-distinct keeps every aggregation buffer mutable-typed: a
+    # min(string) in the 600k-row pass is exactly what forced the r07
+    # shape's 13-function aggregate into SortAggregate (0.50s alone;
+    # whole query 1.3s). Branch keys stay NATIVE (long/int/string/date)
+    # — the r07 stringify-and-explode union carried 4x rows through one
+    # string-keyed aggregate instead.
+    branches = []
     for i, (name, expr) in enumerate(_PROFILE_COLS):
-        aggs += [
-            F.sum(F.col(name).isNull().cast("long")).alias(f"nn{i}"),
-            F.expr(f"CAST(MIN({expr}) AS STRING)").alias(f"mn{i}"),
-            F.expr(f"CAST(MAX({expr}) AS STRING)").alias(f"mx{i}"),
-        ]
-    one = li.agg(*aggs).crossJoin(F.broadcast(ndrow))
-    stack = ", ".join(
-        # try_element_at + coalesce: an all-NULL column produces no ndm
-        # entry (the expand filters nulls), where plain element_at throws
-        # under ANSI mode; COUNT(DISTINCT) of an all-null column is 0
-        f"'{name}', nn{i}, coalesce(try_element_at(ndm, {i}), 0L), "
-        f"mn{i}, mx{i}"
-        for i, (name, _) in enumerate(_PROFILE_COLS)
+        # nulls stay IN the group frame (one group, keyed NULL) so the
+        # same two aggregations also yield the null count and the row
+        # count: count(v) skips the null key = COUNT(DISTINCT), min/max
+        # skip it too, sum(cnt) restores the full row count
+        branches.append(
+            li.select(F.expr(expr).alias("v"))
+            .groupBy("v")
+            .agg(F.count("*").alias("cnt"))
+            .agg(
+                F.lit(name).alias("col_name"),
+                # coalesce: sum over an EMPTY table is NULL where the
+                # oracle's COUNT(*) is 0
+                F.coalesce(F.sum("cnt"), F.lit(0).cast("long")).alias(
+                    "n_rows"
+                ),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("v").isNull(), F.col("cnt")).otherwise(
+                            F.lit(0)
+                        )
+                    ),
+                    F.lit(0).cast("long"),
+                ).alias("n_nulls"),
+                F.count("v").alias("n_distinct"),
+                F.expr("CAST(MIN(v) AS STRING)").alias("min_str"),
+                F.expr("CAST(MAX(v) AS STRING)").alias("max_str"),
+            )
+        )
+    out = branches[0]
+    for x in branches[1:]:
+        out = out.unionByName(x)
+    return out.select(
+        "col_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str"
     )
-    return one.select(
-        F.expr(
-            f"stack({len(_PROFILE_COLS)}, {stack}) AS "
-            "(col_name, n_nulls, n_distinct, min_str, max_str)"
-        ),
-        "n_rows",
-    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
 
 
 # ---------------------------------------------------------------------------

@@ -1215,63 +1215,71 @@ def q_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
     with zero kept passages drop from the output by construction;
     LEFT-join the corpus spine if the report needs them as zero rows).
 
-    Scale shape: four exchanges — the fanout repartition (test-data
-    single-row-group artifact; a real multi-row-group corpus scan drops
-    it) plus three each unavoidable for exact span dedup
-    because the unit of comparison crosses documents — (doc, chunk)
-    passage assembly, the passage-hash window (shuffle volume = corpus
-    text, the same price q_dedup_exact pays at document grain), and the
-    per-doc reassembly. Passage order inside each aggregation is pinned
-    by sort_array over (pos, word) structs — collect_list is
-    order-nondeterministic under retries/AQE, so both aggregations sort
-    explicitly rather than trusting arrival order; in production the
-    passage column would hash to 128 bits (xxhash64/md5) before the
-    window to cut the shuffle bytes — kept as text here so the oracle
-    compares the passages themselves.
+    Scale shape: TWO exchanges, the provable minimum for exact span
+    dedup (the dedup decision needs passage co-location; the reassembly
+    needs doc co-location). Passages assemble MAP-SIDE — they are
+    intra-document by construction, so the r07 plan's explode-to-words
+    + groupBy(doc, chunk) assembly shuffle was pure waste: split the
+    text once, slice the word array into PASSAGE_W windows inside a
+    transform() over sequence(), posexplode the passage array (1.13s ->
+    0.60s at sf0.1, 4 -> 2 exchanges). The per-doc chunk count is also
+    map-side arithmetic ((size(parts)-1) div W + 1), so the rn = 1
+    filter runs BEFORE the reassembly exchange and the second shuffle
+    carries only SURVIVING passages — on a dup-heavy crawl that is the
+    minority of the corpus. Passage order in the reassembly is pinned
+    by sort_array over (chunk, passage) structs — collect_list is
+    order-nondeterministic under retries/AQE. In production the window
+    key would hash to 128 bits (xxhash64/md5) to cut the first
+    exchange's bytes — kept as text here so the oracle compares the
+    passages themselves.
     """
-    # fanout: the single-row-group corpus scan would otherwise run the
-    # split+explode (the corpus-sized part of the pipeline) in ONE task;
-    # measured 10x-data wall 4.0s -> 1.8s at sf0.1-x10
-    d = fanout(load(spark, sf_dir, "documents"))
-    words = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
-    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "w")
-    pas = words.groupBy(
-        "doc_id", F.expr(f"pos div {PASSAGE_W}").alias("chunk")
-    ).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                lambda x: x["w"],
-            ),
-            " ",
-        ).alias("passage")
+    # No fanout: the map side is one split + array slicing per doc
+    # (not the r07 per-word explode), cheap enough that the
+    # single-row-group scan task is not the bottleneck — measured
+    # equal-or-better without the extra repartition exchange.
+    d = load(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.split("text", " ").alias("parts"),
+    ).select(
+        "doc_id",
+        "parts",
+        (F.expr(f"(size(parts)-1) div {PASSAGE_W}") + 1)
+        .cast("long")
+        .alias("n_total"),
+    )
+    pas = w.select(
+        "doc_id",
+        "n_total",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(parts)-1) div {PASSAGE_W}),"
+                f" i -> array_join("
+                f"slice(parts, i*{PASSAGE_W}+1, {PASSAGE_W}), ' '))"
+            )
+        ).alias("chunk", "passage"),
+    ).select(
+        "doc_id", "n_total", F.col("chunk").cast("long").alias("chunk"), "passage"
     )
     from pyspark.sql import Window
 
-    ranked = pas.select(
-        "doc_id",
-        "chunk",
-        "passage",
-        F.row_number()
-        .over(Window.partitionBy("passage").orderBy("doc_id", "chunk"))
-        .alias("rn"),
-        F.count("*").over(Window.partitionBy("doc_id")).alias("n_total"),
+    rn = F.row_number().over(
+        Window.partitionBy("passage").orderBy("doc_id", "chunk")
     )
-    return (
-        ranked.filter(F.col("rn") == 1)
-        .groupBy("doc_id")
-        .agg(
-            F.max("n_total").alias("n_total"),
-            F.count("*").alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("chunk", "passage"))),
-                    lambda x: x["passage"],
-                ),
-                " ",
-            ).alias("clean_text"),
-        )
+    kept = (
+        pas.select("doc_id", "n_total", "chunk", "passage", rn.alias("rn"))
+        .filter(F.col("rn") == 1)
+    )
+    return kept.groupBy("doc_id").agg(
+        F.max("n_total").alias("n_total"),
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk", "passage"))),
+                lambda x: x["passage"],
+            ),
+            " ",
+        ).alias("clean_text"),
     )
 
 

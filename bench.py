@@ -323,6 +323,10 @@ def _pbf_scan_throughput(spark) -> dict:
         "partitions": df.rdd.getNumPartitions(),
         "decode_mnodes_per_sec_core": round(n_core / core_dt / 1e6, 2),
         "steady_state_20m_mnodes_per_sec": round(n20 / dt20 / 1e6, 2),
+        # the engineering headline (re-based r08, SURVEY §near-"Bench
+        # artifacts of record"): the 2M wall metric is ~85% Python-
+        # datasource job floor and measures latency, not throughput
+        "headline_metric": "steady_state_20m_mnodes_per_sec",
     }
 
 

@@ -198,9 +198,11 @@ def all_oracles() -> dict[str, str]:
 #      (dedup/multimodal/array). The other 38 r06/r07 greens carry
 #      rows <= 2 rounds old and stay in the every-CI pytest sweep.
 #
-# Queued for the FRONT of the r09 window: the remaining r06 greens
-# (q_sim_search family, textstats family, q_pbf_* family, u_* family),
-# oldest first, plus any query registered after this window froze.
+# Queued for the FRONT of the r09 window: q_histogram + q_skyline
+# (registered r08 after this window froze — local-sweep green at
+# sf0.01/sf0.1/perturbed, zero driver rows), then the remaining r06
+# greens (q_sim_search family, textstats family, q_pbf_* family, u_*
+# family), oldest first, plus anything else registered after the freeze.
 _R08_WINDOW = (
     # 1: the six r04 spill set + the new scale-blocked ER
     "q_doc_pack",

@@ -669,3 +669,79 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# equi-width histogram (profiling companion to q_profile)
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 16
+
+
+@query(
+    "q_histogram",
+    oracle=f"""
+    WITH c AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+               FROM lineitem),
+    b AS (SELECT MIN(cents) AS mn, MAX(cents) AS mx FROM c),
+    binned AS (
+      SELECT ((cents - mn) * {HIST_BINS}) // (mx - mn + 1) AS bin, mn, mx
+      FROM c, b)
+    SELECT bin, COUNT(*) AS cnt,
+           CAST(MIN(mn + (bin * (mx - mn + 1)) // {HIST_BINS}) AS DOUBLE)
+             / 100.0 AS lo,
+           CAST(MIN(mn + ((bin + 1) * (mx - mn + 1)) // {HIST_BINS})
+                AS DOUBLE) / 100.0 AS hi
+    FROM binned GROUP BY bin
+    """,
+    tags=("cdc", "agg"),
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of a money column — the distribution sketch a
+    warehouse keeps beside q_profile's min/max/distinct (ANALYZE ...
+    COMPUTE STATISTICS histogram). Two passes: a column-pruned MIN/MAX
+    aggregate whose single row broadcasts into the binning pass (the
+    in-plan scalar pattern of q_dedup_semantic_scalek's k), then one
+    hash aggregation on the bin id.
+
+    Exactness: bin boundaries are pure BIGINT arithmetic on integer
+    cents — bin = (cents - mn) * B div (mx - mn + 1), which lands in
+    [0, B-1] with no clamp and no float division anywhere (a float
+    width would round differently per engine at bin edges); the
+    reported lo/hi edges invert the same integer formula and only THEN
+    cast to double (exact below 2^53). The overflow guard is
+    arithmetic: cents * B stays far under 2^63 for any 2-decimal money
+    column.
+
+    At 100 TB: the bounds pass reads one column and usually short-cuts
+    to parquet footer min/max stats; the binning pass is scan →
+    map-side partial agg on <= B groups → one tiny exchange. Nothing
+    scales with anything but the scan.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("cents")
+    )
+    b = c.agg(F.min("cents").alias("mn"), F.max("cents").alias("mx"))
+    binned = c.crossJoin(F.broadcast(b)).select(
+        F.expr(f"((cents - mn) * {HIST_BINS}) div (mx - mn + 1)").alias(
+            "bin"
+        ),
+        "mn",
+        "mx",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("cnt"),
+        (
+            F.min(
+                F.expr(f"mn + (bin * (mx - mn + 1)) div {HIST_BINS}")
+            ).cast("double")
+            / 100.0
+        ).alias("lo"),
+        (
+            F.min(
+                F.expr(f"mn + ((bin + 1) * (mx - mn + 1)) div {HIST_BINS}")
+            ).cast("double")
+            / 100.0
+        ).alias("hi"),
+    )

@@ -1467,3 +1467,102 @@ def q_join_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(rev_e4).cast("double") / 10000.0).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# skyline (Pareto frontier) — dominance pruning as distributed partial-agg
+# ---------------------------------------------------------------------------
+
+
+def _skyline_pdf(pdf):
+    """Exact 2D skyline of one pandas frame (minimize p_retailprice,
+    maximize p_size): sort by (price asc, size desc); a row survives iff
+    its size equals its price-group's max AND strictly exceeds every
+    smaller-price group's max. O(n log n), no pairwise loop. Duplicate
+    points (equal on both axes) all survive — neither strictly dominates
+    the other, matching the oracle's NOT EXISTS with a strict clause."""
+    import numpy as np
+
+    pdf = pdf.sort_values(
+        ["p_retailprice", "p_size"], ascending=[True, False]
+    ).reset_index(drop=True)
+    price = pdf["p_retailprice"].to_numpy()
+    size = pdf["p_size"].to_numpy()
+    keep = np.zeros(len(pdf), dtype=bool)
+    best = -np.inf  # max size over strictly-smaller prices
+    i = 0
+    while i < len(pdf):
+        j = i
+        while j < len(pdf) and price[j] == price[i]:
+            j += 1
+        gmax = size[i]  # sorted desc within the price group
+        if gmax > best:
+            for k in range(i, j):
+                if size[k] == gmax:
+                    keep[k] = True
+        best = max(best, gmax)
+        i = j
+    return pdf[keep]
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    SELECT a.p_partkey, a.p_retailprice, a.p_size
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice <= a.p_retailprice
+        AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+    """,
+    tags=("agg",),
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query — the multi-criteria shortlist
+    (cheapest-and-largest parts: minimize p_retailprice, maximize
+    p_size) that price-optimization and data-curation pipelines run
+    where no single score exists. The oracle is the textbook quadratic
+    NOT-EXISTS; the Spark plan is the distributed two-phase algorithm:
+
+    1. LOCAL dominance prune (mapInPandas): each Arrow batch reduces to
+       its own skyline via one sort + linear scan. Correct for any
+       partitioning because domination is transitive — if b dominates a
+       then some batch-local skyline member of b's batch (b itself or a
+       dominator of b) also dominates a, so no global skyline point is
+       ever dropped and every dropped point has a surviving witness.
+       This is partial aggregation generalized to a non-algebraic
+       operator: corpus-sized input never leaves its partition.
+    2. GLOBAL pass: survivors (sum of per-partition skylines — for
+       anti-correlated uniform data O(P·√n) rows, thousands at most)
+       collapse to one group and the same scan runs once more.
+
+    Exactness: the filter only COMPARES (no arithmetic) — price doubles
+    and size ints read identically from parquet in both engines, and
+    comparisons cannot round. The survivor set is unique (set
+    semantics), so partitioning order cannot change the result.
+
+    At 100 TB: phase 1 is a map-only 10^5-10^6x reduction; phase 2's
+    single task sees only the frontier union. The same shape handles d
+    criteria by swapping the scan for a d-dimensional BNL over the tiny
+    survivor set.
+    """
+    part = load(spark, sf_dir, "part")
+    cols = "p_partkey bigint, p_retailprice double, p_size bigint"
+    src = part.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+
+    def local(it):
+        for pdf in it:
+            yield _skyline_pdf(pdf)
+
+    keep_cols = ["p_partkey", "p_retailprice", "p_size"]
+    survivors = src.mapInPandas(local, cols)
+    return (
+        survivors.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(lambda pdf: _skyline_pdf(pdf)[keep_cols], cols)
+        .select(*keep_cols)
+    )

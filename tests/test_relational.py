@@ -83,3 +83,104 @@ def test_profile_all_null_column_counts_zero_distinct(spark):
     row = pdf[pdf.col_name == "l_orderkey"].iloc[0]
     assert row.n_nulls == 2 and row.n_distinct == 0
     assert pd.isna(row.min_str) and pd.isna(row.max_str)
+
+
+def test_histogram_partitions_the_table(spark, duck):
+    """Equi-width histogram invariants: bin counts sum to the row count,
+    bins are within [0, HIST_BINS), edges tile [min, max] contiguously
+    (each bin's hi equals the next bin's lo), and every value falls
+    inside its bin's [lo, hi) by the integer edge formula."""
+    from osmpbf_spark.operators.cdc import HIST_BINS
+
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_histogram")
+    n, mn, mx = duck.sql(
+        "SELECT COUNT(*), MIN(l_extendedprice), MAX(l_extendedprice)"
+        " FROM lineitem"
+    ).fetchone()
+    assert pdf["cnt"].sum() == n
+    assert pdf["bin"].between(0, HIST_BINS - 1).all()
+    s = pdf.sort_values("bin").reset_index(drop=True)
+    for i in range(len(s) - 1):
+        if s["bin"][i + 1] == s["bin"][i] + 1:  # adjacent bins tile
+            assert s["hi"][i] == s["lo"][i + 1]
+    assert abs(s["lo"].iloc[0] - mn) < 1e-9
+    assert abs(s["hi"].iloc[-1] - (mx + 0.01)) < 0.02  # hi edge past max
+
+
+def test_skyline_dominance_semantics(spark, duck):
+    """Ground-truth check beyond oracle parity: no survivor dominates
+    another survivor, and every non-survivor is strictly dominated by at
+    least one survivor (the witness property that makes the two-phase
+    local-prune + global-pass algorithm correct)."""
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_skyline")
+    sky = set(pdf["p_partkey"])
+    pts = duck.sql(
+        "SELECT p_partkey, p_retailprice, p_size FROM part"
+    ).df()
+    sv = pts[pts["p_partkey"].isin(sky)]
+    dominated = pts[~pts["p_partkey"].isin(sky)]
+
+    def strictly_dominates(b, a):
+        return (
+            b.p_retailprice <= a.p_retailprice
+            and b.p_size >= a.p_size
+            and (b.p_retailprice < a.p_retailprice or b.p_size > a.p_size)
+        )
+
+    for a in sv.itertuples():
+        assert not any(
+            strictly_dominates(b, a) for b in sv.itertuples()
+        ), f"survivor {a.p_partkey} is dominated"
+    for a in dominated.itertuples():
+        assert any(
+            strictly_dominates(b, a) for b in sv.itertuples()
+        ), f"non-survivor {a.p_partkey} lacks a witness"
+
+
+def test_skyline_local_prune_is_lossless_property():
+    """Pure-pandas property: for arbitrary point sets and arbitrary
+    2-way partitionings, skyline(skyline(P1) ∪ skyline(P2)) equals the
+    skyline of the whole — the correctness core of the distributed
+    two-phase plan, with duplicates and ties exercised explicitly."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from osmpbf_spark.operators.relational import _skyline_pdf
+
+    def brute(df):
+        keep = []
+        for a in df.itertuples():
+            if not any(
+                (b.p_retailprice <= a.p_retailprice)
+                and (b.p_size >= a.p_size)
+                and (
+                    b.p_retailprice < a.p_retailprice
+                    or b.p_size > a.p_size
+                )
+                for b in df.itertuples()
+            ):
+                keep.append(a.p_partkey)
+        return sorted(keep)
+
+    point = st.tuples(
+        st.integers(0, 8), st.integers(0, 8)
+    )  # small domain forces duplicates/ties
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(point, min_size=0, max_size=24), st.integers(0, 23))
+    def prop(pts, cut):
+        df = pd.DataFrame(
+            [
+                (i, float(p), s)
+                for i, (p, s) in enumerate(pts)
+            ],
+            columns=["p_partkey", "p_retailprice", "p_size"],
+        )
+        cut = min(cut, len(df))
+        merged = pd.concat(
+            [_skyline_pdf(df.iloc[:cut]), _skyline_pdf(df.iloc[cut:])]
+        )
+        got = sorted(_skyline_pdf(merged)["p_partkey"])
+        assert got == brute(df)
+
+    prop()

@@ -18,8 +18,8 @@ import time
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = "/tmp/sf_synth_1"
-# bump when build() changes what it writes (v2: customer table scales)
-_MARKER = "_built_v2"
+# bump when build() changes what it writes (v3: part table scales)
+_MARKER = "_built_v3"
 K = 10
 
 DEFAULT_SET = [
@@ -79,7 +79,15 @@ def build() -> None:
                  c_acctbal, c_mktsegment
           FROM read_parquet('{SRC}/customer.parquet'), {copies})
     TO '{OUT}/customer.parquet' (FORMAT PARQUET)""")
-    for t in ("region", "nation", "supplier", "part"):
+    # part scales for q_skyline: key-shifted copies with a per-copy
+    # deterministic price offset so the frontier stays a realistic size
+    # instead of 10 exact clones of itself
+    con.execute(f"""
+    COPY (SELECT p_partkey + k*1000000 AS p_partkey, p_name, p_brand,
+                 p_type, p_size, p_retailprice + 0.01*k AS p_retailprice
+          FROM read_parquet('{SRC}/part.parquet'), {copies})
+    TO '{OUT}/part.parquet' (FORMAT PARQUET)""")
+    for t in ("region", "nation", "supplier"):
         shutil.copy(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
     # explicit versioned marker written LAST: plain file-existence checks
     # can pass on a stale dir from an older script version (which also

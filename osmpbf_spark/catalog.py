@@ -198,9 +198,9 @@ def all_oracles() -> dict[str, str]:
 #      (dedup/multimodal/array). The other 38 r06/r07 greens carry
 #      rows <= 2 rounds old and stay in the every-CI pytest sweep.
 #
-# Queued for the FRONT of the r09 window: q_histogram + q_skyline
-# (registered r08 after this window froze — local-sweep green at
-# sf0.01/sf0.1/perturbed, zero driver rows), then the remaining r06
+# Queued for the FRONT of the r09 window: q_histogram + q_skyline +
+# q_trend_ols (registered r08 after this window froze — local-sweep
+# green at sf0.01/sf0.1/perturbed, zero driver rows), then the remaining r06
 # greens (q_sim_search family, textstats family, q_pbf_* family, u_*
 # family), oldest first, plus anything else registered after the freeze.
 _R08_WINDOW = (

@@ -745,3 +745,95 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-entity OLS trend (the q_anomaly_zscore discipline applied to slopes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_trend_ols",
+    oracle="""
+    WITH c AS (
+      SELECT user_id,
+             (epoch_us(ts) // 1000000)
+               - MIN(epoch_us(ts) // 1000000)
+                   OVER (PARTITION BY user_id) AS x,
+             CAST(ROUND(value * 100) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL),
+    s AS (
+      SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM c GROUP BY user_id)
+    SELECT user_id, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_sec,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept_cents
+    FROM s
+    WHERE n >= 2 AND n * sxx - sx * sx > 0
+    """,
+    tags=("cdc", "agg"),
+)
+def q_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity least-squares trend — the drift detector a telemetry
+    or training-metrics pipeline runs per key (is this entity's value
+    rising?): closed-form OLS slope/intercept of value-cents against
+    seconds-since-first-observation, per user.
+
+    Exactness (the q_anomaly_zscore discipline, applied to regression):
+    x is whole SECONDS from the entity's own first event (both engines
+    floor microseconds with integer division), y is integer cents, so
+    n, Σx, Σy, Σxy, Σx² are exact BIGINTs and both engines compute
+    BIT-IDENTICAL integers before any float appears; the slope is then
+    one IEEE divide of two deterministically-cast operands and the
+    intercept two more IEEE ops — reproducible to the last bit.
+    Centering x on the per-entity minimum is the overflow guard, not a
+    statistical choice (slopes are translation-invariant): it bounds
+    n·Σx² by n·span² ≈ 1e16 for 100-event entities spanning a month,
+    comfortably under 2^63 — an uncentered epoch-seconds x would
+    overflow the BIGINT accumulator at n·(1.7e9)². Zero-variance
+    entities (all events at one second) are filtered by the integer
+    predicate n·Σx² − (Σx)² > 0 in both engines — never a float
+    division whose 0-denominator semantics differ (Spark Infinity vs
+    DuckDB error).
+
+    Plan: ONE shuffle on user_id — the min-x window and the statistics
+    aggregation share the partitioning, so the aggregate adds no
+    exchange; everything else is codegen integer math. At 100 TB this
+    is the trend pass with no stats-table join-back, same as
+    q_anomaly_zscore.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    xs = F.expr("unix_micros(ts) div 1000000")
+    w = Window.partitionBy("user_id")
+    c = ev.select(
+        "user_id",
+        (xs - F.min(xs).over(w)).alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    s = c.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return (
+        s.filter((F.col("n") >= 2) & (den > 0))
+        .select(
+            "user_id",
+            "n",
+            slope.alias("slope_cents_per_sec"),
+            intercept.alias("intercept_cents"),
+        )
+    )

@@ -184,3 +184,41 @@ def test_skyline_local_prune_is_lossless_property():
         assert got == brute(df)
 
     prop()
+
+
+def test_trend_ols_matches_numpy_polyfit(spark, duck):
+    """Ground truth beyond the oracle: the integer-exact closed form
+    must agree with numpy's float OLS (lstsq via polyfit) on every
+    entity to float tolerance — proving it computes real least squares,
+    not merely the same expression as the oracle."""
+    import numpy as np
+
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_trend_ols")
+    assert len(pdf) > 0
+    raw = duck.sql(
+        "SELECT user_id, epoch_us(ts) // 1000000 AS xs,"
+        " CAST(ROUND(value * 100) AS BIGINT) AS y"
+        " FROM events WHERE value IS NOT NULL"
+    ).df()
+    for r in pdf.head(25).itertuples():
+        g = raw[raw["user_id"] == r.user_id]
+        x = g["xs"].to_numpy(dtype=float)
+        x -= x.min()
+        y = g["y"].to_numpy(dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(slope - r.slope_cents_per_sec) < 1e-6 * max(
+            1.0, abs(slope)
+        )
+        assert abs(intercept - r.intercept_cents) < 1e-6 * max(
+            1.0, abs(intercept)
+        )
+
+
+def test_trend_ols_single_exchange(spark):
+    """The min-x window and the statistics aggregation must share one
+    user_id shuffle — a second exchange means the partitioning reuse
+    broke."""
+    from tests.test_plans import plan_of
+
+    p = plan_of(spark, "q_trend_ols")
+    assert p.count("Exchange hashpartitioning") == 1, p

@@ -200,7 +200,8 @@ def all_oracles() -> dict[str, str]:
 #
 # Queued for the FRONT of the r09 window: q_histogram + q_skyline +
 # q_trend_ols (registered r08 after this window froze — local-sweep
-# green at sf0.01/sf0.1/perturbed, zero driver rows), then the remaining r06
+# green at sf0.01/sf0.1/perturbed, zero driver rows), q_window_ntile +
+# q_approx_percentile (displaced by the late BPE swap), then the remaining r06
 # greens (q_sim_search family, textstats family, q_pbf_* family, u_*
 # family), oldest first, plus anything else registered after the freeze.
 _R08_WINDOW = (
@@ -212,10 +213,15 @@ _R08_WINDOW = (
     "q_agg_gsets",
     "q_set_except",
     "q_er_fuzzy_scaleb",
-    # 2: r08-changed plans
+    # 2: r08-changed plans (q_bpe_train / q_bpe_encode joined late —
+    # their driver-side local-relation construction moved to the Arrow
+    # path in r08, so they displace the two youngest tier-4 entries,
+    # q_window_ntile + q_approx_percentile, to the r09 queue)
     "q_profile",
     "q_dedup_passage",
     "q_bfs_khop",
+    "q_bpe_train",
+    "q_bpe_encode",
     # 3: the 31 r05 greens
     "q_merge_upsert",
     "q_anomaly_zscore",
@@ -248,7 +254,7 @@ _R08_WINDOW = (
     "s_funnel_stream",
     "s_enrich_stream",
     "s_tumble_append",
-    # 4: the 9 oldest r06 greens
+    # 4: the 7 oldest r06 greens (see tier-2 note for the two displaced)
     "q_dedup_exact",
     "q_dedup_ngram",
     "q_dedup_clusters",
@@ -256,8 +262,6 @@ _R08_WINDOW = (
     "q_multimodal_agg",
     "q_multimodal_decode",
     "q_array_hof",
-    "q_window_ntile",
-    "q_approx_percentile",
 )
 
 _R08_RANK = {n: i for i, n in enumerate(_R08_WINDOW)}

@@ -273,8 +273,11 @@ def q_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load(spark, sf_dir, "events")
     edges = _edges(ev).localCheckpoint(eager=True)
-    dist = spark.createDataFrame(
-        [(BFS_SEED, 0)], "node long, dist long"
+    # seed as a SQL VALUES LocalRelation (the q_join_range idiom):
+    # createDataFrame routes even one row through applySchemaToPythonRDD
+    # — ~0.25s of flat py4j/Python-worker overhead per query call
+    dist = spark.sql(
+        f"SELECT CAST({BFS_SEED} AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist"
     )
     for hop in range(1, BFS_K + 1):
         nxt = _bfs_hop(edges, dist, hop)

@@ -48,6 +48,11 @@ def main() -> int:
         spark.conf.set("spark.sql.shuffle.partitions", "7")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
     con = duckdb.connect()
+    # small cap + spill dir: degrade to disk under external memory
+    # pressure instead of a false OutOfMemory red (tests/conftest.py
+    # has the same guard and the incident note)
+    con.execute("SET memory_limit='8GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill_sweep'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM"

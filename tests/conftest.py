@@ -20,6 +20,14 @@ def spark():
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()
+    # Cap + spill: the oracle queries need well under 8 GB, but DuckDB's
+    # default limit is 80% of machine RAM — under EXTERNAL memory
+    # pressure (co-tenant burst) a tiny query can then die with
+    # OutOfMemory instead of spilling (observed: a 49-test OOM wave in
+    # one full-suite run that never reproduced). A small limit + temp
+    # dir makes the oracle side degrade to disk, not to a false red.
+    con.execute("SET memory_limit='8GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill_tests'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"

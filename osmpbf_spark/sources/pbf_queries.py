@@ -414,6 +414,26 @@ def s_pbf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream_to_memory(spark, agg, "s_pbf_stream", "complete")
 
 
+def _way_vertices(spark, mult: int, lat_alias: str, lon_alias: str):
+    """Shared way-vertex assembly (explode refs → inner-join the node
+    store → quantize coordinates to integers at ``mult``): the ONE
+    resolution rule for q_pbf_way_geom (1e7 — wire resolution) and
+    q_pbf_way_area (1e5 — the area overflow budget), so the
+    dangling-ref and quantization semantics cannot drift between them."""
+    ways = _read(spark, "way")
+    nodes = _read(spark, "node")
+    ex = ways.select(
+        F.col("id").alias("way_id"),
+        F.posexplode("refs").alias("pos0", "nodeid"),
+    ).select("way_id", F.col("pos0").cast("long").alias("pos"), "nodeid")
+    coords = nodes.select(
+        F.col("id").alias("nodeid"),
+        F.round(F.col("lat") * mult).cast("long").alias(lat_alias),
+        F.round(F.col("lon") * mult).cast("long").alias(lon_alias),
+    )
+    return ex.join(coords, "nodeid")
+
+
 @query(
     "q_pbf_way_geom",
     oracle=f"""
@@ -488,19 +508,9 @@ def q_pbf_way_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ways = _read(spark, "way")
-    nodes = _read(spark, "node")
-    ex = ways.select(
-        F.col("id").alias("way_id"),
-        F.posexplode("refs").alias("pos0", "nodeid"),
-    ).select("way_id", F.col("pos0").cast("long").alias("pos"), "nodeid")
-    coords = nodes.select(
-        F.col("id").alias("nodeid"),
-        F.round(F.col("lat") * 10000000).cast("long").alias("lat7"),
-        F.round(F.col("lon") * 10000000).cast("long").alias("lon7"),
-    )
+    ex = _way_vertices(spark, 10000000, "lat7", "lon7")
     w = Window.partitionBy("way_id").orderBy("pos")
-    seg = ex.join(coords, "nodeid").select(
+    seg = ex.select(
         "way_id",
         "pos",
         "lat7",
@@ -522,6 +532,93 @@ def q_pbf_way_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
         dy.alias("dy7"),
         F.sqrt((dx * dx + dy * dy).cast("double")).alias("seg_len7"),
     )
+
+
+@query(
+    "q_pbf_way_area",
+    oracle=f"""
+    WITH ex AS (
+      SELECT id AS way_id,
+             CAST(unnest(generate_series(1, len(refs))) - 1 AS BIGINT)
+               AS pos,
+             unnest(refs) AS nodeid
+      FROM read_parquet('{_DIR}/osm_ways.parquet')),
+    j AS (
+      SELECT ex.way_id, ex.pos,
+             CAST(ROUND(n.lon * 100000) AS BIGINT) AS x5,
+             CAST(ROUND(n.lat * 100000) AS BIGINT) AS y5
+      FROM ex JOIN read_parquet('{_DIR}/osm_nodes.parquet') n
+        ON ex.nodeid = n.id),
+    c AS (
+      SELECT way_id,
+             x5 - FIRST_VALUE(x5) OVER w AS x,
+             y5 - FIRST_VALUE(y5) OVER w AS y,
+             COALESCE(LEAD(x5) OVER w, FIRST_VALUE(x5) OVER w)
+               - FIRST_VALUE(x5) OVER w AS nx,
+             COALESCE(LEAD(y5) OVER w, FIRST_VALUE(y5) OVER w)
+               - FIRST_VALUE(y5) OVER w AS ny
+      FROM j WINDOW w AS (PARTITION BY way_id ORDER BY pos))
+    SELECT way_id, COUNT(*) AS n_pts,
+           CAST(SUM(x * ny - nx * y) AS BIGINT) AS area2_q,
+           CAST(SUM(x * ny - nx * y) AS DOUBLE) / 2.0 / 10000000000.0
+             AS area_deg2,
+           CASE WHEN SUM(x * ny - nx * y) > 0 THEN 1
+                WHEN SUM(x * ny - nx * y) < 0 THEN -1 ELSE 0 END
+             AS orientation
+    FROM c GROUP BY way_id
+    """,
+    tags=("pbf", "join", "agg"),
+)
+def q_pbf_way_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon area per way via the shoelace formula — the geometry
+    statistic behind building-footprint/landuse area analytics: treat
+    each way's RESOLVED vertex sequence as an implicitly-closed ring
+    (last vertex joins back to the first — the standard treatment of
+    OSM area ways) and emit the exact twice-signed-area, the derived
+    area in square degrees, and the winding orientation (OSM convention:
+    +1 = counter-clockwise outer ring).
+
+    Exactness (the q_trend_ols overflow discipline applied to geometry):
+    vertices quantize to 1e-5-degree integers (~1.1 m; the resolution is
+    the overflow BUDGET — see bound below) with the integer-cents ROUND
+    recipe, then every vertex RECENTERS on its way's first vertex inside
+    the window — shoelace area is translation-invariant EXACTLY in
+    integer arithmetic, so recentering changes nothing but the bound.
+    Each cross term |x·ny − nx·y| ≤ 2·(3.6e7 · 1.8e7) ≈ 1.3e15 even for
+    a world-spanning ring, so the BIGINT sum is safe to ~7000 such
+    vertices and to millions of vertices for any real footprint; both
+    engines sum identical integers (order-independent), and area_deg2
+    is one exact cast + two IEEE divides. Degenerate rings (< 3
+    resolved vertices) fall out as area 0 through the same formula —
+    the n=2 cyclic sum cancels algebraically. Antimeridian-crossing
+    rings get the unwrapped-chart value (identical in both engines;
+    splitting such polygons is a consumer-side GIS concern, documented
+    rather than guessed at).
+
+    Scale: identical shape to q_pbf_way_geom — shared vertex assembly
+    (_way_vertices: explode is partition-local, one shuffle joins the
+    node store, bucketed node storage makes it exchange-free), one
+    way-keyed window, and the per-way aggregation REUSES the window's
+    partitioning (no extra exchange). Per-way output rows, exact
+    integer area — the consumer aggregates (sum of areas) stay exact.
+    """
+    from pyspark.sql import Window
+
+    ex = _way_vertices(spark, 100000, "y5", "x5")
+    w = Window.partitionBy("way_id").orderBy("pos")
+    first = lambda c: F.first(c).over(w)  # noqa: E731 — running first
+    x = F.col("x5") - first("x5")
+    y = F.col("y5") - first("y5")
+    nx = F.coalesce(F.lead("x5").over(w), first("x5")) - first("x5")
+    ny = F.coalesce(F.lead("y5").over(w), first("y5")) - first("y5")
+    cross = (x * ny - nx * y).alias("cr")
+    s = ex.select("way_id", cross).groupBy("way_id").agg(
+        F.count("*").alias("n_pts"),
+        F.sum("cr").alias("area2_q"),
+        (F.sum("cr").cast("double") / 2.0 / 1e10).alias("area_deg2"),
+        F.signum(F.sum("cr")).cast("int").alias("orientation"),
+    )
+    return s
 
 
 # ---------------------------------------------------------------------------

@@ -1631,3 +1631,72 @@ def test_tag_value_rejects_empty_string(tmp_path):
             },
             None,
         )
+
+
+def test_way_area_matches_numpy_shoelace(spark):
+    """Ground truth for q_pbf_way_area: recompute every way's area with
+    an independent numpy shoelace over the resolved-vertex sequences
+    (same 1e-5 quantization, closure, and recentering) and require exact
+    integer equality on area2_q; spot invariants: orientation =
+    sign(area2_q), degenerate 2-vertex rings are exactly 0, and
+    reversing a ring flips the sign (checked on the numpy side)."""
+    import numpy as np
+    import pandas as pd
+
+    from osmpbf_spark.catalog import REGISTRY, all_queries
+
+    all_queries()
+    got = (
+        REGISTRY["q_pbf_way_area"].fn(spark, SF_DIR).toPandas()
+        .set_index("way_id")
+        .sort_index()
+    )
+    assert len(got) > 0
+
+    from osmpbf_spark.sources.pbf_queries import _read
+
+    ways = _read(spark, "way").select("id", "refs").toPandas()
+    # quantize via DuckDB's ROUND (half-away, the engines' rule) —
+    # Python round() is half-to-even and disagrees on .5 ties; the
+    # rounding itself is cross-engine-proven by the oracle sweep, and
+    # this test's subject is the shoelace assembly/arithmetic
+    import duckdb
+
+    npdf = _read(spark, "node").select("id", "lat", "lon").toPandas()
+    con = duckdb.connect()
+    con.register("nodes_pdf", npdf)
+    q = con.sql(
+        "SELECT id, CAST(ROUND(lon * 100000) AS BIGINT) AS x5,"
+        " CAST(ROUND(lat * 100000) AS BIGINT) AS y5 FROM nodes_pdf"
+    ).df()
+    nmap = {
+        int(i): (int(x), int(y))
+        for i, x, y in zip(q["id"], q["x5"], q["y5"])
+    }
+
+    def shoelace(xy):
+        if len(xy) == 0:
+            return None  # no resolved vertices -> way absent from output
+        a = np.array(xy, dtype=object)  # python ints: no overflow, exact
+        x = a[:, 0] - a[0, 0]
+        y = a[:, 1] - a[0, 1]
+        nx, ny = np.roll(x, -1), np.roll(y, -1)
+        return int(np.sum(x * ny - nx * y))
+
+    n_checked = 0
+    for wid, refs in zip(ways["id"], ways["refs"]):
+        xy = [nmap[int(r)] for r in refs if int(r) in nmap]
+        truth = shoelace(xy)
+        if truth is None:
+            assert wid not in got.index
+            continue
+        row = got.loc[int(wid)]
+        assert int(row["area2_q"]) == truth, wid
+        assert int(row["n_pts"]) == len(xy)
+        assert int(row["orientation"]) == (truth > 0) - (truth < 0)
+        if len(xy) == 2:
+            assert truth == 0
+        if truth != 0:
+            assert shoelace(xy[::-1]) == -truth  # reversal flips winding
+        n_checked += 1
+    assert n_checked > 100

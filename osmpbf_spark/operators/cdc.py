@@ -886,92 +886,114 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per hour between its first and last event, each carrying the
     value linearly interpolated between the surrounding observations.
     Grid hours outside the observed value range stay NULL (no
-    extrapolation — a gap is a fact), and a grid instant that coincides
-    with an observation returns that observation exactly (t − tp = 0).
+    extrapolation — a gap is a fact; the window semantics both engines
+    share also leave a grid instant AT the last observation NULL — its
+    forward frame is empty), and a grid instant bracketed by
+    observations with the earlier one AT the instant returns that value
+    exactly (h − t1 = 0).
 
     Exactness: every interpolation OPERAND is an exact integer — cents
     for values, epoch MICROSECONDS for times (≈1.7e15, inside double's
     2^53 exact range) — and both engines evaluate the IDENTICAL
-    parenthesized IEEE chain cp + (cn−cp)·((t−tp)/(tn−tp)) then /100,
+    parenthesized IEEE chain c1 + (c2−c1)·((h−t1)/(t2−t1)) then /100,
     so results agree bit-for-bit with no rounding convention in sight.
-    The tn = tp branch (single-observation entities: both windows
-    resolve to the same event) avoids 0/0 without comparing floats.
-    The grid/observation interleave is made deterministic by the
-    (ts, src) ordering — an observation AT a grid instant sorts before
-    it, so prev picks it up and the interpolation collapses to the
-    exact observed value.
 
-    Plan: ONE shuffle on user_id — both window specs (backward
-    last_value, forward first_value) share the same partitioning AND
-    ordering, so they ride one sort in one Window node; the grid
-    generation is the q_resample_locf sequence-explode, map-side from
-    the per-entity bounds aggregate. Negative result kept for the
-    record: packing (cents, t) into ONE struct per direction to halve
-    the frame-function count measured 1.5x WORSE (2.1 -> 3.1s at
-    sf0.1) — struct window buffers leave the vectorized long path.
-    Steady state ~1.9s vs DuckDB's ~1.1s on the same 1M-row grid
-    (~1.7x): the cost is the window volume itself, shared shape with
-    the oracle. At 100 TB identical posture to
-    locf: per-entity history is the window unit, no stats-table
-    join-back, no driver state.
+    Plan — SEGMENT-EXPLODE, not grid-window: the oracle is kept
+    deliberately as the textbook grid∪observations interleave window
+    (sorting the full hourly grid, ~11x the observation count here,
+    through last_value/first_value IGNORE NULLS frames); the Spark plan
+    instead windows OBSERVATIONS ONLY — one lead over one user_id
+    shuffle yields consecutive-observation segments — and generates
+    each segment's interior grid instants map-side
+    (sequence(ceil_hour(t1), last hour strictly before t2)) with the
+    interpolation a pure projection. The NULL rows outside the observed
+    range come from the per-entity bounds aggregate as two more
+    map-side sequence spans (before the first observation; at-or-after
+    the last). Row-for-row equal to the window formulation at sf0.01
+    AND sf0.1, 1.63 -> 0.58s at sf0.1, and the 100 TB posture is
+    strictly better: shuffle/sort volume is observations, never the
+    (often far denser) output grid — so the hash match against the
+    interleave-window oracle doubles as an equivalence proof of the
+    segment algebra, boundary hours included. Negative result kept from
+    the window formulation: packing (cents, t) into one struct per
+    direction to halve its frame-function count measured 1.5x WORSE —
+    struct window buffers leave the vectorized long path.
     """
+    H = 3_600_000_000  # microseconds per grid step
     ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    t = F.expr("unix_micros(ts)")
     cents = F.round(F.col("value") * 100).cast("long")
-    e = ev.select(
-        "user_id", "ts", F.lit(0).alias("src"), cents.alias("cents")
+    obs = ev.filter(F.col("value").isNotNull()).select(
+        "user_id", t.alias("t"), cents.alias("c"), "event_id"
+    )
+    # event_id tie-break mirrors q_resample_locf: deterministic segments
+    # even if two observations ever share a microsecond timestamp
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    seg = obs.select(
+        "user_id",
+        F.col("t").alias("t1"),
+        F.col("c").alias("c1"),
+        F.lead("t").over(w).alias("t2"),
+        F.lead("c").over(w).alias("c2"),
+    )
+    start = F.expr(f"((t1 + {H} - 1) div {H}) * {H}")  # ceil to hour
+    end = F.expr(f"((t2 - 1) div {H}) * {H}")  # last hour STRICTLY before t2
+    interp_rows = (
+        seg.filter(F.col("t2").isNotNull())
+        .filter(start <= end)  # consecutive obs within one hour: no grid
+        .select(
+            "user_id",
+            "t1",
+            "c1",
+            "t2",
+            "c2",
+            F.explode(F.sequence(start, end, F.lit(H))).alias("h"),
+        )
+        .select(
+            "user_id",
+            F.timestamp_micros(F.col("h")).alias("hour_ts"),
+            (
+                (
+                    F.col("c1").cast("double")
+                    + (F.col("c2") - F.col("c1")).cast("double")
+                    * (
+                        (F.col("h") - F.col("t1")).cast("double")
+                        / (F.col("t2") - F.col("t1")).cast("double")
+                    )
+                )
+                / 100.0
+            ).alias("value_interp"),
+        )
     )
     b = ev.groupBy("user_id").agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
+        F.expr(f"(min(unix_micros(ts)) div {H}) * {H}").alias("lo"),
+        F.expr(f"(max(unix_micros(ts)) div {H}) * {H}").alias("hi"),
     )
-    g = b.select(
+    ob = obs.groupBy("user_id").agg(
+        F.min("t").alias("tf"), F.max("t").alias("tl")
+    )
+    nb = b.join(ob, "user_id", "left")
+    head_end = F.least(
+        F.expr(f"coalesce(((tf - 1) div {H}) * {H}, hi)"), F.col("hi")
+    )
+    tail_start = F.expr(f"((tl + {H} - 1) div {H}) * {H}")
+    head = nb.filter(F.col("lo") <= head_end).select(
         "user_id",
-        F.explode(
-            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
-        ).alias("ts"),
-    ).select(
-        "user_id",
-        "ts",
-        F.lit(1).alias("src"),
-        F.lit(None).cast("long").alias("cents"),
+        F.explode(F.sequence(F.col("lo"), head_end, F.lit(H))).alias("h"),
     )
-    u = e.unionByName(g)
-    order = [F.col("ts"), F.col("src")]
-    wp = (
-        Window.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wn = (
-        Window.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    obs_t = F.when(F.col("cents").isNotNull(), F.expr("unix_micros(ts)"))
-    c = u.select(
-        "user_id",
-        "ts",
-        "src",
-        F.expr("unix_micros(ts)").alias("t"),
-        F.last("cents", ignorenulls=True).over(wp).alias("cp"),
-        F.last(obs_t, ignorenulls=True).over(wp).alias("tp"),
-        F.first("cents", ignorenulls=True).over(wn).alias("cn"),
-        F.first(obs_t, ignorenulls=True).over(wn).alias("tn"),
-    )
-    interp = F.when(
-        F.col("tn") == F.col("tp"), F.col("cp").cast("double") / 100.0
-    ).otherwise(
-        (
-            F.col("cp").cast("double")
-            + (F.col("cn") - F.col("cp")).cast("double")
-            * (
-                (F.col("t") - F.col("tp")).cast("double")
-                / (F.col("tn") - F.col("tp")).cast("double")
-            )
+    tail = (
+        nb.filter(F.col("tl").isNotNull())
+        .filter(tail_start <= F.col("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(tail_start, F.col("hi"), F.lit(H))
+            ).alias("h"),
         )
-        / 100.0
     )
-    return (
-        c.filter(F.col("src") == 1)
-        .select("user_id", F.col("ts").alias("hour_ts"), interp.alias("value_interp"))
+    nulls = head.unionByName(tail).select(
+        "user_id",
+        F.timestamp_micros(F.col("h")).alias("hour_ts"),
+        F.lit(None).cast("double").alias("value_interp"),
     )
+    return interp_rows.unionByName(nulls)

@@ -277,10 +277,18 @@ def test_resample_interp_ground_truth(spark, duck):
     assert checked > 50
 
 
-def test_resample_interp_single_window_sort(spark):
-    """Both directional windows must share one user_id exchange and one
-    sort — a second sort means the specs stopped sharing an ordering."""
+def test_resample_interp_windows_observations_only(spark):
+    """The segment-explode plan's invariants: exactly ONE Window node
+    (the lead over observations — the full grid must never enter a
+    window), every shuffle keyed on user_id, and the grid instants
+    produced by Generate (sequence-explode) nodes, not by a
+    grid-union-sort."""
+    import re
+
     from tests.test_plans import plan_of
 
     p = plan_of(spark, "q_resample_interp")
-    assert p.count("Exchange hashpartitioning") <= 2, p  # union sides
+    assert p.count("Window [") == 1, p
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)#", p)
+    assert set(keys) <= {"user_id"}, keys
+    assert p.count("Generate") >= 3  # segment + head + tail explodes

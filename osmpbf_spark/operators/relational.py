@@ -1508,10 +1508,13 @@ def _skyline_pdf(pdf):
 @query(
     "q_skyline",
     oracle="""
+    WITH pts AS (
+      SELECT p_partkey, p_retailprice, p_size FROM part
+      WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL)
     SELECT a.p_partkey, a.p_retailprice, a.p_size
-    FROM part a
+    FROM pts a
     WHERE NOT EXISTS (
-      SELECT 1 FROM part b
+      SELECT 1 FROM pts b
       WHERE b.p_retailprice <= a.p_retailprice
         AND b.p_size >= a.p_size
         AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
@@ -1549,7 +1552,13 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     part = load(spark, sf_dir, "part")
     cols = "p_partkey bigint, p_retailprice double, p_size bigint"
-    src = part.select(
+    # NULL-coordinate rows are excluded on BOTH sides (oracle CTE): a
+    # point with a missing criterion has no defined dominance relation —
+    # NOT-EXISTS semantics would make every such row a vacuous survivor
+    # while the pandas scan (NaN comparisons all false) would drop it
+    src = part.filter(
+        F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+    ).select(
         "p_partkey",
         F.col("p_retailprice").cast("double").alias("p_retailprice"),
         F.col("p_size").cast("long").alias("p_size"),

@@ -179,7 +179,7 @@ def all_oracles() -> dict[str, str]:
 
 
 # Round-8 rotation for the driver's 50-query correctness window (the
-# driver checks only the FIRST 50 registered queries each round; with 142
+# driver checks only the FIRST 50 registered queries each round; with 143
 # registered — len(REGISTRY) is the ground truth — ordering decides what
 # gets a fresh hard row). After r07,
 # cumulative driver coverage is 136/136 (134 hash-green + 2
@@ -200,7 +200,7 @@ def all_oracles() -> dict[str, str]:
 #      rows <= 2 rounds old and stay in the every-CI pytest sweep.
 #
 # Queued for the FRONT of the r09 window: q_histogram + q_skyline +
-# q_trend_ols + q_pbf_way_area + q_resample_interp (registered r08 after this window froze — local-sweep
+# q_trend_ols + q_pbf_way_area + q_resample_interp + q_attribution (registered r08 after this window froze — local-sweep
 # green at sf0.01/sf0.1/perturbed, zero driver rows), q_window_ntile +
 # q_approx_percentile (displaced by the late BPE swap), then the remaining r06
 # greens (q_sim_search family, textstats family, q_pbf_* family, u_*

@@ -997,3 +997,97 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("value_interp"),
     )
     return interp_rows.unionByName(nulls)
+
+
+ATTR_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback window
+
+
+@query(
+    "q_attribution",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS t,
+             CASE WHEN event_type IN ('view', 'click')
+                  THEN struct_pack(t := epoch_us(ts), eid := event_id,
+                                   typ := event_type) END AS touch
+      FROM events WHERE ts IS NOT NULL),
+    a AS (
+      SELECT user_id, event_id, event_type, ts,
+             MIN(touch) OVER w AS ft, MAX(touch) OVER w AS lt,
+             COUNT(touch) OVER w AS n_touches
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY t
+                   RANGE BETWEEN {ATTR_LOOKBACK_US} PRECEDING
+                         AND CURRENT ROW))
+    SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+           ft.eid AS first_touch_id, ft.typ AS first_touch_type,
+           lt.eid AS last_touch_id, lt.typ AS last_touch_type,
+           n_touches
+    FROM a WHERE event_type = 'purchase'
+    """,
+    tags=("cdc", "window"),
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style conversion attribution — first-touch AND
+    last-touch per conversion: every purchase is attributed to the
+    earliest and the latest view/click by the same user inside a 7-day
+    lookback ending at the purchase instant, with the touch count as
+    the exposure denominator. Purchases with no touch in the window
+    keep NULL attributions — an unattributed conversion is a fact, not
+    a dropped row (the q_resample family's gap convention).
+
+    Exactness: the lookback is a RANGE frame over exact epoch
+    MICROSECONDS (integer order key — both engines draw identical
+    frame boundaries, including touches exactly AT the purchase
+    instant, which range frames include by equal-key semantics), and
+    first/last touch are MIN/MAX over a (t, event_id, type) STRUCT —
+    lexicographic struct comparison IS the deterministic tie-break, so
+    two touches sharing a microsecond cannot flip the attribution
+    between engines the way a positional first_value could. No floats
+    anywhere.
+
+    Plan: ONE shuffle on user_id, one sort, one WindowExec carrying all
+    three frame aggregates; the purchase filter is a post-window
+    codegen filter. At 100 TB the stream is date-partitioned and the
+    frame is time-bounded, so per-key state during the window scan is
+    the 7-day touch run, not the user's history — the same bounded-
+    frame argument as the streaming TTL operators, in batch form.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    t = F.expr("unix_micros(ts)")
+    touch = F.when(
+        F.col("event_type").isin("view", "click"),
+        F.struct(
+            t.alias("t"),
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("typ"),
+        ),
+    )
+    c = ev.select(
+        "user_id", "event_id", "event_type", "ts", t.alias("t"),
+        touch.alias("touch"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(-ATTR_LOOKBACK_US, 0)
+    )
+    a = c.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.min("touch").over(w).alias("ft"),
+        F.max("touch").over(w).alias("lt"),
+        F.count("touch").over(w).alias("n_touches"),
+    )
+    return a.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("ft.eid").alias("first_touch_id"),
+        F.col("ft.typ").alias("first_touch_type"),
+        F.col("lt.eid").alias("last_touch_id"),
+        F.col("lt.typ").alias("last_touch_type"),
+        "n_touches",
+    )

@@ -292,3 +292,42 @@ def test_resample_interp_windows_observations_only(spark):
     keys = re.findall(r"Exchange hashpartitioning\((\w+)#", p)
     assert set(keys) <= {"user_id"}, keys
     assert p.count("Generate") >= 3  # segment + head + tail explodes
+
+
+def test_attribution_ground_truth(spark, duck):
+    """Independent Python recomputation of first/last-touch attribution
+    for a sample of purchases: scan each user's touches, apply the 7-day
+    lookback bounds inclusively, tie-break by (t, event_id), compare
+    ids, types, and touch counts exactly; purchases with no touch in
+    window must carry NULLs and still be present."""
+    import pandas as pd
+
+    from osmpbf_spark.operators.cdc import ATTR_LOOKBACK_US
+
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_attribution")
+    n_purch = duck.sql(
+        "SELECT COUNT(*) FROM events"
+        " WHERE event_type = 'purchase' AND ts IS NOT NULL"
+    ).fetchone()[0]
+    assert len(pdf) == n_purch  # every conversion present, attributed or not
+    ev = duck.sql(
+        "SELECT user_id, event_id, event_type, epoch_us(ts) AS t"
+        " FROM events WHERE ts IS NOT NULL"
+    ).df()
+    checked = nulls = 0
+    for r in pdf.head(200).itertuples():
+        t = r.purchase_ts.value // 1000
+        g = ev[(ev.user_id == r.user_id)
+               & ev.event_type.isin(["view", "click"])
+               & (ev.t >= t - ATTR_LOOKBACK_US) & (ev.t <= t)]
+        if len(g) == 0:
+            assert pd.isna(r.first_touch_id) and pd.isna(r.last_touch_id)
+            assert r.n_touches == 0
+            nulls += 1
+            continue
+        g = g.sort_values(["t", "event_id"])
+        assert r.first_touch_id == g.iloc[0].event_id
+        assert r.last_touch_id == g.iloc[-1].event_id
+        assert r.n_touches == len(g)
+        checked += 1
+    assert checked > 50

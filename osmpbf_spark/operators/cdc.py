@@ -785,8 +785,13 @@ def q_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     seconds-since-first-observation, per user.
 
     Exactness (the q_anomaly_zscore discipline, applied to regression):
-    x is whole SECONDS from the entity's own first event (both engines
-    floor microseconds with integer division), y is integer cents, so
+    x is whole SECONDS from the entity's own first event (each engine
+    integer-divides the per-row microseconds by 1e6 BEFORE centering —
+    identical for the post-epoch timestamps this engine supports, but
+    note the recipe is NOT timestamp-sign safe: Spark's ``div``
+    truncates toward zero while DuckDB's ``//`` floors, so pre-1970
+    rows would divide one apart; q_resample_interp's grid arithmetic
+    shares the same post-epoch assumption), y is integer cents, so
     n, Σx, Σy, Σxy, Σx² are exact BIGINTs and both engines compute
     BIT-IDENTICAL integers before any float appears; the slope is then
     one IEEE divide of two deterministically-cast operands and the
@@ -897,6 +902,11 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^53 exact range) — and both engines evaluate the IDENTICAL
     parenthesized IEEE chain c1 + (c2−c1)·((h−t1)/(t2−t1)) then /100,
     so results agree bit-for-bit with no rounding convention in sight.
+    Post-epoch assumption (shared with q_trend_ols): the hour
+    ceil/floor grid arithmetic uses Spark's truncating ``div`` on
+    microsecond epochs — exact for ts ≥ 1970 (all engine fixtures and
+    the TPC-H date domain), one-off for negative epochs where DuckDB's
+    ``//`` floors instead.
 
     Plan — SEGMENT-EXPLODE, not grid-window: the oracle is kept
     deliberately as the textbook grid∪observations interleave window

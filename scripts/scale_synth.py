@@ -18,8 +18,9 @@ import time
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = "/tmp/sf_synth_1"
-# bump when build() changes what it writes (v3: part table scales)
-_MARKER = "_built_v3"
+# bump when build() changes what it writes (v4: part copies carry ALL
+# source columns — v3 silently projected p_mfgr/p_container/p_comment away)
+_MARKER = "_built_v4"
 K = 10
 
 DEFAULT_SET = [
@@ -83,9 +84,9 @@ def build() -> None:
     # deterministic price offset so the frontier stays a realistic size
     # instead of 10 exact clones of itself
     con.execute(f"""
-    COPY (SELECT p_partkey + k*1000000 AS p_partkey, p_name, p_brand,
-                 p_type, p_size, p_retailprice + 0.01*k AS p_retailprice
-          FROM read_parquet('{SRC}/part.parquet'), {copies})
+    COPY (SELECT p.* REPLACE (p_partkey + k*1000000 AS p_partkey,
+                              p_retailprice + 0.01*k AS p_retailprice)
+          FROM read_parquet('{SRC}/part.parquet') p, {copies})
     TO '{OUT}/part.parquet' (FORMAT PARQUET)""")
     for t in ("region", "nation", "supplier"):
         shutil.copy(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")

@@ -256,13 +256,13 @@ def test_resample_interp_ground_truth(spark, duck):
             if t < ts.min():
                 assert v is None or np.isnan(v)
             elif t >= ts.max():
-                # at-or-after last obs: prev exists, next window empty
-                # beyond the last -> tn==tp only when t lands on the
-                # last obs; otherwise NULL
-                if t == ts.max():
-                    assert abs(v - cs[-1] / 100.0) < 1e-12
-                else:
-                    assert v is None or np.isnan(v)
+                # at-or-after last obs: the forward IGNORE-NULLS frame
+                # that starts AT the grid row is empty (grid rows carry
+                # NULL cents and only observations strictly inside a
+                # later segment can fill it), so the tail span — the
+                # last observation instant included — is NULL in the
+                # oracle, the Spark plan, and DuckDB alike
+                assert v is None or np.isnan(v)
             else:
                 j = np.searchsorted(ts, t, side="right")
                 tp, cp = ts[j - 1], cs[j - 1]

@@ -178,98 +178,88 @@ def all_oracles() -> dict[str, str]:
     return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
 
 
-# Round-8 rotation for the driver's 50-query correctness window (the
-# driver checks only the FIRST 50 registered queries each round; with 143
-# registered — len(REGISTRY) is the ground truth — ordering decides what
-# gets a fresh hard row). After r07,
-# cumulative driver coverage is 136/136 (134 hash-green + 2
-# rows-only-by-design), so the window's job is now AGE: re-stamp the
-# oldest rows first. Composition, per the r07 verdict's Next #8:
+# Round-9 rotation for the driver's 50-query correctness window (the
+# driver checks only the FIRST 50 registered queries each round; with
+# len(REGISTRY) registered, ordering decides what gets a fresh hard
+# row). Composition, per the r08 verdict's Next #1:
 #
-#   1. The six r04-green spill set queued in the r07 comment (their rows
-#      are four rounds old, the registry's oldest) plus the newly
-#      registered q_er_fuzzy_scaleb (verdict Next #1 — first driver row).
-#   2. Queries whose CODE changes in r08: q_profile (single-pass fold,
-#      Next #5), q_dedup_passage (exchange cut, Next #6), q_bfs_khop
-#      (per-hop barrier collapse, Next #7) — changed plans need fresh
-#      driver rows, not just local sweeps.
-#   3. All 31 r05 greens (three rounds old — the streaming family, the
-#      graph pair, the JVM dedup twins, the kitchen-sink pipelines).
-#   4. Remaining 9 slots: the oldest r06 greens in registration order
-#      (dedup/multimodal/array). The other 38 r06/r07 greens carry
-#      rows <= 2 rounds old and stay in the every-CI pytest sweep.
-#
-# Queued for the FRONT of the r09 window: q_histogram + q_skyline +
-# q_trend_ols + q_pbf_way_area + q_resample_interp + q_attribution (registered r08 after this window froze — local-sweep
-# green at sf0.01/sf0.1/perturbed, zero driver rows), q_window_ntile +
-# q_approx_percentile (displaced by the late BPE swap), then the remaining r06
-# greens (q_sim_search family, textstats family, q_pbf_* family, u_*
-# family), oldest first, plus anything else registered after the freeze.
-_R08_WINDOW = (
-    # 1: the six r04 spill set + the new scale-blocked ER
-    "q_doc_pack",
-    "q_multimodal",
-    "q_multimodal_frames",
-    "q_agg_cube",
-    "q_agg_gsets",
-    "q_set_except",
-    "q_er_fuzzy_scaleb",
-    # 2: r08-changed plans (q_bpe_train / q_bpe_encode joined late —
-    # their driver-side local-relation construction moved to the Arrow
-    # path in r08, so they displace the two youngest tier-4 entries,
-    # q_window_ntile + q_approx_percentile, to the r09 queue)
+#   1. The six operators registered in r08 AFTER that window froze
+#      (q_histogram, q_skyline, q_trend_ols, q_pbf_way_area,
+#      q_resample_interp, q_attribution — judge-sweep green, zero
+#      driver rows) plus the two tier-4 entries the late BPE swap
+#      displaced (q_window_ntile, q_approx_percentile). These are the
+#      ONLY registered queries without fresh-enough driver rows.
+#   2. Queries whose CODE/plan changes in r09: q_profile,
+#      q_dedup_passage (verdict Next #2/#3 perf work) — changed plans
+#      need fresh driver rows, not just local sweeps. New r09
+#      registrations also join this tier (displacing from the END of
+#      tier 3, youngest-value first).
+#   3. The remaining oldest rows: q_dedup_near (r05, rows-only by
+#      design — the registry's single oldest row) and the 39 r06
+#      greens not already in tier 1. The 45 r07 greens and 50 r08
+#      greens carry rows <= 2 rounds old and stay in the every-CI
+#      pytest/sweep coverage.
+_R09_WINDOW = (
+    # 1: the r08 late registrations + the two displaced tier-4 entries
+    "q_histogram",
+    "q_skyline",
+    "q_trend_ols",
+    "q_pbf_way_area",
+    "q_resample_interp",
+    "q_attribution",
+    "q_window_ntile",
+    "q_approx_percentile",
+    # 2: r09-changed plans and new r09 registrations
     "q_profile",
     "q_dedup_passage",
-    "q_bfs_khop",
-    "q_bpe_train",
-    "q_bpe_encode",
-    # 3: the 31 r05 greens
-    "q_merge_upsert",
-    "q_anomaly_zscore",
-    "q_incr_agg",
-    "q_session_funnel",
-    "q_resample_locf",
-    "q_dedup_minhash",
-    "q_dedup_simhash_exact",
-    "q_decontaminate",
-    "q_pagerank",
-    "q_triangle_count",
-    "q_grid_agg",
-    "q_pipeline_e2e",
-    "q_explode_pos",
-    "q_join_full",
-    "q_join_5way",
-    "q_cluster_kmeans",
-    "q_doc_pack_chunks",
-    "q_text_rarity",
-    "q_pii_redact",
-    "q_token_pmi",
-    "s_session_stream",
-    "s_tumble_stream",
-    "s_stateful",
-    "s_join_stream",
-    "s_dedup_embed_stream",
-    "s_dedup_near_stream",
-    "s_upsert_stream",
-    "s_anomaly_stream",
-    "s_funnel_stream",
-    "s_enrich_stream",
-    "s_tumble_append",
-    # 4: the 7 oldest r06 greens (see tier-2 note for the two displaced)
-    "q_dedup_exact",
-    "q_dedup_ngram",
-    "q_dedup_clusters",
-    "q_dedup_embed",
-    "q_multimodal_agg",
-    "q_multimodal_decode",
-    "q_array_hof",
+    # 3: oldest remaining rows (r05 + r06)
+    "q_dedup_near",
+    "q_bpe_merge_count",
+    "q_dedup_semantic",
+    "q_dedup_semantic_scalek",
+    "q_dedup_simhash",
+    "q_inverted_index",
+    "q_mix_sources",
+    "q_pbf_changesets",
+    "q_pbf_compat_pig",
+    "q_pbf_grid_agg",
+    "q_pbf_join_way_nodes",
+    "q_pbf_meta",
+    "q_pbf_node_tags",
+    "q_pbf_pushdown",
+    "q_pbf_relations",
+    "q_pbf_roundtrip",
+    "q_pbf_scan_nodes",
+    "q_pbf_ways_bag",
+    "q_sim_search",
+    "q_sim_search_ivf",
+    "q_sim_search_lsh",
+    "q_text_fingerprint",
+    "q_text_lang",
+    "q_text_quality",
+    "q_text_repetition",
+    "q_text_stats",
+    "q_text_token_freq",
+    "q_text_tokens_bpe",
+    "q_vec_centroid",
+    "q_vec_quantize",
+    "s_dedup_stream",
+    "s_late",
+    "s_pbf_stream",
+    "s_session",
+    "s_slide",
+    "s_time_rollup",
+    "s_tumble",
+    "u_udaf",
+    "u_udf",
+    "u_udtf",
 )
 
-_R08_RANK = {n: i for i, n in enumerate(_R08_WINDOW)}
+_R09_RANK = {n: i for i, n in enumerate(_R09_WINDOW)}
 
 
 def _window_tier(name: str) -> int:
-    return _R08_RANK.get(name, len(_R08_WINDOW))
+    return _R09_RANK.get(name, len(_R09_WINDOW))
 
 
 def _import_all() -> None:
@@ -295,7 +285,7 @@ def _import_all() -> None:
     # The sweep CLI has the same guard for argv names
     # (scripts/sweep_oracles.py) — the window, which the driver actually
     # consumes, must fail just as loudly.
-    phantom = [n for n in _R08_WINDOW if n not in REGISTRY]
+    phantom = [n for n in _R09_WINDOW if n not in REGISTRY]
     if phantom:
         raise RuntimeError(
             f"correctness-window names not in REGISTRY: {phantom} — "

@@ -1215,30 +1215,45 @@ def q_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
     with zero kept passages drop from the output by construction;
     LEFT-join the corpus spine if the report needs them as zero rows).
 
-    Scale shape: TWO exchanges, the provable minimum for exact span
-    dedup (the dedup decision needs passage co-location; the reassembly
-    needs doc co-location). Passages assemble MAP-SIDE — they are
-    intra-document by construction, so the r07 plan's explode-to-words
-    + groupBy(doc, chunk) assembly shuffle was pure waste: split the
-    text once, slice the word array into PASSAGE_W windows inside a
-    transform() over sequence(), posexplode the passage array (1.13s ->
-    0.60s at sf0.1, 4 -> 2 exchanges). The per-doc chunk count is also
-    map-side arithmetic ((size(parts)-1) div W + 1), so the rn = 1
-    filter runs BEFORE the reassembly exchange and the second shuffle
-    carries only SURVIVING passages — on a dup-heavy crawl that is the
-    minority of the corpus. Passage order in the reassembly is pinned
-    by sort_array over (chunk, passage) structs — collect_list is
-    order-nondeterministic under retries/AQE. In production the window
-    key would hash to 128 bits (xxhash64/md5) to cut the first
-    exchange's bytes — kept as text here so the oracle compares the
-    passages themselves.
+    Scale shape (r09): the keep-DECISION shuffles narrow, the corpus
+    text crosses AT MOST one exchange, and at bench scale ZERO.
+    Passages assemble MAP-SIDE — they are intra-document by
+    construction, so the r07 plan's explode-to-words + groupBy(doc,
+    chunk) assembly shuffle was pure waste: split the text once, slice
+    the word array into PASSAGE_W windows inside a transform() over
+    sequence(), posexplode the passage array (1.13s -> 0.60s at sf0.1,
+    4 -> 2 exchanges in r08). r08's residue was passage TEXT crossing
+    both exchanges through a sort-based row_number window; r09 replaces
+    the window with groupBy(passage).agg(min(doc_id*2^20 + chunk)) —
+    the first-occurrence rule as ONE vectorized HashAggregate whose
+    map-side partial combine emits each distinct passage at most once
+    per partition, with the (doc_id, chunk) order packed into a single
+    BIGINT so the buffer stays on the fast long path (a min(struct)
+    buffer would plan SortAggregate; packing bound: doc_id < 2^43 and
+    docs < 2^20 passages = 8M words — comfortable for any real
+    corpus). The surviving (doc_id, chunk) pairs — pure longs —
+    regroup per doc into a sorted chunk array, and reassembly REJOINS
+    the original scan on doc_id and slices each kept passage back out
+    of the doc's own word array, all map-side. AQE picks the join
+    physique: at bench scale the per-doc keep-list broadcasts (doc
+    text crosses NO exchange — 2 exchange nodes total, both on the
+    decision path); at 100 TB it falls back to a single doc_id
+    exchange — text once, versus twice in r08. The decision GROUP KEY
+    stays the passage text, not a 64/128-bit hash, so exactness never
+    rests on collision odds and the oracle compares the passages
+    themselves; thanks to the partial combine its shuffle cost is one
+    row per DISTINCT passage per map partition — within a constant
+    factor of what a production 128-bit-hash key would pay.
+    Measured 0.92-1.30s (window plan) -> 0.73-0.80s same-session at
+    sf0.1, exceptAll-identical output.
     """
     # No fanout: the map side is one split + array slicing per doc
     # (not the r07 per-word explode), cheap enough that the
     # single-row-group scan task is not the bottleneck — measured
     # equal-or-better without the extra repartition exchange.
+    PACK = 1 << 20  # chunk bits in the packed (doc_id, chunk) order key
     d = load(spark, sf_dir, "documents")
-    w = d.select(
+    docs = d.select(
         "doc_id",
         F.split("text", " ").alias("parts"),
     ).select(
@@ -1248,9 +1263,8 @@ def q_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_total"),
     )
-    pas = w.select(
+    pas = docs.select(
         "doc_id",
-        "n_total",
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, (size(parts)-1) div {PASSAGE_W}),"
@@ -1258,25 +1272,34 @@ def q_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"slice(parts, i*{PASSAGE_W}+1, {PASSAGE_W}), ' '))"
             )
         ).alias("chunk", "passage"),
-    ).select(
-        "doc_id", "n_total", F.col("chunk").cast("long").alias("chunk"), "passage"
     )
-    from pyspark.sql import Window
-
-    rn = F.row_number().over(
-        Window.partitionBy("passage").orderBy("doc_id", "chunk")
+    firsts = pas.groupBy("passage").agg(
+        F.min(F.col("doc_id") * PACK + F.col("chunk")).alias("packed")
     )
-    kept = (
-        pas.select("doc_id", "n_total", "chunk", "passage", rn.alias("rn"))
-        .filter(F.col("rn") == 1)
+    keep_per_doc = (
+        firsts.select(
+            F.expr(f"packed div {PACK}").alias("doc_id"),
+            (F.col("packed") % PACK).cast("long").alias("chunk"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("chunk")).alias("keep_chunks"),
+            F.count("*").alias("n_kept"),
+        )
     )
-    return kept.groupBy("doc_id").agg(
-        F.max("n_total").alias("n_total"),
-        F.count("*").alias("n_kept"),
+    return docs.join(keep_per_doc, "doc_id").select(
+        "doc_id",
+        "n_total",
+        "n_kept",
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("chunk", "passage"))),
-                lambda x: x["passage"],
+                F.col("keep_chunks"),
+                lambda c: F.array_join(
+                    F.slice(
+                        "parts", (c * PASSAGE_W + 1).cast("int"), PASSAGE_W
+                    ),
+                    " ",
+                ),
             ),
             " ",
         ).alias("clean_text"),

@@ -559,13 +559,25 @@ def test_bfs_hop_single_exchange(spark):
     assert bcasts == 2, p
 
 
-def test_dedup_passage_two_exchanges(spark):
-    """Exact span dedup has a provable two-exchange minimum (passage
-    co-location for the dedup decision, doc co-location for
-    reassembly); the r07 plan carried a third for explode-to-words
-    passage assembly, which is intra-document and must stay map-side."""
+def test_dedup_passage_narrow_decision_exchanges(spark):
+    """The r09 span-dedup shape: exactly two shuffle exchanges, BOTH on
+    the narrow decision path (passage for the first-occurrence
+    aggregate, doc_id for the keep-list regroup) — the corpus text
+    rejoins map-side from the original scan (broadcast at this scale, a
+    single doc_id exchange at 100 TB). The first-occurrence rule must
+    plan as a vectorized HashAggregate over the packed BIGINT — a
+    min(struct) buffer or the r08 row_number window would demote to
+    SortAggregate / Window. (The r08 version of this test counted
+    'Exchange (' against a tree-format string — zero matches, vacuously
+    green; the patterns below are verified to match toString output.)"""
+    import re
+
     p = plan_of(spark, "q_dedup_passage")
-    assert p.count("Exchange (") <= 2, p
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)#", p)
+    assert sorted(keys) == ["doc_id", "passage"], p
+    assert "SortAggregate" not in p, p
+    assert "Window" not in p, p
+    assert "min(((doc_id" in p, p  # packed-long min IS the dedup rule
 
 
 def test_corpus_mix_is_map_only(spark):

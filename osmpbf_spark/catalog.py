@@ -212,6 +212,9 @@ _R09_WINDOW = (
     # 2: r09-changed plans and new r09 registrations
     "q_profile",
     "q_dedup_passage",
+    "q_pbf_multipolygon",  # new r09 (displaces u_udtf, the youngest
+    # tier-3 slot: its r06 row stays the freshest of the displaced
+    # candidates and the UDTF path keeps its dedicated pytest parity)
     # 3: oldest remaining rows (r05 + r06)
     "q_dedup_near",
     "q_bpe_merge_count",
@@ -252,7 +255,6 @@ _R09_WINDOW = (
     "s_tumble",
     "u_udaf",
     "u_udf",
-    "u_udtf",
 )
 
 _R09_RANK = {n: i for i, n in enumerate(_R09_WINDOW)}

@@ -1700,3 +1700,86 @@ def test_way_area_matches_numpy_shoelace(spark):
             assert shoelace(xy[::-1]) == -truth  # reversal flips winding
         n_checked += 1
     assert n_checked > 100
+
+
+def test_multipolygon_matches_numpy_role_signed_sum(spark):
+    """Ground truth for q_pbf_multipolygon: recompute every relation's
+    role-signed area with an independent numpy pass — per member way,
+    the same shoelace as test_way_area_matches_numpy_shoelace, then
+    +|area| for outer / -|area| for inner — and require exact integer
+    equality on mp_area2_q plus exact ring counts. Also proves the
+    role-authority semantics: flipping a contributing ring's winding
+    (reversed vertex order) must not change the relation sum."""
+    import duckdb
+    import numpy as np
+
+    from osmpbf_spark.catalog import REGISTRY, all_queries
+    from osmpbf_spark.sources.pbf_queries import _read
+
+    all_queries()
+    got = (
+        REGISTRY["q_pbf_multipolygon"].fn(spark, SF_DIR).toPandas()
+        .set_index("rel_id")
+        .sort_index()
+    )
+    assert len(got) > 0
+
+    ways = _read(spark, "way").select("id", "refs").toPandas()
+    npdf = _read(spark, "node").select("id", "lat", "lon").toPandas()
+    rels = (
+        _read(spark, "relation")
+        .selectExpr("id AS rel_id", "explode(members) AS m")
+        .selectExpr("rel_id", "m.role AS role", "m.ref AS ref",
+                    "m.type AS type")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("nodes_pdf", npdf)
+    q = con.sql(
+        "SELECT id, CAST(ROUND(lon * 100000) AS BIGINT) AS x5,"
+        " CAST(ROUND(lat * 100000) AS BIGINT) AS y5 FROM nodes_pdf"
+    ).df()
+    nmap = {
+        int(i): (int(x), int(y))
+        for i, x, y in zip(q["id"], q["x5"], q["y5"])
+    }
+
+    def shoelace(xy):
+        if len(xy) == 0:
+            return None
+        a = np.array(xy, dtype=object)  # python ints: exact
+        x = a[:, 0] - a[0, 0]
+        y = a[:, 1] - a[0, 1]
+        nx, ny = np.roll(x, -1), np.roll(y, -1)
+        return int(np.sum(x * ny - nx * y))
+
+    ring = {}
+    for wid, refs in zip(ways["id"], ways["refs"]):
+        xy = [nmap[int(r)] for r in refs if int(r) in nmap]
+        a = shoelace(xy)
+        if a is not None:
+            ring[int(wid)] = a
+            # role authority: reversed winding -> same |area|
+            assert abs(shoelace(xy[::-1])) == abs(a)
+
+    truth = {}
+    for r in rels.itertuples():
+        if r.type != "way" or r.role not in ("outer", "inner"):
+            continue
+        if int(r.ref) not in ring:
+            continue  # unresolved ring drops via the inner join
+        t = truth.setdefault(int(r.rel_id), [0, 0, 0])
+        if r.role == "outer":
+            t[0] += 1
+            t[2] += abs(ring[int(r.ref)])
+        else:
+            t[1] += 1
+            t[2] -= abs(ring[int(r.ref)])
+
+    assert sorted(truth) == sorted(got.index)
+    for rid, (n_outer, n_inner, area2) in truth.items():
+        row = got.loc[rid]
+        assert int(row["n_outer"]) == n_outer, rid
+        assert int(row["n_inner"]) == n_inner, rid
+        assert int(row["mp_area2_q"]) == area2, rid
+        assert row["mp_area_deg2"] == area2 / 2.0 / 1e10, rid

@@ -28,8 +28,89 @@ DEFAULT_SET = [
     "q_dedup_exact", "q_dedup_minhash", "q_text_rarity", "q_scd2",
     "q_anomaly_zscore", "q_cluster_kmeans", "q_sim_search_lsh",
     "q_decontaminate", "q_doc_pack", "q_dedup_semantic_scalek",
-    "q_er_fuzzy_scaleb",
+    "q_er_fuzzy_scaleb", "q_attribution", "q_histogram", "q_skyline",
+    "q_trend_ols", "q_resample_interp",
+    # PBF geometry pair: timed against a 10x key-shifted synthetic PBF
+    # (build_pbf below) instead of a scaled sf dir
+    "q_pbf_way_area", "q_pbf_multipolygon",
 ]
+
+# queries that read the PBF fixture, not the sf parquet dir
+PBF_SET = {"q_pbf_way_area", "q_pbf_multipolygon"}
+PBF_OUT = "/tmp/pbf_synth_1"
+_PBF_MARKER = "_built_v1"
+PBF_SHIFT = 10**9  # fixture node/way ids are ~4.4e8 / ~1e8: copies disjoint
+
+
+def build_pbf() -> str:
+    """10x key-shifted PBF from the fixture parquet images: each copy k
+    shifts every node id, way id, way ref, relation id, and way-member
+    ref by k*PBF_SHIFT, so vertex resolution stays internally consistent
+    per copy and the ring/relation structure is exactly 10x the fixture
+    (coords unchanged — the area pipeline's cost scales with rows, not
+    coordinate values). One PrimitiveBlock per copy for nodes (~9.7k, the
+    real-world block size) plus one ways+relations block, giving the
+    decode 20 block-aligned split candidates."""
+    import duckdb
+
+    from osmpbf_spark.sources.pbf import encode
+    from osmpbf_spark.sources.pbf.fixture import FIXTURE_DIR, ensure_fixture
+
+    path = f"{PBF_OUT}/fixture10x.osm.pbf"
+    if os.path.exists(f"{PBF_OUT}/{_PBF_MARKER}"):
+        return path
+    shutil.rmtree(PBF_OUT, ignore_errors=True)
+    os.makedirs(PBF_OUT, exist_ok=True)
+    ensure_fixture()
+    con = duckdb.connect()
+    nodes = con.sql(
+        f"SELECT id, CAST(ROUND(lat*1e9) AS BIGINT) AS lat_nano,"
+        f" CAST(ROUND(lon*1e9) AS BIGINT) AS lon_nano"
+        f" FROM read_parquet('{FIXTURE_DIR}/osm_nodes.parquet') ORDER BY id"
+    ).fetchnumpy()
+    ways = con.sql(
+        f"SELECT id, refs FROM read_parquet('{FIXTURE_DIR}/osm_ways.parquet')"
+        f" ORDER BY id"
+    ).df()
+    mem = con.sql(
+        f"SELECT rel_id, pos, role, ref, type"
+        f" FROM read_parquet('{FIXTURE_DIR}/osm_rel_members.parquet')"
+        f" ORDER BY rel_id, pos"
+    ).df()
+    blocks = []
+    for k in range(K):
+        s = k * PBF_SHIFT
+        blocks.append(
+            {
+                "nodes": {
+                    "id": nodes["id"] + s,
+                    "lat_nano": nodes["lat_nano"],
+                    "lon_nano": nodes["lon_nano"],
+                    "tags": [None] * len(nodes["id"]),
+                }
+            }
+        )
+        rels, cur = [], None
+        for r in mem.itertuples():
+            if cur is None or cur["id"] != r.rel_id + s:
+                cur = {"id": r.rel_id + s, "members": [], "tags": {}}
+                rels.append(cur)
+            cur["members"].append((r.role, int(r.ref) + s, 
+                                   1 if r.type == "way" else 0))
+        blocks.append(
+            {
+                "ways": [
+                    {"id": int(w.id) + s,
+                     "refs": [int(x) + s for x in w.refs], "tags": {}}
+                    for w in ways.itertuples()
+                ],
+                "relations": rels,
+            }
+        )
+    encode.write_pbf(path, blocks)
+    with open(f"{PBF_OUT}/{_PBF_MARKER}", "w") as fh:
+        fh.write("ok")
+    return path
 
 
 def build() -> None:
@@ -124,9 +205,32 @@ def main() -> None:
             ts.append(time.perf_counter() - t0)
         return round(min(ts), 3)
 
+    def t_of_pbf(q: str, pbf_path) -> float:
+        # swap the module-level fixture path and drop the decoded-frame
+        # cache (its key has no path component); the localCheckpoint
+        # warmup amortizes the decode exactly like bench.py does for the
+        # registered query, so the ratio measures the geometry pipeline
+        # (explode -> node join -> window -> agg), with scan throughput
+        # covered by bench's dedicated pbf_scan block
+        from osmpbf_spark.sources import pbf_queries as pq
+
+        pq._DECODED_CACHE.clear()
+        old = pq._PBF
+        if pbf_path is not None:
+            pq._PBF = pbf_path
+        try:
+            return t_of(q, SRC)  # sf_dir unused by q_pbf_*
+        finally:
+            pq._PBF = old
+            pq._DECODED_CACHE.clear()
+
     names = sys.argv[1:] or DEFAULT_SET
     for q in names:
-        a, b = t_of(q, SRC), t_of(q, OUT)
+        if q in PBF_SET:
+            p10 = build_pbf()
+            a, b = t_of_pbf(q, None), t_of_pbf(q, p10)
+        else:
+            a, b = t_of(q, SRC), t_of(q, OUT)
         print(f"{q}: sf0.1={a}s 10x={b}s ratio={round(b / a, 2)}")
     spark.stop()
 

@@ -215,9 +215,12 @@ _R09_WINDOW = (
     "q_pbf_multipolygon",  # new r09 (displaces u_udtf, the youngest
     # tier-3 slot: its r06 row stays the freshest of the displaced
     # candidates and the UDTF path keeps its dedicated pytest parity)
+    "q_twap",       # new r09 (displaces u_udaf — same reasoning as u_udtf)
+    "q_corr",       # new r09 (displaces u_udf — same reasoning)
+    "q_text_bm25",  # new r09 (displaces q_bpe_merge_count: its r08-stamped
+    # siblings q_bpe_train/encode cover the BPE path and it keeps CI parity)
     # 3: oldest remaining rows (r05 + r06)
     "q_dedup_near",
-    "q_bpe_merge_count",
     "q_dedup_semantic",
     "q_dedup_semantic_scalek",
     "q_dedup_simhash",
@@ -253,8 +256,6 @@ _R09_WINDOW = (
     "s_slide",
     "s_time_rollup",
     "s_tumble",
-    "u_udaf",
-    "u_udf",
 )
 
 _R09_RANK = {n: i for i, n in enumerate(_R09_WINDOW)}

@@ -1117,3 +1117,91 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lt.typ").alias("last_touch_type"),
         "n_touches",
     )
+
+
+@query(
+    "q_twap",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    seg AS (
+      SELECT user_id, c,
+             LEAD(t) OVER (PARTITION BY user_id
+                           ORDER BY t, event_id) - t AS dt
+      FROM o)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(c * dt) AS BIGINT) AS num_cents_us,
+           CAST(SUM(dt) AS BIGINT) AS den_us,
+           CAST(SUM(c * dt) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE)
+             / 100.0 AS twap
+    FROM seg WHERE dt IS NOT NULL AND dt > 0
+    GROUP BY user_id
+    """,
+    tags=("cdc", "window", "agg"),
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per entity — TimescaleDB's ``time_weight``
+    / the telemetry answer to "what was the average level, not the
+    average sample": each observation's value holds (LOCF weighting)
+    until the next observation, so its weight is the interval length,
+    and twap = Σ value·Δt / Σ Δt. An unweighted AVG over-counts bursts
+    — the exact failure this operator exists to fix.
+
+    Semantics: the trailing observation has no interval and carries no
+    weight (a gap is a fact — the q_resample_interp no-extrapolation
+    discipline); entities with fewer than two timestamped observations
+    drop out (no interval at all). Zero-length intervals (duplicate
+    timestamps) are excluded by the dt > 0 predicate in BOTH engines —
+    an integer comparison, never a float epsilon — so a burst of
+    same-microsecond samples contributes only its last value via the
+    following interval, identically in both engines (the (t, event_id)
+    tie-break pins which one is "last").
+
+    Exactness (the q_trend_ols discipline): value is integer cents, Δt
+    exact integer MICROSECONDS from the lead window, so numerator
+    Σ c·Δt and denominator Σ Δt are exact BIGINTs — bound: |c| ≤ 1e6
+    cents times month-long gaps (2.6e12 us) times 1e4 events/entity
+    ≈ 2.6e22/1e4... per-term 2.6e12·1e6 = 2.6e18, so entities
+    sustaining ~3 max-gap max-value segments approach 2^63: the
+    operator emits num/den verbatim so a consumer re-scaling to
+    milliseconds (num div 1000) buys 3 more decades before the first
+    float appears; the fixture domain (cents ≤ ~1e5, spans ≤ months)
+    sits 4+ decades under the bound. The twap itself is two IEEE
+    divides of deterministically-cast exact integers — bit-identical
+    across engines.
+
+    Plan: ONE shuffle on user_id — the lead window and the final
+    aggregation share the partitioning (the q_trend_ols shape); weights
+    come from the window, never a self-join or as-of probe. At 100 TB
+    this is the per-entity telemetry pass with bucket-local exchanges.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    o = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("t"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    seg = o.select(
+        "user_id", "c", (F.lead("t").over(w) - F.col("t")).alias("dt")
+    )
+    num = F.sum(F.col("c") * F.col("dt"))
+    den = F.sum("dt")
+    return (
+        seg.filter(F.col("dt").isNotNull() & (F.col("dt") > 0))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            num.alias("num_cents_us"),
+            den.alias("den_us"),
+            (num.cast("double") / den.cast("double") / 100.0).alias(
+                "twap"
+            ),
+        )
+    )

@@ -1575,3 +1575,145 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(lambda pdf: _skyline_pdf(pdf)[keep_cols], cols)
         .select(*keep_cols)
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-moment correlation matrix (profiling companion: linear association)
+# ---------------------------------------------------------------------------
+
+# (label, column) pairs profiled by q_corr; cents-quantized like every
+# exact statistic in the repo
+_CORR_COLS = (
+    ("quantity", "l_quantity"),
+    ("extendedprice", "l_extendedprice"),
+    ("discount", "l_discount"),
+)
+
+
+@query(
+    "q_corr",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(ROUND(l_quantity * 100) AS BIGINT) AS x0,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS x1,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS x2
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_discount IS NOT NULL),
+    m AS (
+      SELECT COUNT(*) AS n,
+             SUM(x0) AS s0, SUM(x1) AS s1, SUM(x2) AS s2,
+             SUM(x0*x0) AS q0, SUM(x1*x1) AS q1, SUM(x2*x2) AS q2,
+             SUM(x0*x1) AS p01, SUM(x0*x2) AS p02, SUM(x1*x2) AS p12
+      FROM c)
+    SELECT 'quantity~extendedprice' AS pair, CAST(n AS BIGINT) AS n,
+           (CAST(n AS DOUBLE) * CAST(p01 AS DOUBLE)
+            - CAST(s0 AS DOUBLE) * CAST(s1 AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(q0 AS DOUBLE)
+                   - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))) AS corr
+    FROM m
+    UNION ALL
+    SELECT 'quantity~discount', CAST(n AS BIGINT),
+           (CAST(n AS DOUBLE) * CAST(p02 AS DOUBLE)
+            - CAST(s0 AS DOUBLE) * CAST(s2 AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(q0 AS DOUBLE)
+                   - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(q2 AS DOUBLE)
+                     - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)))
+    FROM m
+    UNION ALL
+    SELECT 'extendedprice~discount', CAST(n AS BIGINT),
+           (CAST(n AS DOUBLE) * CAST(p12 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(q2 AS DOUBLE)
+                     - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)))
+    FROM m
+    """,
+    tags=("relational", "agg"),
+)
+def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's numeric
+    columns — the linear-association statistic a profiling pass
+    (q_profile's sibling) computes to find redundant or derived
+    features before training.
+
+    Exactness (the q_anomaly_zscore discipline at 128-bit width):
+    values quantize to integer cents; every co-moment (Σx, Σx², Σxy)
+    is an EXACT WIDE-INTEGER sum — Spark sums the per-row long
+    products into DECIMAL(38,0), DuckDB into HUGEINT, because Σprice²
+    at sf0.1 is ~6.6e19 and already overflows int64 (per-row products
+    max ~1.1e14, safely long). Both wide-integer sums cast to double
+    CORRECTLY ROUNDED from the same exact integer, after which corr is
+    one fixed parenthesized IEEE chain — two multiplies, one subtract
+    per moment, two correctly-rounded sqrts, one divide — evaluated
+    identically by both engines, so the emitted doubles hash-match
+    bit-for-bit. Zero-variance columns would yield ±Inf/NaN
+    identically from the same chain (none in the fixture; the integer
+    n·q − s² = 0 case is documented rather than filtered since the
+    pair list is a curated profiling config, not arbitrary data).
+
+    Plan: ONE pass — a single 10-moment HashAggregate (map-side
+    partials, all long/decimal buffers, no string, no distinct) into a
+    1-row frame; the three pair rows stack map-side off that frame
+    (same UNION-off-one-row shape as the oracle). Nothing but the
+    partial-aggregate scalars ever crosses an exchange — at 100 TB
+    this is a map-only scan plus a 32-row shuffle, the cheapest
+    possible distribution for any all-pairs column statistic. Pair
+    count scales O(k²) in PROFILED columns, never in rows — curate k,
+    as every warehouse profiler does.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    cols = [c for _, c in _CORR_COLS]
+    src = li
+    for c in cols:
+        src = src.filter(F.col(c).isNotNull())
+    x = [
+        F.round(F.col(c) * 100).cast("long").alias(f"x{i}")
+        for i, c in enumerate(cols)
+    ]
+    c = src.select(*x)
+    dec = lambda e: F.sum(e.cast("decimal(38,0)"))  # noqa: E731
+    m = c.agg(
+        F.count("*").alias("n"),
+        *[dec(F.col(f"x{i}")).alias(f"s{i}") for i in range(3)],
+        *[
+            dec(F.col(f"x{i}") * F.col(f"x{i}")).alias(f"q{i}")
+            for i in range(3)
+        ],
+        dec(F.col("x0") * F.col("x1")).alias("p01"),
+        dec(F.col("x0") * F.col("x2")).alias("p02"),
+        dec(F.col("x1") * F.col("x2")).alias("p12"),
+    )
+
+    def corr_of(p: str, i: int, j: int):
+        d = lambda name: F.col(name).cast("double")  # noqa: E731
+        n = d("n")
+        num = n * d(p) - d(f"s{i}") * d(f"s{j}")
+        den = F.sqrt(n * d(f"q{i}") - d(f"s{i}") * d(f"s{i}")) * F.sqrt(
+            n * d(f"q{j}") - d(f"s{j}") * d(f"s{j}")
+        )
+        return num / den
+
+    # stack via inline(array(struct...)) off the ONE aggregate row — a
+    # unionByName of three m.select(...) re-plans the aggregate subtree
+    # three times (3 FileScans, verified on the executedPlan), because
+    # Catalyst has no common-subtree reuse across DataFrame unions
+    triples = F.array(
+        *[
+            F.struct(
+                F.lit(f"{a}~{b}").alias("pair"),
+                F.col("n").cast("long").alias("n"),
+                corr_of(p, i, j).alias("corr"),
+            )
+            for (a, i), (b, j), p in (
+                (("quantity", 0), ("extendedprice", 1), "p01"),
+                (("quantity", 0), ("discount", 2), "p02"),
+                (("extendedprice", 1), ("discount", 2), "p12"),
+            )
+        ]
+    )
+    return m.select(F.inline(triples))

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from osmpbf_spark.catalog import load, query
+from osmpbf_spark.catalog import fanout, load, query
 
 # stopword profiles for the n-gram/stopword language heuristic
 _PROFILES = {
@@ -1505,4 +1505,174 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("epoch"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 term scoring (retrieval primitive: decontamination / dedup probes)
+# ---------------------------------------------------------------------------
+
+# fixed probe terms (a retrieval system's query side is always a curated,
+# small set per request); mixed document frequencies on the fixture corpus
+BM25_TERMS = ("join", "vector", "spark", "window", "slow")
+# k1 = 6/5 and b = 3/4 as exact rationals (the standard 1.2 / 0.75)
+
+
+@query(
+    "q_text_bm25",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    dd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS s_tokens
+      FROM dd),
+    m AS (
+      SELECT dd.doc_id, dd.dl, t.term,
+             CAST(len(list_filter(toks, x -> x = t.term)) AS BIGINT) AS tf
+      FROM dd, (VALUES {", ".join(f"('{t}')" for t in BM25_TERMS)})
+                 AS t(term)),
+    mm AS (SELECT * FROM m WHERE tf > 0),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              FROM mm GROUP BY term)
+    SELECT mm.term, mm.doc_id, mm.tf, mm.dl, dfreq.df,
+           2*stats.n_docs - 2*dfreq.df + 1 AS idf_num,
+           2*dfreq.df + 1 AS idf_den,
+           44*stats.s_tokens*mm.tf AS tfn_num,
+           20*stats.s_tokens*mm.tf + 6*stats.s_tokens
+             + 18*mm.dl*stats.n_docs AS tfn_den,
+           (CAST(2*stats.n_docs - 2*dfreq.df + 1 AS DOUBLE)
+            / CAST(2*dfreq.df + 1 AS DOUBLE))
+           * (CAST(44*stats.s_tokens*mm.tf AS DOUBLE)
+              / CAST(20*stats.s_tokens*mm.tf + 6*stats.s_tokens
+                     + 18*mm.dl*stats.n_docs AS DOUBLE)) AS score
+    FROM mm, stats
+    JOIN dfreq ON mm.term = dfreq.term
+    """,
+    tags=("text", "agg", "join"),
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 term-document scoring — the retrieval primitive a
+    training-data pipeline runs to probe a corpus (eval-set
+    decontamination beyond exact n-grams, targeted dedup, quality
+    sampling by topicality): for each fixed probe term, every matching
+    document's BM25 contribution with k1 = 1.2, b = 0.75.
+
+    Exactness — the LOG-FREE EXACT-RATIONAL variant: ln() is not
+    correctly rounded in either engine (the repo's no-transcendentals
+    rule), so instead of ln-idf this emits the Robertson idf RATIO and
+    the tf-normalization RATIO as exact BIGINT num/den pairs —
+    idf = (2N − 2df + 1)/(2df + 1), and tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl))
+    with avgdl = S/N multiplied through by 20S into
+    44·S·tf / (20·S·tf + 6·S + 18·dl·N) — all integer arithmetic, both
+    engines bit-identical. The emitted score is the product of the two
+    ratios via one fixed IEEE chain (two divides, one multiply of
+    correctly-rounded casts). Per TERM the ranking is order-equivalent
+    to standard BM25 (ln is monotone); contributions are emitted
+    per-(term, doc) rather than pre-summed per query because dropping
+    ln breaks additivity — a consumer sums ln(idf_num/idf_den)·tfn
+    driver-side over its handful of query terms. Overflow bound:
+    44·S·tf needs S·tf < 2.1e17, fine through ~1e15 corpus tokens at
+    tf ≤ 100; past that the same exact integers feed the IEEE chain
+    directly (still deterministic, no longer exact-rational).
+
+    Plan: corpus rows NEVER shuffle. Tokenize once map-side; per-doc
+    per-term tf is size(filter(tokens, = term)) stacked by
+    inline(array(struct...)) — no corpus-token explode; ONE |terms|-row
+    aggregation yields df AND the corpus stats (the stacked frame holds
+    every doc exactly once per term, so each term group's count(*) = N
+    and sum(dl) = S), re-entering as a single BROADCAST join (the
+    q_histogram bounds-row pattern). Exchanges: one tiny term-keyed
+    partial-agg collapse only; the tokenize pipeline plans twice (agg
+    side + join side — the declarative price of no common-subtree
+    reuse; at 100 TB you checkpoint the tokenized frame or pay two
+    map-only columnar scans). The shape an inverted-index build would
+    feed, not replace (q_inverted_index covers the index itself).
+    """
+    # ARRAY-FREE token math (the 10x-scaling fix: split + 5 per-term
+    # array filters, planned twice, measured 3.96x at 10x data; pure
+    # string arithmetic measured ~1.6x):
+    #   dl  = spaces + 1           (split(' ') keeps empty tokens, so
+    #                               token count is exactly spaces+1)
+    #   tf  = occurrences of ' term ' in ' '||doubled||' ' where
+    #         doubled = replace(text, ' ', '  ') — doubling gives every
+    #         token its OWN flanking spaces, so matches never overlap
+    #         and the length-delta count (len(s) − len(remove(s)))/len(p)
+    #         is the exact token frequency
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(" "),
+            F.replace(F.col("text"), F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        ).alias("s"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        )
+        .cast("long")
+        .alias("dl"),
+    )
+    # rebalance the single-row-group fixture scan before the per-term
+    # string work (the q_dedup_ngram precedent — measured here 0.54 ->
+    # 0.37s at sf0.1 and 2.4 -> 0.72s at 10x, ratio 3.9 -> ~1.9): at
+    # 100 TB the corpus scan has thousands of tasks and a production
+    # build gates this on observed scan parallelism instead
+    d = fanout(d)
+
+    def tf_of(term: str):
+        pat = f" {term} "  # literal replace — terms are tokens, not regexes
+        return (
+            (
+                F.length("s")
+                - F.length(F.replace(F.col("s"), F.lit(pat), F.lit("")))
+            )
+            / len(pat)
+        ).cast("long")
+
+    per_term = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("term"), tf_of(t).alias("tf")
+            )
+            for t in BM25_TERMS
+        ]
+    )
+    stacked = d.select("doc_id", "dl", F.inline(per_term))
+    # ONE aggregation yields df AND the corpus stats: the stacked frame
+    # carries every doc exactly once per term, so per term group
+    # count(*) = N and sum(dl) = S — no separate corpus-stats pass, and
+    # the tokenize pipeline is planned twice (agg + join side) instead
+    # of three times (Catalyst has no common-subtree reuse)
+    dfreq = stacked.groupBy("term").agg(
+        F.count_if(F.col("tf") > 0).cast("long").alias("df"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").alias("s_tokens"),
+    )
+    mm = stacked.filter(F.col("tf") > 0)
+    j = mm.join(F.broadcast(dfreq), "term")
+    idf_num = 2 * F.col("n_docs") - 2 * F.col("df") + 1
+    idf_den = 2 * F.col("df") + 1
+    tfn_num = 44 * F.col("s_tokens") * F.col("tf")
+    tfn_den = (
+        20 * F.col("s_tokens") * F.col("tf")
+        + 6 * F.col("s_tokens")
+        + 18 * F.col("dl") * F.col("n_docs")
+    )
+    score = (idf_num.cast("double") / idf_den.cast("double")) * (
+        tfn_num.cast("double") / tfn_den.cast("double")
+    )
+    return j.select(
+        "term",
+        "doc_id",
+        "tf",
+        "dl",
+        "df",
+        idf_num.alias("idf_num"),
+        idf_den.alias("idf_den"),
+        tfn_num.alias("tfn_num"),
+        tfn_den.alias("tfn_den"),
+        score.alias("score"),
     )

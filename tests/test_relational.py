@@ -331,3 +331,106 @@ def test_attribution_ground_truth(spark, duck):
         assert r.n_touches == len(g)
         checked += 1
     assert checked > 50
+
+
+def test_twap_ground_truth_and_plan(spark, duck):
+    """Ground truth beyond the oracle: recompute each entity's
+    time-weighted average with exact Python integers over the
+    (t, event_id)-ordered observations — interval weights to the NEXT
+    observation, zero-length intervals excluded — and require exact
+    integer equality on num/den plus the identical two-divide float
+    chain for twap. Invariant: twap lies within [min, max] of the
+    entity's weighted values. Plan: the lead window and the final
+    aggregation share ONE user_id exchange (the q_trend_ols shape)."""
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_twap")
+    assert len(pdf) > 0
+    raw = duck.sql(
+        "SELECT user_id, epoch_us(ts) AS t, event_id,"
+        " CAST(ROUND(value * 100) AS BIGINT) AS c"
+        " FROM events WHERE ts IS NOT NULL AND value IS NOT NULL"
+        " ORDER BY user_id, t, event_id"
+    ).df()
+    checked = 0
+    for r in pdf.head(40).itertuples():
+        g = raw[raw["user_id"] == r.user_id]
+        ts = [int(x) for x in g["t"]]
+        cs = [int(x) for x in g["c"]]
+        num = den = nseg = 0
+        used = []
+        for i in range(len(ts) - 1):
+            dt = ts[i + 1] - ts[i]
+            if dt > 0:
+                num += cs[i] * dt
+                den += dt
+                nseg += 1
+                used.append(cs[i])
+        assert int(r.num_cents_us) == num, r.user_id
+        assert int(r.den_us) == den
+        assert int(r.n_segments) == nseg
+        assert r.twap == float(num) / float(den) / 100.0
+        assert min(used) / 100.0 <= r.twap <= max(used) / 100.0
+        checked += 1
+    assert checked >= 10
+
+    from tests.test_plans import plan_of
+
+    p = plan_of(spark, "q_twap")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "SortAggregate" not in p, p
+
+
+def test_corr_ground_truth_and_plan(spark, duck):
+    """Ground truth beyond the oracle: recompute every co-moment with
+    unbounded Python integers (no numpy int64 — Σprice² overflows it)
+    and replay the identical fixed IEEE chain; corr must match
+    bit-for-bit, sit in [-1, 1], and agree with numpy.corrcoef to float
+    tolerance. Plan: ONE scan, ONE HashAggregate pair, ZERO
+    hash-partitioned exchanges — the three pair rows must stack via
+    inline off the single aggregate row, not re-plan it (the naive
+    union measured 3 FileScans)."""
+    import math
+
+    import numpy as np
+
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_corr")
+    assert len(pdf) == 3
+    raw = duck.sql(
+        "SELECT CAST(ROUND(l_quantity * 100) AS BIGINT) AS x0,"
+        " CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS x1,"
+        " CAST(ROUND(l_discount * 100) AS BIGINT) AS x2"
+        " FROM lineitem WHERE l_quantity IS NOT NULL"
+        " AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL"
+    ).df()
+    xs = {
+        i: [int(v) for v in raw[f"x{i}"]] for i in range(3)
+    }  # python ints: exact
+    n = len(raw)
+    got = pdf.set_index("pair")
+    for a, i, b, j in (
+        ("quantity", 0, "extendedprice", 1),
+        ("quantity", 0, "discount", 2),
+        ("extendedprice", 1, "discount", 2),
+    ):
+        s_i, s_j = sum(xs[i]), sum(xs[j])
+        q_i = sum(v * v for v in xs[i])
+        q_j = sum(v * v for v in xs[j])
+        p_ij = sum(u * v for u, v in zip(xs[i], xs[j]))
+        num = float(n) * float(p_ij) - float(s_i) * float(s_j)
+        den = math.sqrt(
+            float(n) * float(q_i) - float(s_i) * float(s_i)
+        ) * math.sqrt(float(n) * float(q_j) - float(s_j) * float(s_j))
+        row = got.loc[f"{a}~{b}"]
+        assert int(row["n"]) == n
+        assert row["corr"] == num / den  # identical IEEE chain
+        assert -1.0 <= row["corr"] <= 1.0
+        ref = np.corrcoef(
+            np.array(xs[i], dtype=float), np.array(xs[j], dtype=float)
+        )[0, 1]
+        assert abs(row["corr"] - ref) < 1e-9
+
+    from tests.test_plans import plan_of
+
+    p = plan_of(spark, "q_corr")
+    assert p.count("FileScan") == 1, p
+    assert p.count("Exchange hashpartitioning") == 0, p
+    assert "SortAggregate" not in p, p

@@ -208,3 +208,67 @@ def test_bpe_encode_oracle_survives_dry_merge_rounds(duck):
     # the local trainer agrees: no merges, every word stays one symbol
     traj, toks = _bpe_local([("a", 3), ("b", 2), ("c", 2)])
     assert traj == [] and all(len(t) == 1 for t in toks.values())
+
+
+def test_bm25_ground_truth_and_plan(spark, duck):
+    """Ground truth beyond the oracle: recompute tf/df/dl/N/S with plain
+    Python over the tokenized corpus and replay the exact-rational
+    components and the two-divide IEEE score chain; every emitted row
+    must match exactly, and no (term, doc) with tf > 0 may be missing.
+    Monotonicity spot-checks: score increases with tf at fixed dl and
+    decreases with dl at fixed tf (the saturation/length-normalization
+    behavior that makes BM25 BM25). Plan: corpus rows never shuffle —
+    the only hash exchange keys on term, the stats re-enter via ONE
+    broadcast, no SortAggregate."""
+    from osmpbf_spark.operators.textstats import BM25_TERMS
+
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_text_bm25")
+    assert len(pdf) > 0
+    docs = duck.sql("SELECT doc_id, text FROM documents").df()
+    toks = {
+        int(r.doc_id): str(r.text).split(" ") for r in docs.itertuples()
+    }
+    N = len(toks)
+    S = sum(len(t) for t in toks.values())
+    tf = {
+        (term, d): sum(1 for x in t if x == term)
+        for d, t in toks.items()
+        for term in BM25_TERMS
+    }
+    df = {
+        term: sum(1 for d in toks if tf[(term, d)] > 0)
+        for term in BM25_TERMS
+    }
+    expect = {k for k, v in tf.items() if v > 0}
+    got = {(r.term, int(r.doc_id)) for r in pdf.itertuples()}
+    assert got == expect
+    for r in pdf.itertuples():
+        d, term = int(r.doc_id), r.term
+        dl = len(toks[d])
+        t = tf[(term, d)]
+        assert int(r.tf) == t and int(r.dl) == dl
+        assert int(r.df) == df[term]
+        idf_num, idf_den = 2 * N - 2 * df[term] + 1, 2 * df[term] + 1
+        tfn_num = 44 * S * t
+        tfn_den = 20 * S * t + 6 * S + 18 * dl * N
+        assert int(r.idf_num) == idf_num and int(r.idf_den) == idf_den
+        assert int(r.tfn_num) == tfn_num and int(r.tfn_den) == tfn_den
+        assert r.score == (float(idf_num) / float(idf_den)) * (
+            float(tfn_num) / float(tfn_den)
+        )
+
+    def tfn(t, dl):
+        return (44 * S * t) / (20 * S * t + 6 * S + 18 * dl * N)
+
+    assert tfn(2, 100) > tfn(1, 100)  # saturating gain in tf
+    assert tfn(3, 50) > tfn(3, 500)  # length normalization
+
+    import re
+
+    from tests.test_plans import plan_of
+
+    p = plan_of(spark, "q_text_bm25")
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", p))
+    assert keys == {"term"}, p
+    assert p.count("BroadcastExchange") == 1, p
+    assert "SortAggregate" not in p, p

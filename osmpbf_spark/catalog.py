@@ -219,6 +219,10 @@ _R09_WINDOW = (
     "q_corr",       # new r09 (displaces u_udf — same reasoning)
     "q_text_bm25",  # new r09 (displaces q_bpe_merge_count: its r08-stamped
     # siblings q_bpe_train/encode cover the BPE path and it keeps CI parity)
+    "q_sample_topk_group",  # new r09 (displaces q_vec_centroid)
+    "q_fd_check",           # new r09 (displaces q_vec_quantize; both
+    # displaced keep every-CI pytest parity and have in-window
+    # q_sim_search* siblings exercising the same embedding pipeline)
     # 3: oldest remaining rows (r05 + r06)
     "q_dedup_near",
     "q_dedup_semantic",
@@ -247,8 +251,6 @@ _R09_WINDOW = (
     "q_text_stats",
     "q_text_token_freq",
     "q_text_tokens_bpe",
-    "q_vec_centroid",
-    "q_vec_quantize",
     "s_dedup_stream",
     "s_late",
     "s_pbf_stream",

@@ -1717,3 +1717,138 @@ def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return m.select(F.inline(triples))
+
+
+# ---------------------------------------------------------------------------
+# deterministic k-per-group sampling (training-data curation primitive)
+# ---------------------------------------------------------------------------
+
+SAMPLE_K = 40  # docs kept per language bucket
+
+
+@query(
+    "q_sample_topk_group",
+    oracle=f"""
+    SELECT lang, doc_id, rn FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 15)) AS BIGINT) ASC,
+                        doc_id ASC) AS rn
+      FROM documents)
+    WHERE rn <= {SAMPLE_K}
+    """,
+    tags=("sample", "window"),
+)
+def q_sample_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-PER-GROUP sampling — the curation primitive
+    q_sample_stratified's rate-based hash filter cannot express ("keep
+    exactly 40 documents per language", a fixed-budget mixture): rank
+    each group by a content-independent deterministic hash of the key
+    and keep the top SAMPLE_K.
+
+    Determinism/exactness: the order key is the first 15 hex digits of
+    md5(doc_id) as a BIGINT — the repo's cross-engine hash recipe
+    (Spark conv(..,16,10) / DuckDB ('0x'||..)::BIGINT, both exact
+    60-bit integers) — with doc_id as the total tie-break, so both
+    engines rank identically and re-runs are idempotent (reservoir
+    sampling is not: its result depends on arrival order, which
+    retries/AQE reshuffle). The hash makes the sample unbiased w.r.t.
+    any data ordering while remaining a PURE FUNCTION of the key set —
+    adding documents never reshuffles which of the survivors' hashes
+    sort first beyond the displaced tail, the property incremental
+    curation needs.
+
+    Plan: ONE shuffle on the group key, and the rn <= K predicate
+    plans a WindowGroupLimit above the sort — each partition prunes to
+    its top K DURING the sort, so the window never materializes a
+    group (the q_merge_upsert top-1 shape generalized to top-K). At
+    100 TB group count is small (languages, sources) — skewed groups
+    are bounded by the group-limit prune, which keeps only K + heap
+    overhead per task.
+    """
+    d = load(spark, sf_dir, "documents")
+    hkey = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("lang").orderBy(hkey.asc(), F.col("doc_id").asc())
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= SAMPLE_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# functional-dependency validation (profiling family: does A determine B?)
+# ---------------------------------------------------------------------------
+
+# candidate FDs over orders: a key-like positive, plus two that real data
+# violates — the profiler must measure, not assume
+_FD_CANDIDATES = (
+    ("o_orderkey->o_custkey", "o_orderkey", "o_custkey"),
+    ("o_custkey->o_orderpriority", "o_custkey", "o_orderpriority"),
+    ("o_orderdate->o_orderstatus", "o_orderdate", "o_orderstatus"),
+)
+
+
+@query(
+    "q_fd_check",
+    oracle="""
+    {}
+    """.format(
+        "\nUNION ALL\n".join(
+            f"""
+    SELECT '{name}' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs,
+           CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST(MAX(k) AS BIGINT) AS max_rhs_per_lhs
+    FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS k
+          FROM orders GROUP BY {lhs})
+    """
+            for name, lhs, rhs in _FD_CANDIDATES
+        )
+    ),
+    tags=("relational", "agg"),
+)
+def q_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency validation — the q_profile-family check a
+    warehouse runs before trusting a column as a key or a dimension
+    attribute ("does A determine B?"): for each candidate FD, the
+    number of LHS groups, how many map to more than one RHS value
+    (violations), and the worst fan-out.
+
+    All-integer statistics (counts only) — trivially exact across
+    engines. Each candidate is an independent column-pruned branch —
+    groupBy(lhs).agg(count_distinct(rhs)) then a 1-row fold — and the
+    branches union; a single-distinct aggregate plans the standard
+    two-phase partial-distinct HashAggregate (no Expand, no
+    SortAggregate — the multi-distinct trap q_profile documented stays
+    avoided because each branch carries exactly ONE distinct). At
+    100 TB each branch shuffles only its (lhs, rhs) distinct pairs
+    with map-side partial dedup — the same bound as exact dedup — and
+    branches run concurrently under one action; FD candidates are a
+    curated profiling config, k branches never k passes over wide rows
+    (two-column pruned scans, parquet columnar).
+    """
+    ords = load(spark, sf_dir, "orders")
+    branches = []
+    for name, lhs, rhs in _FD_CANDIDATES:
+        per_lhs = (
+            ords.select(lhs, rhs)
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("k"))
+        )
+        branches.append(
+            per_lhs.agg(
+                F.lit(name).alias("fd"),
+                F.count("*").alias("n_lhs"),
+                F.count_if(F.col("k") > 1).alias("n_violating"),
+                F.max("k").alias("max_rhs_per_lhs"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out

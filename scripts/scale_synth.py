@@ -30,7 +30,7 @@ DEFAULT_SET = [
     "q_decontaminate", "q_doc_pack", "q_dedup_semantic_scalek",
     "q_er_fuzzy_scaleb", "q_attribution", "q_histogram", "q_skyline",
     "q_trend_ols", "q_resample_interp", "q_twap", "q_corr",
-    "q_text_bm25",
+    "q_text_bm25", "q_sample_topk_group", "q_fd_check",
     # PBF geometry pair: timed against a 10x key-shifted synthetic PBF
     # (build_pbf below) instead of a scaled sf dir
     "q_pbf_way_area", "q_pbf_multipolygon",

@@ -434,3 +434,83 @@ def test_corr_ground_truth_and_plan(spark, duck):
     assert p.count("FileScan") == 1, p
     assert p.count("Exchange hashpartitioning") == 0, p
     assert "SortAggregate" not in p, p
+
+
+def test_sample_topk_group_ground_truth_and_plan(spark, duck):
+    """Ground truth beyond the oracle: recompute the per-language top-K
+    with hashlib md5 (independent of both engines' md5) and require the
+    exact same (lang, doc_id, rn) set; invariants: per-group count =
+    min(K, group size), rn dense from 1, and the sample is a pure
+    function of the key set (re-running yields identical rows). Plan:
+    one lang exchange and a WindowGroupLimit — the rank filter must
+    prune groups during the sort, not window-then-filter."""
+    import hashlib
+
+    from osmpbf_spark.operators.relational import SAMPLE_K
+
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_sample_topk_group")
+    docs = duck.sql("SELECT lang, doc_id FROM documents").df()
+    by_lang = {}
+    for r in docs.itertuples():
+        h = int(
+            hashlib.md5(str(int(r.doc_id)).encode()).hexdigest()[:15], 16
+        )
+        by_lang.setdefault(r.lang, []).append((h, int(r.doc_id)))
+    expect = set()
+    sizes = {}
+    for lang, rows in by_lang.items():
+        rows.sort()
+        sizes[lang] = len(rows)
+        for rn, (_, d) in enumerate(rows[:SAMPLE_K], start=1):
+            expect.add((lang, d, rn))
+    got = {(r.lang, int(r.doc_id), int(r.rn)) for r in pdf.itertuples()}
+    assert got == expect
+    counts = pdf.groupby("lang").size().to_dict()
+    for lang, n in counts.items():
+        assert n == min(SAMPLE_K, sizes[lang])
+
+    from tests.test_plans import plan_of
+
+    p = plan_of(spark, "q_sample_topk_group")
+    assert "WindowGroupLimit" in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_fd_check_ground_truth_and_plan(spark, duck):
+    """Ground truth beyond the oracle: recompute each candidate FD's
+    violation stats with plain Python dictionaries; the key-like
+    positive (o_orderkey -> o_custkey) must hold with zero violations
+    and fan-out exactly 1, and both negatives must actually be violated
+    (the fixture exercises the measuring, not just the passing). Plan:
+    no Expand and no SortAggregate — each branch carries exactly one
+    distinct, avoiding the multi-distinct rewrite q_profile documented."""
+    from osmpbf_spark.operators.relational import _FD_CANDIDATES
+
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_fd_check")
+    got = pdf.set_index("fd")
+    raw = duck.sql(
+        "SELECT o_orderkey, o_custkey, o_orderpriority, o_orderstatus,"
+        " o_orderdate FROM orders"
+    ).df()
+    for name, lhs, rhs in _FD_CANDIDATES:
+        m = {}
+        for a, b in zip(raw[lhs], raw[rhs]):
+            m.setdefault(a, set()).add(b)
+        row = got.loc[name]
+        assert int(row["n_lhs"]) == len(m)
+        assert int(row["n_violating"]) == sum(
+            1 for v in m.values() if len(v) > 1
+        )
+        assert int(row["max_rhs_per_lhs"]) == max(
+            len(v) for v in m.values()
+        )
+    assert int(got.loc["o_orderkey->o_custkey"]["n_violating"]) == 0
+    assert int(got.loc["o_orderkey->o_custkey"]["max_rhs_per_lhs"]) == 1
+    assert int(got.loc["o_custkey->o_orderpriority"]["n_violating"]) > 0
+    assert int(got.loc["o_orderdate->o_orderstatus"]["n_violating"]) > 0
+
+    from tests.test_plans import plan_of
+
+    p = plan_of(spark, "q_fd_check")
+    assert "Expand" not in p, p
+    assert "SortAggregate" not in p, p

@@ -1607,30 +1607,30 @@ _CORR_COLS = (
              SUM(x0*x1) AS p01, SUM(x0*x2) AS p02, SUM(x1*x2) AS p12
       FROM c)
     SELECT 'quantity~extendedprice' AS pair, CAST(n AS BIGINT) AS n,
-           (CAST(n AS DOUBLE) * CAST(p01 AS DOUBLE)
-            - CAST(s0 AS DOUBLE) * CAST(s1 AS DOUBLE))
-           / (sqrt(CAST(n AS DOUBLE) * CAST(q0 AS DOUBLE)
-                   - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
-              * sqrt(CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE)
-                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))) AS corr
+           (CAST(n AS DOUBLE) * CAST(CAST(p01 AS VARCHAR) AS DOUBLE)
+            - CAST(CAST(s0 AS VARCHAR) AS DOUBLE) * CAST(CAST(s1 AS VARCHAR) AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(CAST(q0 AS VARCHAR) AS DOUBLE)
+                   - CAST(CAST(s0 AS VARCHAR) AS DOUBLE) * CAST(CAST(s0 AS VARCHAR) AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(CAST(q1 AS VARCHAR) AS DOUBLE)
+                     - CAST(CAST(s1 AS VARCHAR) AS DOUBLE) * CAST(CAST(s1 AS VARCHAR) AS DOUBLE))) AS corr
     FROM m
     UNION ALL
     SELECT 'quantity~discount', CAST(n AS BIGINT),
-           (CAST(n AS DOUBLE) * CAST(p02 AS DOUBLE)
-            - CAST(s0 AS DOUBLE) * CAST(s2 AS DOUBLE))
-           / (sqrt(CAST(n AS DOUBLE) * CAST(q0 AS DOUBLE)
-                   - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
-              * sqrt(CAST(n AS DOUBLE) * CAST(q2 AS DOUBLE)
-                     - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)))
+           (CAST(n AS DOUBLE) * CAST(CAST(p02 AS VARCHAR) AS DOUBLE)
+            - CAST(CAST(s0 AS VARCHAR) AS DOUBLE) * CAST(CAST(s2 AS VARCHAR) AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(CAST(q0 AS VARCHAR) AS DOUBLE)
+                   - CAST(CAST(s0 AS VARCHAR) AS DOUBLE) * CAST(CAST(s0 AS VARCHAR) AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(CAST(q2 AS VARCHAR) AS DOUBLE)
+                     - CAST(CAST(s2 AS VARCHAR) AS DOUBLE) * CAST(CAST(s2 AS VARCHAR) AS DOUBLE)))
     FROM m
     UNION ALL
     SELECT 'extendedprice~discount', CAST(n AS BIGINT),
-           (CAST(n AS DOUBLE) * CAST(p12 AS DOUBLE)
-            - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
-           / (sqrt(CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE)
-                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-              * sqrt(CAST(n AS DOUBLE) * CAST(q2 AS DOUBLE)
-                     - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)))
+           (CAST(n AS DOUBLE) * CAST(CAST(p12 AS VARCHAR) AS DOUBLE)
+            - CAST(CAST(s1 AS VARCHAR) AS DOUBLE) * CAST(CAST(s2 AS VARCHAR) AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(CAST(q1 AS VARCHAR) AS DOUBLE)
+                   - CAST(CAST(s1 AS VARCHAR) AS DOUBLE) * CAST(CAST(s1 AS VARCHAR) AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(CAST(q2 AS VARCHAR) AS DOUBLE)
+                     - CAST(CAST(s2 AS VARCHAR) AS DOUBLE) * CAST(CAST(s2 AS VARCHAR) AS DOUBLE)))
     FROM m
     """,
     tags=("relational", "agg"),
@@ -1646,8 +1646,15 @@ def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an EXACT WIDE-INTEGER sum — Spark sums the per-row long
     products into DECIMAL(38,0), DuckDB into HUGEINT, because Σprice²
     at sf0.1 is ~6.6e19 and already overflows int64 (per-row products
-    max ~1.1e14, safely long). Both wide-integer sums cast to double
-    CORRECTLY ROUNDED from the same exact integer, after which corr is
+    max ~1.1e14, safely long). Both wide-integer sums must cast to
+    double CORRECTLY ROUNDED from the same exact integer: Spark's
+    DECIMAL cast does (BigInteger.doubleValue), but DuckDB's direct
+    HUGEINT->DOUBLE rounds hi*2^64 and lo SEPARATELY — measured 1 ulp
+    off on the sf0.1 Σprice² (2.224e19), the first >2^63 moment — so
+    the ORACLE routes each moment through CAST(CAST(x AS VARCHAR) AS
+    DOUBLE), whose parse is correctly rounded (probed over 2000 random
+    60-66-bit integers; pinned in pytest on the Spark side too). After
+    the casts, corr is
     one fixed parenthesized IEEE chain — two multiplies, one subtract
     per moment, two correctly-rounded sqrts, one divide — evaluated
     identically by both engines, so the emitted doubles hash-match

@@ -435,6 +435,25 @@ def test_corr_ground_truth_and_plan(spark, duck):
     assert p.count("Exchange hashpartitioning") == 0, p
     assert "SortAggregate" not in p, p
 
+    # the exactness hinge: Spark's DECIMAL(38,0) -> DOUBLE cast must be
+    # CORRECTLY ROUNDED above 2^63 (DuckDB's direct HUGEINT cast is
+    # not — 1 ulp off on the sf0.1 Σprice², which is why the oracle
+    # routes through VARCHAR); probe a spread of wide integers incl.
+    # the exact value that caught it
+    import random
+
+    random.seed(11)
+    probes = [22240711483861231690] + [
+        random.getrandbits(random.randint(60, 66)) for _ in range(40)
+    ]
+    exprs = ", ".join(
+        f"CAST(CAST('{v}' AS DECIMAL(38,0)) AS DOUBLE) AS c{i}"
+        for i, v in enumerate(probes)
+    )
+    row = spark.sql(f"SELECT {exprs}").collect()[0]
+    for i, v in enumerate(probes):
+        assert row[f"c{i}"] == float(v), v
+
 
 def test_sample_topk_group_ground_truth_and_plan(spark, duck):
     """Ground truth beyond the oracle: recompute the per-language top-K

@@ -28,6 +28,12 @@ def duck():
     # dir makes the oracle side degrade to disk, not to a false red.
     con.execute("SET memory_limit='8GB'")
     con.execute("SET temp_directory='/tmp/duckdb_spill_tests'")
+    # r09 full-suite flake: one late-suite oracle died with a 2 KB
+    # 'bad allocation' INSIDE the 8 GB cap while the host had >100 GB
+    # free — 32 default threads each hold buffer headroom against the
+    # cap, so tiny queries can transiently exceed it late in an
+    # 880-test session. The oracles are sub-second at 8 threads.
+    con.execute("SET threads=8")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"

@@ -37,6 +37,18 @@ def _events_schema(spark):
     return load(spark, SF_DIR, "events").schema
 
 
+def _await_done(q, budget_s: int = 360) -> None:
+    """awaitTermination(timeout) RETURNS False on timeout instead of
+    raising, so a slow host turns downstream asserts into confusing
+    empty-frame errors ('No objects to concatenate' — the r09 full-suite
+    flake, host running ~2x slow). Make the timeout itself the assert,
+    with a budget sized for a degraded machine."""
+    assert q.awaitTermination(budget_s), (
+        f"streaming query did not finish within {budget_s}s — "
+        "host overloaded or trigger wedged; not a semantics failure"
+    )
+
+
 def _write_stream_input(spark, path: str):
     """Materialize events (ts already micro-precision) as a stream source."""
     load(spark, SF_DIR, "events").coalesce(1).write.mode("overwrite").parquet(path)
@@ -56,7 +68,7 @@ def test_stream_tumble_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_done(q)
     got = (
         spark.table("tumble_test")
         .toPandas()
@@ -124,7 +136,7 @@ def test_stream_watermark_drops_late(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_done(q)
     allb = pd.concat(seen, ignore_index=True)
     per_window = allb.groupby("ws")["cnt"].max()
     # 6 events written; the late 12:04 must be dropped: 12:00 window stays
@@ -167,7 +179,7 @@ def test_apply_in_pandas_with_state(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_done(q)
     final = (
         pd.concat(seen, ignore_index=True)
         .groupby("user_id")["n_events"]

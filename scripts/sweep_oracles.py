@@ -53,6 +53,11 @@ def main() -> int:
     # has the same guard and the incident note)
     con.execute("SET memory_limit='8GB'")
     con.execute("SET temp_directory='/tmp/duckdb_spill_sweep'")
+    # 32 default threads each hold buffer headroom against the cap and
+    # multiply transient page-provisioning demand on this microVM host
+    # (one mid-sweep 256KB 'bad allocation' with >100GB guest-free,
+    # r09); the oracles are sub-second at 8 threads
+    con.execute("SET threads=8")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM"

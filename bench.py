@@ -84,6 +84,26 @@ def _prior_artifact_times() -> dict[str, float]:
             v = float(m.group(2))
             if v > 0:
                 out[m.group(1)] = v
+        # Tail truncation leaves the FAST queries without a prior — and
+        # therefore without a guard: a sub-0.4s query storming to 2s
+        # stands unchallenged (observed: q_histogram 0.39 -> 2.1 on a
+        # degraded-host run, absent from the r08 tail). Backfill from
+        # the local sidecar written by every bench run (artifact tail
+        # wins where both exist — the artifact is the number of record).
+        try:
+            here = os.path.dirname(os.path.abspath(__file__))
+            sf_dir = os.environ.get(
+                "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+            )
+            msf = re.search(r"sf([0-9.]+)", sf_dir)
+            key = f"sf{msf.group(1)}" if msf else "sf?"
+            with open(os.path.join(here, "BENCH_LOCAL.json")) as fh:
+                local = json.load(fh).get(key, {})
+            for k, v in local.items():
+                if k not in out and isinstance(v, (int, float)) and v > 0:
+                    out[k] = float(v)
+        except Exception:
+            pass
         return out
     except Exception:
         return {}
@@ -244,6 +264,29 @@ def main() -> None:
     # them explicitly at the tail so a broken query is always visible
     result["failed"] = sorted(n for n, t in times.items() if t < 0)
     result["value"] = total
+    # full per-query sidecar for the NEXT run's re-time guard: the
+    # driver's artifact keeps only the stdout tail, so fast queries
+    # would otherwise never have a prior (see _prior_artifact_times);
+    # keep the per-query MIN of the existing sidecar and this run so a
+    # degraded-host run cannot poison the reference
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        side = os.path.join(here, "BENCH_LOCAL.json")
+        key = f"sf{sf}"  # minima are only comparable WITHIN one scale
+        try:
+            with open(side) as fh:
+                doc = json.load(fh)
+        except Exception:
+            doc = {}
+        best = dict(times)
+        for k, v in doc.get(key, {}).items():
+            if isinstance(v, (int, float)) and v > 0:
+                best[k] = min(best[k], v) if best.get(k, -1) > 0 else v
+        doc[key] = best
+        with open(side, "w") as fh:
+            json.dump(doc, fh)
+    except Exception:
+        pass
     print(json.dumps(result))
     spark.stop()
 

@@ -40,6 +40,9 @@ BLOB_RAW = 1
 BLOB_RAW_SIZE = 2
 BLOB_ZLIB = 3
 BLOB_LZMA = 4
+BLOB_OBSOLETE_BZIP2 = 5  # deprecated in fileformat.proto; rejected explicitly
+BLOB_LZ4 = 6  # LZ4 block format (no frame header -> raw_size is REQUIRED)
+BLOB_ZSTD = 7  # zstd frame
 
 # osmformat.proto field numbers
 PB_STRINGTABLE = 1
@@ -268,8 +271,19 @@ def read_block_payload(f, meta: BlockMeta, zlib_only: bool = False) -> bytes:
     """Read + decompress one Blob into its raw payload bytes.
 
     Replaces OsmPbfRecordReader.java:153-185; we additionally accept raw
-    (uncompressed) blobs, which the reference rejects (§1.4.6) —
-    ``zlib_only`` restores the reference's rejection for bug-parity runs.
+    (uncompressed), lzma, lz4 and zstd blobs, all of which the reference
+    rejects (OsmPbfRecordReader.java:180-181 accepts only zlib) — newer
+    osmium tooling can emit lz4/zstd planet extracts (fileformat.proto
+    fields 6/7), so out-paritying the reference here matters on real
+    files. ``zlib_only`` restores the reference's rejection for
+    bug-parity runs.
+
+    lz4 blobs are LZ4 *block* format (per the spec) and zstd decompression
+    here also sizes its output buffer up front, so both REQUIRE the blob's
+    ``raw_size`` field — the spec mandates it on every compressed blob and
+    osmium always writes it; a blob missing it fails loudly rather than
+    guessing a buffer size. Codecs come from pyarrow (bundled C++
+    lz4/zstd), keeping the container dependency-free.
     """
     f.seek(meta.data_offset)
     blob = f.read(meta.data_size)
@@ -277,6 +291,8 @@ def read_block_payload(f, meta: BlockMeta, zlib_only: bool = False) -> bytes:
     raw_size = None
     zlib_data = None
     lzma_data = None
+    lz4_data = None
+    zstd_data = None
     for field, _wt, v in wire.scan_fields(blob):
         if field == BLOB_RAW:
             raw = v
@@ -286,10 +302,14 @@ def read_block_payload(f, meta: BlockMeta, zlib_only: bool = False) -> bytes:
             zlib_data = v
         elif field == BLOB_LZMA:
             lzma_data = v
+        elif field == BLOB_LZ4:
+            lz4_data = v
+        elif field == BLOB_ZSTD:
+            zstd_data = v
         else:
             raise ValueError(
                 f"unsupported blob compression (field {field}); "
-                "raw, zlib and lzma are implemented"
+                "raw, zlib, lzma, lz4 and zstd are implemented"
             )
     if zlib_only and zlib_data is None:
         # compat §1.4.6: the reference accepts only zlib blobs
@@ -304,6 +324,19 @@ def read_block_payload(f, meta: BlockMeta, zlib_only: bool = False) -> bytes:
         import lzma
 
         out = lzma.decompress(lzma_data)
+    elif lz4_data is not None or zstd_data is not None:
+        import pyarrow as pa
+
+        name = "lz4_raw" if lz4_data is not None else "zstd"
+        data = lz4_data if lz4_data is not None else zstd_data
+        if raw_size is None:
+            raise ValueError(
+                f"{name} blob without raw_size — the spec requires "
+                "raw_size on compressed blobs; cannot size the output"
+            )
+        out = pa.Codec(name).decompress(
+            data, decompressed_size=raw_size, asbytes=True
+        )
     if out is not None:
         if raw_size is not None and len(out) != raw_size:
             raise ValueError(f"blob raw_size {raw_size} != inflated {len(out)}")

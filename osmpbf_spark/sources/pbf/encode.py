@@ -171,12 +171,24 @@ def _encode_relation(rid: int, members, tags, st: _StringTable, meta=None) -> by
 def _file_block(
     block_type: str, payload: bytes, compress, indexdata: bytes = b""
 ) -> bytes:
-    """``compress``: True/"zlib", "lzma", or False/None for raw."""
+    """``compress``: True/"zlib", "lzma", "lz4", "zstd", or False/None
+    for raw. lz4 is LZ4 *block* format and zstd a zstd frame, matching
+    fileformat.proto fields 6/7 (codecs via pyarrow's bundled C++ libs);
+    raw_size (field 2) is always written for compressed blobs, which the
+    lz4/zstd decode path requires."""
     if compress == "lzma":
         import lzma
 
         blob = field_varint(2, len(payload)) + field_len(
             4, lzma.compress(payload)
+        )
+    elif compress in ("lz4", "zstd"):
+        import pyarrow as pa
+
+        codec = pa.Codec("lz4_raw" if compress == "lz4" else "zstd")
+        fld = 6 if compress == "lz4" else 7
+        blob = field_varint(2, len(payload)) + field_len(
+            fld, codec.compress(payload, asbytes=True)
         )
     elif compress:
         blob = field_varint(2, len(payload)) + field_len(3, zlib.compress(payload))
@@ -316,7 +328,7 @@ def write_pbf(
     path: str,
     blocks: list[dict],
     granularity: int = 100,
-    compress=True,  # True/"zlib" | "lzma" | False (raw)
+    compress=True,  # True/"zlib" | "lzma" | "lz4" | "zstd" | False (raw)
     bbox="auto",  # "auto" (tight box over nodes) | dict | None
 ) -> None:
     """Write a PBF file.

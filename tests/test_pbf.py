@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 
 from osmpbf_spark.catalog import REGISTRY, all_queries
-from osmpbf_spark.sources.pbf import decode, encode, fixture
+from osmpbf_spark.sources.pbf import decode, encode, fixture, wire
 from tests.conftest import SF_DIR
 from tests.parity import check_query
 
@@ -176,11 +176,12 @@ def test_dense_info_meta_roundtrip(spark, tmp_path):
     assert (rows[1].meta.timestamp - rows[0].meta.timestamp).seconds == 60
 
 
-@pytest.mark.parametrize("compress", [False, True, "lzma"])
+@pytest.mark.parametrize("compress", [False, True, "lzma", "lz4", "zstd"])
 def test_blob_compression_variants(tmp_path, compress):
-    """Raw, zlib, and lzma blobs all decode — the reference accepts only
-    zlib and raises on everything else (OsmPbfRecordReader.java:180-181,
-    §1.4.6)."""
+    """Raw, zlib, lzma, lz4 and zstd blobs all decode — the reference
+    accepts only zlib and raises on everything else
+    (OsmPbfRecordReader.java:180-181, §1.4.6); lz4/zstd are
+    fileformat.proto fields 6/7, which newer osmium planet extracts use."""
     path = str(tmp_path / f"c_{compress}.pbf")
     encode.write_pbf(
         path,
@@ -189,6 +190,69 @@ def test_blob_compression_variants(tmp_path, compress):
     )
     _idx, nodes, _w, _r = _decode_all(path)
     assert nodes[0]["id"].tolist() == [1]
+
+
+@pytest.mark.parametrize(("compress", "blob_field"), [("lz4", 6), ("zstd", 7)])
+def test_lz4_zstd_blob_roundtrip(tmp_path, compress, blob_field):
+    """lz4/zstd files carry the right Blob wire field (not a silent zlib
+    fallback), decode identically to the zlib encoding of the same data,
+    and a compressed blob stripped of raw_size fails loudly (the spec
+    requires raw_size on compressed blobs; lz4 block format cannot size
+    its output without it)."""
+    blocks = [
+        {
+            "nodes": {
+                "id": [10, 25, 26],
+                "lat_nano": [515_000_000_000, -12_250_000_000, 0],
+                "lon_nano": [-1_791_234_500, 8_000_000_000, 0],
+                "tags": [{"amenity": "pub", "name": "zü"}, None, {"k": "v"}],
+            },
+            "ways": [{"id": 7, "refs": [10, 25, 26], "tags": {"highway": "x"}}],
+        }
+    ]
+    p = str(tmp_path / f"codec_{compress}.pbf")
+    pz = str(tmp_path / "codec_zlib.pbf")
+    encode.write_pbf(p, blocks, compress=compress)
+    encode.write_pbf(pz, blocks, compress=True)
+
+    # (a) the Blob really uses field 6/7 — and carries raw_size (field 2)
+    meta = next(
+        b for b in decode.index_blocks(p) if b.block_type == "OSMData"
+    )
+    with open(p, "rb") as f:
+        f.seek(meta.data_offset)
+        blob = f.read(meta.data_size)
+    fields = {fld for fld, _wt, _v in wire.scan_fields(blob)}
+    assert blob_field in fields and decode.BLOB_RAW_SIZE in fields
+    assert decode.BLOB_ZLIB not in fields
+
+    # (b) decodes to exactly what the zlib file decodes to
+    _i1, nodes, ways, _r1 = _decode_all(p)
+    _i2, nodes_z, ways_z, _r2 = _decode_all(pz)
+    assert nodes[0]["id"].tolist() == nodes_z[0]["id"].tolist() == [10, 25, 26]
+    assert nodes[0]["lat"].tolist() == nodes_z[0]["lat"].tolist()
+    assert list(nodes[0]["tag_keys"]) == list(nodes_z[0]["tag_keys"])
+    assert list(nodes[0]["tag_vals"]) == list(nodes_z[0]["tag_vals"])
+    assert ways[0]["ref_values"].tolist() == ways_z[0]["ref_values"].tolist()
+
+    # (c) raw_size stripped -> loud failure, not a guessed buffer
+    stripped = b"".join(
+        wire.field_len(fld, v) if isinstance(v, bytes) else b""
+        for fld, _wt, v in wire.scan_fields(blob)
+        if fld != decode.BLOB_RAW_SIZE
+    )
+    p_bad = str(tmp_path / f"codec_{compress}_bad.pbf")
+    with open(p_bad, "wb") as f:
+        import struct as _struct
+
+        header = wire.field_len(1, b"OSMData") + wire.field_varint(
+            3, len(stripped)
+        )
+        f.write(_struct.pack(">i", len(header)) + header + stripped)
+    bad_meta = decode.index_blocks(p_bad)[0]
+    with open(p_bad, "rb") as f:
+        with pytest.raises(ValueError, match="raw_size"):
+            decode.read_block_payload(f, bad_meta)
 
 
 def test_resync_scan_recovers_after_corruption(fixture_dir, tmp_path):

@@ -44,6 +44,46 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _host_sample() -> dict | None:
+    """Snapshot /proc/loadavg + the aggregate /proc/stat cpu line.
+
+    The r08/r09 artifacts showed a uniform 1.2-2x inflation across the
+    sub-second tail on some runs that same-code re-runs attributed to
+    host contention — but the artifact of record carried no evidence
+    either way. Sampling before and after the suite turns that narrative
+    into a measurement: the end-to-end iowait/steal/busy fractions ride
+    the artifact tail, so a degraded-host run is self-identifying."""
+    try:
+        with open("/proc/loadavg") as fh:
+            la = [float(x) for x in fh.read().split()[:3]]
+        with open("/proc/stat") as fh:
+            cpu = [int(x) for x in fh.readline().split()[1:]]
+        return {"loadavg": la, "cpu": cpu}
+    except Exception:
+        return None
+
+
+def _host_delta(start: dict | None, end: dict | None) -> dict | None:
+    """Fold two _host_sample snapshots into run-window fractions.
+
+    /proc/stat fields: user nice system idle iowait irq softirq steal.
+    Fractions are of TOTAL cpu-time across all cores for the run window,
+    so busy_frac ~ suite parallelism / ncpu and iowait_frac/steal_frac
+    near zero on a quiet host; iowait_frac > ~0.05 or loadavg far above
+    the suite's own footprint marks a contended run."""
+    if not start or not end:
+        return None
+    d = [e - s for s, e in zip(start["cpu"], end["cpu"])]
+    total = sum(d[:8]) or 1
+    return {
+        "loadavg_start": start["loadavg"],
+        "loadavg_end": end["loadavg"],
+        "busy_frac": round(1.0 - (d[3] + d[4]) / total, 4),
+        "iowait_frac": round(d[4] / total, 4),
+        "steal_frac": round((d[7] if len(d) > 7 else 0) / total, 4),
+    }
+
+
 def _prior_artifact_times() -> dict[str, float]:
     """Per-query times from the newest BENCH_r{N}.json in the repo root —
     the vs-prior-artifact re-time guard's reference. Round-to-round
@@ -113,6 +153,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # the sidecar key is the RAW regex string ("sf1", not f"sf{1.0}") so
+    # writer and reader derive it identically at integer scale factors
+    sf_key = f"sf{m.group(1)}" if m else "sf?"
+
+    host_start = _host_sample()
 
     from osmpbf_spark.session import get_spark
 
@@ -263,6 +308,12 @@ def main() -> None:
     # driver's last-2000-chars tail capture would hide them — restate
     # them explicitly at the tail so a broken query is always visible
     result["failed"] = sorted(n for n, t in times.items() if t < 0)
+    # host telemetry rides the tail so every artifact self-evidences
+    # whether the run was quiet (r09 verdict Next #1: variance must be
+    # measured, not narrated)
+    host = _host_delta(host_start, _host_sample())
+    if host is not None:
+        result["host"] = host
     result["value"] = total
     # full per-query sidecar for the NEXT run's re-time guard: the
     # driver's artifact keeps only the stdout tail, so fast queries
@@ -272,17 +323,29 @@ def main() -> None:
     try:
         here = os.path.dirname(os.path.abspath(__file__))
         side = os.path.join(here, "BENCH_LOCAL.json")
-        key = f"sf{sf}"  # minima are only comparable WITHIN one scale
+        # minima are only comparable WITHIN one scale; sf_key is the raw
+        # regex string so this matches _prior_artifact_times' read key at
+        # integer scale factors too ("sf1", not f"sf{1.0}")
         try:
             with open(side) as fh:
                 doc = json.load(fh)
         except Exception:
             doc = {}
         best = dict(times)
-        for k, v in doc.get(key, {}).items():
-            if isinstance(v, (int, float)) and v > 0:
-                best[k] = min(best[k], v) if best.get(k, -1) > 0 else v
-        doc[key] = best
+        for k, v in doc.get(sf_key, {}).items():
+            if not (isinstance(v, (int, float)) and v > 0):
+                continue
+            if best.get(k, -1) <= 0:
+                best[k] = v
+            elif best[k] >= v:
+                # AGED min, not all-time min: decay a stored minimum the
+                # current run can't reproduce by 5% per run, so a
+                # lucky-outlier min (or an honestly regressed new steady
+                # state) stops triggering the two extra re-times after a
+                # few runs instead of forever; a run that beats the
+                # stored min keeps its own faster time (ratchet down)
+                best[k] = round(min(best[k], v * 1.05), 4)
+        doc[sf_key] = best
         with open(side, "w") as fh:
             json.dump(doc, fh)
     except Exception:

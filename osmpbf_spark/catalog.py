@@ -178,93 +178,84 @@ def all_oracles() -> dict[str, str]:
     return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
 
 
-# Round-9 rotation for the driver's 50-query correctness window (the
+# Round-10 rotation for the driver's 50-query correctness window (the
 # driver checks only the FIRST 50 registered queries each round; with
 # len(REGISTRY) registered, ordering decides what gets a fresh hard
-# row). Composition, per the r08 verdict's Next #1:
+# row). Composition, per the r09 verdict's Next #2:
 #
-#   1. The six operators registered in r08 AFTER that window froze
-#      (q_histogram, q_skyline, q_trend_ols, q_pbf_way_area,
-#      q_resample_interp, q_attribution — judge-sweep green, zero
-#      driver rows) plus the two tier-4 entries the late BPE swap
-#      displaced (q_window_ntile, q_approx_percentile). These are the
-#      ONLY registered queries without fresh-enough driver rows.
-#   2. Queries whose CODE/plan changes in r09: q_profile,
-#      q_dedup_passage (verdict Next #2/#3 perf work) — changed plans
-#      need fresh driver rows, not just local sweeps. New r09
-#      registrations also join this tier (displacing from the END of
-#      tier 3, youngest-value first).
-#   3. The remaining oldest rows: q_dedup_near (r05, rows-only by
-#      design — the registry's single oldest row) and the 39 r06
-#      greens not already in tier 1. The 45 r07 greens and 50 r08
-#      greens carry rows <= 2 rounds old and stay in the every-CI
-#      pytest/sweep coverage.
-_R09_WINDOW = (
-    # 1: the r08 late registrations + the two displaced tier-4 entries
-    "q_histogram",
-    "q_skyline",
-    "q_trend_ols",
-    "q_pbf_way_area",
-    "q_resample_interp",
-    "q_attribution",
-    "q_window_ntile",
-    "q_approx_percentile",
-    # 2: r09-changed plans and new r09 registrations
-    "q_profile",
+#   1. The six r06-stamped queries — the registry's oldest driver rows
+#      (judge re-swept all six green in the r09 session; this tier is
+#      stamp freshness, not suspicion).
+#   2. Queries whose CODE changes in r10: q_dedup_passage (pack-bound
+#      guard, ADVICE r09) and q_pbf_roundtrip (encode/decode gained
+#      lz4/zstd branches — the registered zlib path is bit-identical,
+#      fronted as insurance). New r10 registrations join this tier.
+#   3. The oldest remaining rows: 42 of the 45 r07 greens. Deferred to
+#      r11 (the window holds 50): q_pbf_way_geom / q_pbf_zorder /
+#      q_pbf_tag_filter (the PBF family carries 17 fresh r09 stamps and
+#      all three keep dedicated pytest parity). The r08 greens carry
+#      rows 2 rounds old and stay in the every-CI pytest/sweep coverage.
+_R10_WINDOW = (
+    # 1: the six r06-stamped rows (verdict r09 Next #2)
+    "u_udf",
+    "u_udaf",
+    "u_udtf",
+    "q_vec_centroid",
+    "q_vec_quantize",
+    "q_bpe_merge_count",
+    # 2: r10-changed code
     "q_dedup_passage",
-    "q_pbf_multipolygon",  # new r09 (displaces u_udtf, the youngest
-    # tier-3 slot: its r06 row stays the freshest of the displaced
-    # candidates and the UDTF path keeps its dedicated pytest parity)
-    "q_twap",       # new r09 (displaces u_udaf — same reasoning as u_udtf)
-    "q_corr",       # new r09 (displaces u_udf — same reasoning)
-    "q_text_bm25",  # new r09 (displaces q_bpe_merge_count: its r08-stamped
-    # siblings q_bpe_train/encode cover the BPE path and it keeps CI parity)
-    "q_sample_topk_group",  # new r09 (displaces q_vec_centroid)
-    "q_fd_check",           # new r09 (displaces q_vec_quantize; both
-    # displaced keep every-CI pytest parity and have in-window
-    # q_sim_search* siblings exercising the same embedding pipeline)
-    # 3: oldest remaining rows (r05 + r06)
-    "q_dedup_near",
-    "q_dedup_semantic",
-    "q_dedup_semantic_scalek",
-    "q_dedup_simhash",
-    "q_inverted_index",
-    "q_mix_sources",
-    "q_pbf_changesets",
-    "q_pbf_compat_pig",
-    "q_pbf_grid_agg",
-    "q_pbf_join_way_nodes",
-    "q_pbf_meta",
-    "q_pbf_node_tags",
-    "q_pbf_pushdown",
-    "q_pbf_relations",
     "q_pbf_roundtrip",
-    "q_pbf_scan_nodes",
-    "q_pbf_ways_bag",
-    "q_sim_search",
-    "q_sim_search_ivf",
-    "q_sim_search_lsh",
-    "q_text_fingerprint",
-    "q_text_lang",
-    "q_text_quality",
-    "q_text_repetition",
-    "q_text_stats",
-    "q_text_token_freq",
-    "q_text_tokens_bpe",
-    "s_dedup_stream",
-    "s_late",
-    "s_pbf_stream",
-    "s_session",
-    "s_slide",
-    "s_time_rollup",
-    "s_tumble",
+    # 3: oldest remaining rows (r07), minus the three deferrals above
+    "q_scd2",
+    "q_multimodal_resize",
+    "q_rollup_cascade",
+    "q_dedup_incremental",
+    "q_dedup_url",
+    "q_er_fuzzy",
+    "q_scan_project",
+    "q_filter_pred",
+    "q_agg_basic",
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_approx_cd",
+    "q_having",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_range",
+    "q_join_skew_salt",
+    "q_pivot",
+    "q_unpivot",
+    "q_lateral_topk",
+    "q_percentile",
+    "q_asof_join",
+    "q_sample_stratified",
+    "q_window_lead_lag",
+    "q_sort_limit",
+    "q_set_union",
+    "q_set_intersect",
+    "q_window_rank",
+    "q_window_dist",
+    "q_window_frame",
+    "q_str_funcs",
+    "q_map_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_case_null",
+    "q_json_funcs",
+    "q_subq_scalar",
+    "q_subq_in",
+    "q_corpus_mix",
 )
 
-_R09_RANK = {n: i for i, n in enumerate(_R09_WINDOW)}
+_R10_RANK = {n: i for i, n in enumerate(_R10_WINDOW)}
 
 
 def _window_tier(name: str) -> int:
-    return _R09_RANK.get(name, len(_R09_WINDOW))
+    return _R10_RANK.get(name, len(_R10_WINDOW))
 
 
 def _import_all() -> None:
@@ -290,7 +281,7 @@ def _import_all() -> None:
     # The sweep CLI has the same guard for argv names
     # (scripts/sweep_oracles.py) — the window, which the driver actually
     # consumes, must fail just as loudly.
-    phantom = [n for n in _R09_WINDOW if n not in REGISTRY]
+    phantom = [n for n in _R10_WINDOW if n not in REGISTRY]
     if phantom:
         raise RuntimeError(
             f"correctness-window names not in REGISTRY: {phantom} — "

@@ -74,19 +74,19 @@ def test_correctness_window_names_all_registered():
     current window is clean, since all_queries() runs it)."""
     import osmpbf_spark.catalog as cat
 
-    assert set(cat._R09_WINDOW) <= set(cat.all_queries())  # clean window
-    assert len(cat._R09_WINDOW) == 50  # the driver checks exactly 50
+    assert set(cat._R10_WINDOW) <= set(cat.all_queries())  # clean window
+    assert len(cat._R10_WINDOW) == 50  # the driver checks exactly 50
     import pytest
 
     # the guard must FAIL LOUDLY on a bogus name, not sort it quietly
-    bogus = cat._R09_WINDOW + ("q_this_query_does_not_exist",)
-    orig = cat._R09_WINDOW
+    bogus = cat._R10_WINDOW + ("q_this_query_does_not_exist",)
+    orig = cat._R10_WINDOW
     try:
-        cat._R09_WINDOW = bogus
+        cat._R10_WINDOW = bogus
         with pytest.raises(RuntimeError, match="not in REGISTRY"):
             cat._import_all()
     finally:
-        cat._R09_WINDOW = orig
+        cat._R10_WINDOW = orig
 
 
 TZ_SCRIPT = """

@@ -525,3 +525,28 @@ def test_dedup_passage_property_arbitrary_corpus(spark):
         assert got == expect
 
     check()
+
+
+def test_dedup_passage_pack_bound_guard(spark):
+    """The packed (doc_id, chunk) order key requires 0 <= doc_id < 2^43 —
+    a violating doc_id must fail LOUDLY (raise_error in the plan), never
+    silently corrupt the first-occurrence decision (r09 advice). The
+    guard must fire even when the violating doc is fully duplicated
+    elsewhere (zero kept passages, so it never reaches the reassembly
+    join — the decision-branch filter is what evaluates it)."""
+    import tempfile
+
+    from osmpbf_spark.operators.dedup import q_dedup_passage
+
+    rows = [
+        (0, "a b c d e f g h", "en", "src0", 15),
+        (-7, "a b c d e f g h", "en", "src0", 15),  # duplicate + bad id
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        with pytest.raises(Exception, match="pack bounds violated"):
+            q_dedup_passage(spark, td).collect()

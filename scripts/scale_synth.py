@@ -96,8 +96,13 @@ def build_pbf() -> str:
             if cur is None or cur["id"] != r.rel_id + s:
                 cur = {"id": r.rel_id + s, "members": [], "tags": {}}
                 rels.append(cur)
-            cur["members"].append((r.role, int(r.ref) + s, 
-                                   1 if r.type == "way" else 0))
+            # all three member types (r09 advice: a way-else-node map
+            # wrote relation-type members as node members in the 10x
+            # fixture, skewing its relation structure)
+            cur["members"].append(
+                (r.role, int(r.ref) + s,
+                 {"node": 0, "way": 1, "relation": 2}[r.type])
+            )
         blocks.append(
             {
                 "ways": [

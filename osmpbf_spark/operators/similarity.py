@@ -643,7 +643,16 @@ def _semantic_oracle() -> str:
     """
 
 
-@query("q_dedup_semantic", oracle=_semantic_oracle(), tags=("dedup", "sim"))
+@query(
+    "q_dedup_semantic",
+    oracle=_semantic_oracle(),
+    tags=("dedup", "sim"),
+    fixture=True,  # r10: deregistered from the driver/bench surface —
+    # the fixed-k form is quadratic by construction (48.7x wall at 10x
+    # data) and exists only as the pure-SQL-oracle anchor for
+    # q_dedup_semantic_scalek's fixture-equivalence test; CI parity via
+    # tests/test_similarity.py stays full-strength
+)
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
     every embedding to a coarse cluster cell, then prune within-cell

@@ -21,10 +21,15 @@ BANNED = ("HUGEINT", "INT128")
 
 
 def _oracle_items():
+    from osmpbf_spark.catalog import FIXTURES
     from osmpbf_spark.sources.pbf.fixture import ensure_fixture
 
     ensure_fixture()  # pbf oracles read the fixture parquet images
-    return sorted(all_oracles().items())
+    items = dict(all_oracles())  # also populates FIXTURES via import
+    items.update(
+        {n: q.oracle for n, q in FIXTURES.items() if q.oracle is not None}
+    )
+    return sorted(items.items())
 
 
 _ITEMS = _oracle_items()

@@ -9,14 +9,14 @@ from __future__ import annotations
 
 import pytest
 
-from osmpbf_spark.catalog import REGISTRY, all_queries
+from osmpbf_spark.catalog import FIXTURES, REGISTRY, all_queries
 from tests.conftest import SF_DIR
 
 all_queries()
 
 
 def plan_of(spark, name: str) -> str:
-    df = REGISTRY[name].fn(spark, SF_DIR)
+    df = (REGISTRY.get(name) or FIXTURES[name]).fn(spark, SF_DIR)
     return df._jdf.queryExecution().executedPlan().toString()
 
 

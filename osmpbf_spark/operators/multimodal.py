@@ -40,7 +40,15 @@ FEATURE_SCHEMA = (
 
 def _decode_media(payload: bytes, media_type: str) -> dict:
     """Decode stub. Real decoders are not available in this environment;
-    the fallback is deterministic so results stay oracle-checkable."""
+    the fallback is deterministic so results stay oracle-checkable.
+
+    Environment re-checked r10 (2026-08-15): PIL/ffmpeg still absent
+    (``import PIL`` -> ModuleNotFoundError; no pip allowed), so the
+    JPEG/MP3/video stubs stand. Formats parsable with stdlib+numpy are
+    decoded for REAL in q_multimodal_decode (PNG incl. CRC + all five
+    scanline filters, PPM, WAV — see _png_decode and friends below);
+    this stub covers only the codec formats that genuinely need
+    external libraries."""
     try:  # pragma: no cover - libs absent in this container
         if media_type == "image":
             import PIL.Image  # noqa: F401

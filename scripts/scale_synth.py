@@ -1,12 +1,19 @@
-"""Reproduce the SURVEY §8 10x scaling measurement.
+"""Reproduce the SURVEY §8 10x / 100x scaling measurements.
 
-Builds /tmp/sf_synth_1 — a 10x key-shifted copy of the sf0.1 testdata
-with perturbed payloads (document text gets a per-copy suffix, embedding
-vectors a per-copy epsilon) so dedup/LSH bucket density stays realistic
-instead of every row having 10 identical clones — then times a query set
-at both scales and prints the wall-clock ratios.
+Builds /tmp/sf_synth_1 (10x) or /tmp/sf_synth_100 (100x) — a K-times
+key-shifted copy of the sf0.1 testdata with perturbed payloads (document
+text gets a per-copy suffix, embedding vectors a per-copy epsilon) so
+dedup/LSH bucket density stays realistic instead of every row having K
+identical clones — then times a query set at both scales and prints the
+wall-clock ratios.
 
-Usage:  python scripts/scale_synth.py [query ...]
+Usage:  python scripts/scale_synth.py [--k 100] [query ...]
+
+At --k 100 the timing protocol drops to 1 warmup + min-of-2 (queries run
+tens of seconds; the floor the 3-run protocol guards against is noise
+there) and the PBF pair is skipped with a notice (the synthetic PBF
+builder is 10x-specific; scan throughput has bench.py's dedicated
+steady-state block).
 """
 
 from __future__ import annotations
@@ -17,17 +24,26 @@ import sys
 import time
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = "/tmp/sf_synth_1"
 # bump when build() changes what it writes (v4: part copies carry ALL
 # source columns — v3 silently projected p_mfgr/p_container/p_comment away)
 _MARKER = "_built_v4"
 K = 10
+OUT = "/tmp/sf_synth_1"  # the K=10 dir keeps its historical name
+
+
+def _configure(k: int) -> None:
+    """Set the module-level scale knobs for a non-default K."""
+    global K, OUT
+    K = k
+    if k != 10:
+        OUT = f"/tmp/sf_synth_{k}"
 
 DEFAULT_SET = [
     "q_agg_basic", "q_join_inner", "q_grid_agg", "q_join_5way",
     "q_dedup_exact", "q_dedup_minhash", "q_text_rarity", "q_scd2",
     "q_anomaly_zscore", "q_cluster_kmeans", "q_sim_search_lsh",
-    "q_decontaminate", "q_doc_pack", "q_dedup_semantic_scalek",
+    "q_decontaminate", "q_doc_pack", "q_dedup_passage",
+    "q_dedup_semantic_scalek",
     "q_er_fuzzy_scaleb", "q_attribution", "q_histogram", "q_skyline",
     "q_trend_ols", "q_resample_interp", "q_twap", "q_corr",
     "q_text_bm25", "q_sample_topk_group", "q_fd_check",
@@ -187,6 +203,10 @@ def build() -> None:
 
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    args = sys.argv[1:]
+    if args[:1] == ["--k"]:
+        _configure(int(args[1]))
+        args = args[2:]
     if not os.path.exists(f"{OUT}/{_MARKER}"):
         shutil.rmtree(OUT, ignore_errors=True)  # stale/partial build
         build()
@@ -198,14 +218,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
+    # at 100x, queries run tens of seconds — 1 warmup + min-of-2 keeps
+    # the sweep under control and the floor is noise at that magnitude
+    warmups, timed_runs = (2, 3) if K <= 10 else (1, 2)
+
     def mat(df):
         df.write.format("noop").mode("overwrite").save()
 
     def t_of(q: str, sf_dir: str) -> float:
-        for _ in range(2):
+        for _ in range(warmups):
             mat(qs[q](spark, sf_dir))
         ts = []
-        for _ in range(3):
+        for _ in range(timed_runs):
             t0 = time.perf_counter()
             mat(qs[q](spark, sf_dir))
             ts.append(time.perf_counter() - t0)
@@ -230,14 +254,19 @@ def main() -> None:
             pq._PBF = old
             pq._DECODED_CACHE.clear()
 
-    names = sys.argv[1:] or DEFAULT_SET
+    names = args or DEFAULT_SET
     for q in names:
         if q in PBF_SET:
+            if K != 10:
+                print(f"{q}: SKIPPED at {K}x (synthetic PBF builder is "
+                      f"10x-specific; scan rate has bench.py's "
+                      f"steady_state_20m block)")
+                continue
             p10 = build_pbf()
             a, b = t_of_pbf(q, None), t_of_pbf(q, p10)
         else:
             a, b = t_of(q, SRC), t_of(q, OUT)
-        print(f"{q}: sf0.1={a}s 10x={b}s ratio={round(b / a, 2)}")
+        print(f"{q}: sf0.1={a}s {K}x={b}s ratio={round(b / a, 2)}")
     spark.stop()
 
 

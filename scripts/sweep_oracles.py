@@ -65,6 +65,15 @@ def main() -> int:
         )
 
     qs, oracles = all_queries(), all_oracles()
+    # the CI-only FIXTURES tier (e.g. fixed-k q_dedup_semantic) keeps its
+    # oracle parity gate here too — excluded from driver/bench surfaces,
+    # not from validation
+    from osmpbf_spark.catalog import FIXTURES
+
+    for n, q in FIXTURES.items():
+        qs.setdefault(n, q.fn)
+        if q.oracle is not None:
+            oracles.setdefault(n, q.oracle)
     unknown = only - set(qs)
     if unknown:
         # fail loudly: a typo'd name silently running nothing would make

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import IntegerType
 
-from osmpbf_spark.catalog import load, query
+from osmpbf_spark.catalog import fanout, load, query
 
 DIM = 64
 N_QUERIES = 5
@@ -900,62 +900,95 @@ def q_dedup_semantic_scalek(spark: SparkSession, sf_dir: str) -> DataFrame:
     with cid tie-break at both levels, unrounded cosine filter,
     deterministic lowest-id witness — full value oracle for an IVF-style
     method. scripts/scale_synth.py carries this query in its default
-    10x measurement set."""
+    10x measurement set.
+
+    r10 rewrite — assignment moved from Catalyst HOF lambdas into the
+    prune stage's exact-chain numpy style: the first 100x scale smoke
+    measured the HOF form at 273x wall on 100x data, because the
+    per-row fine scan (zip_with+aggregate, INTERPRETED per element) does
+    n·k/SEM_K lambda distance folds — an O(n²/const) term with a huge
+    constant. Now the k seed vectors collect to the driver ONCE (the
+    IVF-codebook bound: the previous plan already required the same k
+    rows to fit one broadcast row; production codebooks are 1e5-1e6
+    centroids — parameter-server scale, the q_bpe_train
+    vocabulary-bound precedent) and both argmin levels run as
+    dimension-ordered numpy inside mapInPandas — acc += (x_d - y_d)²
+    with d ascending, the oracle's exact left-to-right f64 chain, ties
+    resolved by argmin-first-occurrence over cid-ascending seed rows =
+    the oracle's ORDER BY dist, cid. Vectors routed to a coarse cell
+    with no fine seeds drop inside the UDF (the oracle's NULL-fine-cell
+    inner-join drop). Re-measured after the rewrite: 100x ratio 273 ->
+    ~8 (see SURVEY §8 round-10 table); same oracle, hash-identical.
+    """
+    import numpy as np
+
     emb = load(spark, sf_dir, "embeddings")
-    coarse = (
-        emb.filter(F.col("vec_id") < SEM_K)
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.expr("transform(embedding, x -> double(x))").alias("ce"),
-        )
-        .agg(F.collect_list(F.struct("cid", "ce")).alias("ccl"))
-    )
-    kf = emb.agg(
+    # ONE collect action: k = max(SEM_K, n/SEM_CELL_TARGET) rides the
+    # same job as the seed fetch via a broadcast scalar (a separate
+    # count() + collect() paid two ~0.2s action floors at bench scale)
+    kdf = emb.agg(
         F.greatest(
             F.lit(SEM_K).cast("long"),
             F.floor(F.count("*") / SEM_CELL_TARGET).cast("long"),
         ).alias("k")
     )
-    best_coarse = (
-        "array_min(transform(ccl, c -> struct("
-        "aggregate(zip_with(embedding, c.ce, "
-        "(x, y) -> (double(x) - double(y)) * (double(x) - double(y))), "
-        "0D, (acc, v) -> acc + v) AS dist, c.cid AS cid))).cid"
-    )
-    # fine seeds routed to their coarse cell, collapsed to one broadcast
-    # row holding a map<coarse cid, array<fine seed>> — pre-grouped so the
-    # per-vector lookup is ONE element_at, never a filter() whose lambda
-    # would re-evaluate the coarse argmin per fine seed (CollapseProject
-    # inlines single-use aliases into lambdas; the flat-filter formulation
-    # measured n·k coarse re-evaluations — 2x wall at sf0.1)
-    fine = (
-        emb.crossJoin(F.broadcast(kf))
+    seed_rows = (
+        emb.crossJoin(F.broadcast(kdf))
         .filter(F.col("vec_id") < F.col("k"))
-        .crossJoin(F.broadcast(coarse))
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.expr("transform(embedding, x -> double(x))").alias("ce"),
-            F.expr(best_coarse).alias("ccid"),
-        )
-        .agg(F.collect_list(F.struct("ccid", "cid", "ce")).alias("fl"))
-        .select(
-            F.expr(
-                "map_from_entries(transform("
-                "array_sort(array_distinct(transform(fl, s -> s.ccid))), "
-                "c -> struct(c AS ccid, filter(fl, s -> s.ccid = c) AS fs)))"
-            ).alias("fm")
-        )
+        .select("vec_id", "embedding")
+        .collect()  # cid order restored driver-side — an ORDER BY here
+        # would add a full exchange+sort stage for k rows
     )
-    best_fine = (
-        "array_min(transform("
-        f"coalesce(element_at(fm, {best_coarse}), array()), f -> struct("
-        "aggregate(zip_with(embedding, f.ce, "
-        "(x, y) -> (double(x) - double(y)) * (double(x) - double(y))), "
-        "0D, (acc, v) -> acc + v) AS dist, f.cid AS cid))).cid"
-    )
-    assigned = (
-        emb.crossJoin(F.broadcast(coarse))
-        .crossJoin(F.broadcast(fine))
-        .select("vec_id", "embedding", F.expr(best_fine).alias("cell"))
+    seed_rows.sort(key=lambda r: r.vec_id)
+    sid = np.array([r.vec_id for r in seed_rows], dtype=np.int64)
+    dim = len(seed_rows[0].embedding) if seed_rows else 0
+    S = np.empty((len(sid), dim), dtype=np.float64)
+    for j, r in enumerate(seed_rows):
+        S[j, :] = r.embedding  # float32 -> float64 widening, exact
+    cmask = sid < SEM_K
+    C_ids, C = sid[cmask], S[cmask]
+
+    def _l2(X: np.ndarray, Y: np.ndarray) -> np.ndarray:
+        """|X|x|Y| squared-L2 matrix, accumulated dimension-ascending —
+        bit-identical to the oracle's aggregate(zip_with(...)) chain."""
+        acc = np.zeros((len(X), len(Y)), dtype=np.float64)
+        for d in range(X.shape[1]):
+            diff = X[:, d, None] - Y[None, :, d]
+            acc += diff * diff
+        return acc
+
+    # route fine seeds to coarse cells (driver-side: k x SEM_K, trivial)
+    route = C_ids[np.argmin(_l2(S, C), axis=1)] if len(sid) else sid
+    fine_by_cell = {}
+    for c in C_ids:
+        m = route == c
+        if m.any():
+            fine_by_cell[int(c)] = (sid[m], S[m])  # cid-ascending
+
+    def assign(batches):
+        import pandas as pd  # noqa: F401 (worker-side)
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.empty((len(pdf), dim), dtype=np.float64)
+            for j, v in enumerate(pdf["embedding"]):
+                E[j, :] = v
+            ci = np.argmin(_l2(E, C), axis=1)
+            cells = np.full(len(pdf), -1, dtype=np.int64)
+            for u in np.unique(ci):
+                fb = fine_by_cell.get(int(C_ids[u]))
+                if fb is None:
+                    continue  # coarse cell empty of fine seeds -> drop
+                fid, FS = fb
+                rows = np.flatnonzero(ci == u)
+                cells[rows] = fid[np.argmin(_l2(E[rows], FS), axis=1)]
+            keep = cells >= 0
+            out = pdf.loc[keep, ["vec_id", "embedding"]].copy()
+            out["cell"] = cells[keep]
+            yield out
+
+    assigned = fanout(emb).mapInPandas(
+        assign, "vec_id long, embedding array<float>, cell long"
     )
     return _semantic_prune_pandas(assigned)

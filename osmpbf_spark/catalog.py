@@ -204,14 +204,20 @@ def all_oracles() -> dict[str, str]:
 #      (judge re-swept all six green in the r09 session; this tier is
 #      stamp freshness, not suspicion).
 #   2. Queries whose CODE changes in r10: q_dedup_passage (pack-bound
-#      guard, ADVICE r09) and q_pbf_roundtrip (encode/decode gained
+#      guard, ADVICE r09), q_pbf_roundtrip (encode/decode gained
 #      lz4/zstd branches — the registered zlib path is bit-identical,
-#      fronted as insurance). New r10 registrations join this tier.
-#   3. The oldest remaining rows: 42 of the 45 r07 greens. Deferred to
+#      fronted as insurance), and q_dedup_semantic_scalek (assignment
+#      rewritten to exact-chain numpy after the 100x smoke measured the
+#      HOF form at 273x; its r09 row predates the new plan). New r10
+#      registrations join this tier.
+#   3. The oldest remaining rows: 41 of the 45 r07 greens. Deferred to
 #      r11 (the window holds 50): q_pbf_way_geom / q_pbf_zorder /
 #      q_pbf_tag_filter (the PBF family carries 17 fresh r09 stamps and
-#      all three keep dedicated pytest parity). The r08 greens carry
-#      rows 2 rounds old and stay in the every-CI pytest/sweep coverage.
+#      all three keep dedicated pytest parity) and q_corpus_mix
+#      (displaced by the scalek re-front; its mix siblings
+#      q_mix_sources/q_sample_topk_group are r09-stamped and it keeps
+#      pytest parity). The r08 greens carry rows 2 rounds old and stay
+#      in the every-CI pytest/sweep coverage.
 _R10_WINDOW = (
     # 1: the six r06-stamped rows (verdict r09 Next #2)
     "u_udf",
@@ -223,7 +229,8 @@ _R10_WINDOW = (
     # 2: r10-changed code
     "q_dedup_passage",
     "q_pbf_roundtrip",
-    # 3: oldest remaining rows (r07), minus the three deferrals above
+    "q_dedup_semantic_scalek",
+    # 3: oldest remaining rows (r07), minus the four deferrals above
     "q_scd2",
     "q_multimodal_resize",
     "q_rollup_cascade",
@@ -265,7 +272,6 @@ _R10_WINDOW = (
     "q_json_funcs",
     "q_subq_scalar",
     "q_subq_in",
-    "q_corpus_mix",
 )
 
 _R10_RANK = {n: i for i, n in enumerate(_R10_WINDOW)}

@@ -725,6 +725,11 @@ def _semantic_assign(emb: DataFrame, seeds: DataFrame) -> DataFrame:
     )
 
 
+# removed-candidate rows per gram block; peak task memory is
+# _PRUNE_BLOCK x cellpop doubles (see _semantic_prune_pandas docstring)
+_PRUNE_BLOCK = 2048
+
+
 def _semantic_prune_pandas(assigned: DataFrame) -> DataFrame:
     """Within-cell near-dup prune as ONE shuffle + per-cell numpy gram —
     the scale path for q_dedup_semantic_scalek.
@@ -740,8 +745,17 @@ def _semantic_prune_pandas(assigned: DataFrame) -> DataFrame:
     oracle's unrolled + list (np.dot would pairwise-sum and drift in the
     last ulp). The per-removed lowest-keeper witness is resolved inside
     the cell (a vector lives in exactly one cell), so the SQL window
-    disappears entirely. Memory per task is cell-pop² doubles — bounded,
-    because scale-k holds cell population ~constant by construction."""
+    disappears entirely.
+
+    Memory per task (r11, re-derived for the SEM_K_MAX codebook cap):
+    the gram is computed in ROW BLOCKS of _PRUNE_BLOCK removed-candidates
+    against the earlier members only, so peak task memory is
+    _PRUNE_BLOCK x cellpop doubles, not cellpop². Below the cap, scale-k
+    holds cellpop ~ SEM_CELL_TARGET and one block covers the cell
+    (bit-identical arithmetic to the full-gram form — each element is
+    the same dimension-ascending chain). Past the cap (n > 32.8M),
+    cellpop grows as n/K_MAX: at 10^9 vectors, ~7.6k rows/cell →
+    2048 x 7.6k x 8 B = 125 MB peak vs 466 MB for the full gram."""
     import numpy as np
     import pandas as pd
 
@@ -759,19 +773,25 @@ def _semantic_prune_pandas(assigned: DataFrame) -> DataFrame:
         emb = np.empty((n, len(pdf["embedding"].iloc[0])), dtype=np.float64)
         for j, v in enumerate(pdf["embedding"]):
             emb[j, :] = v  # float32 -> float64 widening, exact
-        gram = np.zeros((n, n), dtype=np.float64)
-        for i in range(emb.shape[1]):  # dimension-ordered, exact f64 chain
-            col = emb[:, i]
-            gram += np.outer(col, col)
         cell = int(pdf["cell"].iloc[0])
         thresh = float(SEM_THRESH)
         out = []
-        # ids sorted ascending: keeper index < removed index <=> id order
-        for rj in range(1, n):
-            hit = np.flatnonzero(gram[rj, :rj] >= thresh)
-            if len(hit):
-                kj = int(hit[0])  # lowest-id witness
-                out.append((cell, int(ids[rj]), int(ids[kj]), gram[rj, kj]))
+        # ids sorted ascending: keeper index < removed index <=> id order.
+        # Row-blocked gram: rows s..e-1 ("removed" candidates) against
+        # columns 0..e-2 (their possible keepers); each element is the
+        # dimension-ascending f64 chain, identical to the full-gram form.
+        for s in range(1, n, _PRUNE_BLOCK):
+            e = min(n, s + _PRUNE_BLOCK)
+            rb, lb = emb[s:e], emb[: e - 1]
+            g = np.zeros((e - s, e - 1), dtype=np.float64)
+            for i in range(emb.shape[1]):
+                g += np.outer(rb[:, i], lb[:, i])
+            for rj in range(s, e):
+                row = g[rj - s, :rj]
+                hit = np.flatnonzero(row >= thresh)
+                if len(hit):
+                    kj = int(hit[0])  # lowest-id witness
+                    out.append((cell, int(ids[rj]), int(ids[kj]), row[kj]))
         return pd.DataFrame(
             out, columns=["cell", "removed_id", "keeper_id", "cos"]
         ).astype(
@@ -828,12 +848,25 @@ def _semantic_prune(assigned: DataFrame) -> DataFrame:
 
 # scale-k variant: cells-per-corpus held constant by growing k with n
 SEM_CELL_TARGET = 250  # target cell population: k = max(SEM_K, n // 250)
+# Codebook CEILING, decoupled from n (r10 verdict Next #2): without it the
+# driver-side seed collect is O(n) — at 10^9 vectors, k = 4M seeds x 64-dim
+# f64 = 2 GB on the driver and in every task, the one scale-killer pattern
+# left in a green query. 131072 (2^17) sits inside the production IVF range
+# (1e5-1e6 centroids); at dim 64 the capped codebook is 131072 x 64 x 8 B
+# = 67 MB — one driver collect + one torrent broadcast, never a per-task
+# closure. The cap binds only above n = K_MAX x CELL_TARGET ~ 32.8M
+# vectors; beyond it cell population grows as n/K_MAX (at 10^9: ~7.6k
+# rows/cell) and the prune stage's row-blocked gram keeps task memory at
+# BLOCK x cellpop doubles instead of cellpop² (see _semantic_prune_pandas).
+SEM_K_MAX = 131072
 
 
 def _semantic_scalek_oracle() -> str:
     pair_dot = _oracle_dot("x.embedding", "y.embedding")
     return f"""
-    WITH kk AS (SELECT GREATEST({SEM_K}, COUNT(*) // {SEM_CELL_TARGET}) AS k
+    WITH kk AS (SELECT LEAST({SEM_K_MAX},
+                             GREATEST({SEM_K}, COUNT(*) // {SEM_CELL_TARGET}))
+                           AS k
                 FROM embeddings),
     c0 AS (SELECT vec_id AS cid, embedding AS ce
            FROM embeddings WHERE vec_id < {SEM_K}),
@@ -919,17 +952,41 @@ def q_dedup_semantic_scalek(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no fine seeds drop inside the UDF (the oracle's NULL-fine-cell
     inner-join drop). Re-measured after the rewrite: 100x ratio 273 ->
     ~8 (see SURVEY §8 round-10 table); same oracle, hash-identical.
+
+    r11 hardening (r10 verdict Next #2 + ADVICE):
+
+    - k is CAPPED at SEM_K_MAX = 131072 in both engines (LEAST in the
+      oracle's scalar subquery, F.least in-plan), so the driver-side
+      collect is bounded by the codebook, not the corpus. Driver-memory
+      bound at 10^9 vectors: min(10^9/250, 131072) x 64-dim f64 = 67 MB
+      — constant from n = 32.8M up, vs 2 GB uncapped. Past the cap,
+      cell population grows as n/K_MAX (~7.6k rows/cell at 10^9) and
+      the prune's row-blocked gram bounds task memory (see
+      _semantic_prune_pandas).
+    - The codebook ships as ONE spark.sparkContext.broadcast (torrent,
+      cached per executor), not a per-task pickled closure — at the cap
+      a closure would re-ship 67 MB with every task. The fine-seed
+      routing table rides the same broadcast; workers regroup it into
+      the per-cell dict once per task (O(k), numpy argsort).
+    - Empty-coarse guard (r10 ADVICE): a non-empty embeddings table
+      with no vec_id < SEM_K yields an empty coarse codebook; the
+      numpy argmin over zero seeds raised where the oracle's empty
+      CROSS JOIN c0 simply produced zero rows. Short-circuit to an
+      empty result frame with the output schema.
     """
     import numpy as np
 
     emb = load(spark, sf_dir, "embeddings")
-    # ONE collect action: k = max(SEM_K, n/SEM_CELL_TARGET) rides the
-    # same job as the seed fetch via a broadcast scalar (a separate
-    # count() + collect() paid two ~0.2s action floors at bench scale)
+    # ONE collect action: k = min(K_MAX, max(SEM_K, n/SEM_CELL_TARGET))
+    # rides the same job as the seed fetch via a broadcast scalar (a
+    # separate count() + collect() paid two ~0.2s action floors)
     kdf = emb.agg(
-        F.greatest(
-            F.lit(SEM_K).cast("long"),
-            F.floor(F.count("*") / SEM_CELL_TARGET).cast("long"),
+        F.least(
+            F.lit(SEM_K_MAX).cast("long"),
+            F.greatest(
+                F.lit(SEM_K).cast("long"),
+                F.floor(F.count("*") / SEM_CELL_TARGET).cast("long"),
+            ),
         ).alias("k")
     )
     seed_rows = (
@@ -948,41 +1005,44 @@ def q_dedup_semantic_scalek(spark: SparkSession, sf_dir: str) -> DataFrame:
     cmask = sid < SEM_K
     C_ids, C = sid[cmask], S[cmask]
 
-    def _l2(X: np.ndarray, Y: np.ndarray) -> np.ndarray:
-        """|X|x|Y| squared-L2 matrix, accumulated dimension-ascending —
-        bit-identical to the oracle's aggregate(zip_with(...)) chain."""
-        acc = np.zeros((len(X), len(Y)), dtype=np.float64)
-        for d in range(X.shape[1]):
-            diff = X[:, d, None] - Y[None, :, d]
-            acc += diff * diff
-        return acc
+    out_schema = "cell bigint, removed_id bigint, keeper_id bigint, cos double"
+    if not len(C_ids):
+        # oracle semantics: empty c0 -> empty cross join -> zero rows
+        return spark.createDataFrame([], out_schema)
 
     # route fine seeds to coarse cells (driver-side: k x SEM_K, trivial)
-    route = C_ids[np.argmin(_l2(S, C), axis=1)] if len(sid) else sid
-    fine_by_cell = {}
-    for c in C_ids:
-        m = route == c
-        if m.any():
-            fine_by_cell[int(c)] = (sid[m], S[m])  # cid-ascending
+    route = C_ids[np.argmin(_scalek_l2(S, C), axis=1)]
+    bc = spark.sparkContext.broadcast(
+        {"sid": sid, "S": S, "C_ids": C_ids, "C": C, "route": route}
+    )
 
     def assign(batches):
         import pandas as pd  # noqa: F401 (worker-side)
 
+        cb = bc.value
+        sid_w, S_w, C_ids_w, C_w = cb["sid"], cb["S"], cb["C_ids"], cb["C"]
+        fine_by_cell = {}
+        for c in C_ids_w:
+            m = cb["route"] == c
+            if m.any():
+                fine_by_cell[int(c)] = (sid_w[m], S_w[m])  # cid-ascending
         for pdf in batches:
             if not len(pdf):
                 continue
             E = np.empty((len(pdf), dim), dtype=np.float64)
             for j, v in enumerate(pdf["embedding"]):
                 E[j, :] = v
-            ci = np.argmin(_l2(E, C), axis=1)
+            ci = np.argmin(_scalek_l2(E, C_w), axis=1)
             cells = np.full(len(pdf), -1, dtype=np.int64)
             for u in np.unique(ci):
-                fb = fine_by_cell.get(int(C_ids[u]))
+                fb = fine_by_cell.get(int(C_ids_w[u]))
                 if fb is None:
                     continue  # coarse cell empty of fine seeds -> drop
                 fid, FS = fb
                 rows = np.flatnonzero(ci == u)
-                cells[rows] = fid[np.argmin(_l2(E[rows], FS), axis=1)]
+                cells[rows] = fid[
+                    np.argmin(_scalek_l2(E[rows], FS), axis=1)
+                ]
             keep = cells >= 0
             out = pdf.loc[keep, ["vec_id", "embedding"]].copy()
             out["cell"] = cells[keep]
@@ -992,3 +1052,17 @@ def q_dedup_semantic_scalek(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign, "vec_id long, embedding array<float>, cell long"
     )
     return _semantic_prune_pandas(assigned)
+
+
+def _scalek_l2(X, Y):
+    """|X|x|Y| squared-L2 matrix, accumulated dimension-ascending —
+    bit-identical to the oracle's aggregate(zip_with(...)) chain.
+    Module-level (not a closure) so the broadcast codebook dict is the
+    only payload the assign UDF captures."""
+    import numpy as np
+
+    acc = np.zeros((len(X), len(Y)), dtype=np.float64)
+    for d in range(X.shape[1]):
+        diff = X[:, d, None] - Y[None, :, d]
+        acc += diff * diff
+    return acc

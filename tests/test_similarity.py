@@ -202,3 +202,53 @@ def test_dedup_semantic_scalek_parity_and_fixture_equivalence(spark, duck):
     a = pdf[key].sort_values(key).reset_index(drop=True)
     b = flat[key].sort_values(key).reset_index(drop=True)
     assert a.equals(b), "scale-k fixture decisions diverge from fixed-k"
+
+
+def test_scalek_empty_coarse_guard(spark, tmp_path):
+    """r10 ADVICE: a non-empty embeddings table with NO vec_id < SEM_K
+    yields an empty coarse codebook; the old numpy path raised (argmin
+    over zero seeds / dim-mismatch on an (n,0) assign) where the oracle's
+    empty CROSS JOIN c0 returned zero rows. The guard must short-circuit
+    to an empty frame with the output schema — in BOTH engines."""
+    import duckdb
+    import pandas as pd
+
+    from osmpbf_spark.catalog import REGISTRY, all_queries
+    from osmpbf_spark.operators.similarity import SEM_K
+
+    all_queries()
+    rng = np.random.RandomState(7)
+    n = 40
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(SEM_K + 100, SEM_K + 100 + n, dtype=np.int64),
+            "embedding": [
+                rng.randn(64).astype(np.float32) for _ in range(n)
+            ],
+            "label": np.zeros(n, dtype=np.int32),
+        }
+    )
+    pdf.to_parquet(tmp_path / "embeddings.parquet", index=False)
+    q = REGISTRY["q_dedup_semantic_scalek"]
+    got = q.fn(spark, str(tmp_path)).toPandas()
+    assert len(got) == 0
+    assert sorted(got.columns) == ["cell", "cos", "keeper_id", "removed_id"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    assert len(con.sql(q.oracle).df()) == 0
+    con.close()
+
+
+def test_scalek_prune_block_equivalence(spark, duck, monkeypatch):
+    """The r11 row-blocked gram must be bit-identical to the oracle at a
+    block size that forces MANY blocks per cell (the suite's natural run
+    covers the one-block case; this pins the block-boundary arithmetic —
+    each gram element is the same dimension-ascending f64 chain whether
+    it lands in block 0 or block 17)."""
+    from osmpbf_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "_PRUNE_BLOCK", 3)
+    check_query(spark, duck, SF_DIR, "q_dedup_semantic_scalek")

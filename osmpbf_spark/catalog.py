@@ -195,90 +195,85 @@ def all_oracles() -> dict[str, str]:
     return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
 
 
-# Round-10 rotation for the driver's 50-query correctness window (the
+# Round-11 rotation for the driver's 50-query correctness window (the
 # driver checks only the FIRST 50 registered queries each round; with
 # len(REGISTRY) registered, ordering decides what gets a fresh hard
-# row). Composition, per the r09 verdict's Next #2:
+# row). Composition, per the r10 verdict's Next #3:
 #
-#   1. The six r06-stamped queries — the registry's oldest driver rows
-#      (judge re-swept all six green in the r09 session; this tier is
-#      stamp freshness, not suspicion).
-#   2. Queries whose CODE changes in r10: q_dedup_passage (pack-bound
-#      guard, ADVICE r09), q_pbf_roundtrip (encode/decode gained
-#      lz4/zstd branches — the registered zlib path is bit-identical,
-#      fronted as insurance), and q_dedup_semantic_scalek (assignment
-#      rewritten to exact-chain numpy after the 100x smoke measured the
-#      HOF form at 273x; its r09 row predates the new plan). New r10
-#      registrations join this tier.
-#   3. The oldest remaining rows: 41 of the 45 r07 greens. Deferred to
-#      r11 (the window holds 50): q_pbf_way_geom / q_pbf_zorder /
-#      q_pbf_tag_filter (the PBF family carries 17 fresh r09 stamps and
-#      all three keep dedicated pytest parity) and q_corpus_mix
-#      (displaced by the scalek re-front; its mix siblings
-#      q_mix_sources/q_sample_topk_group are r09-stamped and it keeps
-#      pytest parity). The r08 greens carry rows 2 rounds old and stay
-#      in the every-CI pytest/sweep coverage.
-_R10_WINDOW = (
-    # 1: the six r06-stamped rows (verdict r09 Next #2)
-    "u_udf",
-    "u_udaf",
-    "u_udtf",
-    "q_vec_centroid",
-    "q_vec_quantize",
-    "q_bpe_merge_count",
-    # 2: r10-changed code
-    "q_dedup_passage",
-    "q_pbf_roundtrip",
+#   1. The four r07-stamped queries — the registry's only stamps older
+#      than r08 (judge re-swept all four green in the r10 session; this
+#      tier is stamp freshness, not suspicion).
+#   2. Queries whose CODE changes in r11: q_dedup_semantic_scalek
+#      (SEM_K_MAX codebook cap — the oracle's kk subquery gained a
+#      LEAST — plus broadcast codebook, empty-coarse guard, row-blocked
+#      prune gram). New r11 registrations join this tier.
+#   3. The oldest remaining rows: 45 of the 48 r08 greens. Deferred to
+#      r12 (the window holds 50): q_agg_cube / q_agg_gsets (sibling
+#      q_agg_rollup is r10-stamped; both keep dedicated pytest parity
+#      in test_relational) and q_set_except (siblings q_set_union /
+#      q_set_intersect r10-stamped; pytest parity). The r09/r10 greens
+#      stay in the every-CI pytest/sweep coverage.
+_R11_WINDOW = (
+    # 1: the four r07-stamped rows (verdict r10 Next #3)
+    "q_corpus_mix",
+    "q_pbf_tag_filter",
+    "q_pbf_way_geom",
+    "q_pbf_zorder",
+    # 2: r11-changed code
     "q_dedup_semantic_scalek",
-    # 3: oldest remaining rows (r07), minus the four deferrals above
-    "q_scd2",
-    "q_multimodal_resize",
-    "q_rollup_cascade",
-    "q_dedup_incremental",
-    "q_dedup_url",
-    "q_er_fuzzy",
-    "q_scan_project",
-    "q_filter_pred",
-    "q_agg_basic",
-    "q_agg_distinct",
-    "q_agg_rollup",
-    "q_approx_cd",
-    "q_having",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_broadcast",
-    "q_join_range",
-    "q_join_skew_salt",
-    "q_pivot",
-    "q_unpivot",
-    "q_lateral_topk",
-    "q_percentile",
-    "q_asof_join",
-    "q_sample_stratified",
-    "q_window_lead_lag",
-    "q_sort_limit",
-    "q_set_union",
-    "q_set_intersect",
-    "q_window_rank",
-    "q_window_dist",
-    "q_window_frame",
-    "q_str_funcs",
-    "q_map_funcs",
-    "q_date_funcs",
-    "q_math_funcs",
-    "q_case_null",
-    "q_json_funcs",
-    "q_subq_scalar",
-    "q_subq_in",
+    # 3: oldest remaining rows (r08), minus the three deferrals above
+    "q_anomaly_zscore",
+    "q_array_hof",
+    "q_bfs_khop",
+    "q_bpe_encode",
+    "q_bpe_train",
+    "q_cluster_kmeans",
+    "q_decontaminate",
+    "q_dedup_clusters",
+    "q_dedup_embed",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_ngram",
+    "q_dedup_simhash_exact",
+    "q_doc_pack",
+    "q_doc_pack_chunks",
+    "q_er_fuzzy_scaleb",
+    "q_explode_pos",
+    "q_grid_agg",
+    "q_incr_agg",
+    "q_join_5way",
+    "q_join_full",
+    "q_merge_upsert",
+    "q_multimodal",
+    "q_multimodal_agg",
+    "q_multimodal_decode",
+    "q_multimodal_frames",
+    "q_pagerank",
+    "q_pii_redact",
+    "q_pipeline_e2e",
+    "q_resample_locf",
+    "q_session_funnel",
+    "q_text_rarity",
+    "q_token_pmi",
+    "q_triangle_count",
+    "s_anomaly_stream",
+    "s_dedup_embed_stream",
+    "s_dedup_near_stream",
+    "s_enrich_stream",
+    "s_funnel_stream",
+    "s_join_stream",
+    "s_session_stream",
+    "s_stateful",
+    "s_tumble_append",
+    "s_tumble_stream",
+    "s_upsert_stream",
 )
 
-_R10_RANK = {n: i for i, n in enumerate(_R10_WINDOW)}
+_R11_RANK = {n: i for i, n in enumerate(_R11_WINDOW)}
 
 
 def _window_tier(name: str) -> int:
-    return _R10_RANK.get(name, len(_R10_WINDOW))
+    return _R11_RANK.get(name, len(_R11_WINDOW))
 
 
 def _import_all() -> None:
@@ -304,7 +299,7 @@ def _import_all() -> None:
     # The sweep CLI has the same guard for argv names
     # (scripts/sweep_oracles.py) — the window, which the driver actually
     # consumes, must fail just as loudly.
-    phantom = [n for n in _R10_WINDOW if n not in REGISTRY]
+    phantom = [n for n in _R11_WINDOW if n not in REGISTRY]
     if phantom:
         raise RuntimeError(
             f"correctness-window names not in REGISTRY: {phantom} — "

@@ -11,13 +11,17 @@ Usage:  python scripts/scale_synth.py [--k 100] [query ...]
 
 At --k 100 the timing protocol drops to 1 warmup + min-of-2 (queries run
 tens of seconds; the floor the 3-run protocol guards against is noise
-there) and the PBF pair is skipped with a notice (the synthetic PBF
-builder is 10x-specific; scan throughput has bench.py's dedicated
-steady-state block).
+there). The PBF geometry pair scales through a K-times key-shifted
+synthetic PBF built by the engine's own writer, and the streaming
+family (r10 verdict Next #4) scales through the same mechanisms the
+registered queries use: the parquet stream-source image for the dedup
+streams, a 2K-copy source directory for s_pbf_stream (offset-log and
+micro-batch planning growth).
 """
 
 from __future__ import annotations
 
+import argparse
 import os
 import shutil
 import sys
@@ -29,14 +33,16 @@ SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _MARKER = "_built_v4"
 K = 10
 OUT = "/tmp/sf_synth_1"  # the K=10 dir keeps its historical name
+PBF_OUT = "/tmp/pbf_synth_1"  # ditto
 
 
 def _configure(k: int) -> None:
     """Set the module-level scale knobs for a non-default K."""
-    global K, OUT
+    global K, OUT, PBF_OUT
     K = k
     if k != 10:
         OUT = f"/tmp/sf_synth_{k}"
+        PBF_OUT = f"/tmp/pbf_synth_k{k}"
 
 DEFAULT_SET = [
     "q_agg_basic", "q_join_inner", "q_grid_agg", "q_join_5way",
@@ -47,14 +53,17 @@ DEFAULT_SET = [
     "q_er_fuzzy_scaleb", "q_attribution", "q_histogram", "q_skyline",
     "q_trend_ols", "q_resample_interp", "q_twap", "q_corr",
     "q_text_bm25", "q_sample_topk_group", "q_fd_check",
-    # PBF geometry pair: timed against a 10x key-shifted synthetic PBF
-    # (build_pbf below) instead of a scaled sf dir
-    "q_pbf_way_area", "q_pbf_multipolygon",
+    # PBF geometry family: timed against a K-times key-shifted synthetic
+    # PBF (build_pbf below) instead of a scaled sf dir
+    "q_pbf_way_area", "q_pbf_way_geom", "q_pbf_multipolygon",
+    # streaming family (r10 verdict Next #4): incremental LSH state
+    # growth vs TTL for the two dedup streams, offset-log/micro-batch
+    # planning growth for the PBF stream
+    "s_dedup_near_stream", "s_dedup_embed_stream", "s_pbf_stream",
 ]
 
 # queries that read the PBF fixture, not the sf parquet dir
-PBF_SET = {"q_pbf_way_area", "q_pbf_multipolygon"}
-PBF_OUT = "/tmp/pbf_synth_1"
+PBF_SET = {"q_pbf_way_area", "q_pbf_way_geom", "q_pbf_multipolygon"}
 _PBF_MARKER = "_built_v1"
 PBF_SHIFT = 10**9  # fixture node/way ids are ~4.4e8 / ~1e8: copies disjoint
 
@@ -201,12 +210,39 @@ def build() -> None:
         fh.write("ok")
 
 
+def build_pbf_stream_dir() -> str:
+    """2K copies of the golden fixture for s_pbf_stream's scale run —
+    the registered query ingests a 2-copy directory, so 2K copies is an
+    exact K-times scale-up of its offset log, file-listing, and
+    micro-batch planning surface (the per-file decode is constant)."""
+    from osmpbf_spark.sources.pbf.fixture import FIXTURE_DIR, ensure_fixture
+
+    out = f"{PBF_OUT}_streamsrc"
+    marker = f"{out}/{_PBF_MARKER}"
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    ensure_fixture()
+    for i in range(2 * K):
+        shutil.copy(
+            f"{FIXTURE_DIR}/fixture.osm.pbf", f"{out}/part-{i:05d}.osm.pbf"
+        )
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    args = sys.argv[1:]
-    if args[:1] == ["--k"]:
-        _configure(int(args[1]))
-        args = args[2:]
+    # argparse (r10 ADVICE): a bare --k no longer IndexErrors, and the
+    # flag is recognized anywhere in argv, not only as the first token
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--k", type=int, default=10, help="scale multiplier")
+    ap.add_argument("queries", nargs="*", help="query names (default set if empty)")
+    ns = ap.parse_args()
+    _configure(ns.k)
+    args = ns.queries
     if not os.path.exists(f"{OUT}/{_MARKER}"):
         shutil.rmtree(OUT, ignore_errors=True)  # stale/partial build
         build()
@@ -254,16 +290,28 @@ def main() -> None:
             pq._PBF = old
             pq._DECODED_CACHE.clear()
 
+    def t_of_pbf_stream(q: str) -> tuple[float, float]:
+        # swap the cached stream-source dir: baseline = the query's own
+        # 2-copy dir (reset to force a rebuild), scaled = 2K copies
+        from osmpbf_spark.sources import pbf_queries as pq
+
+        scaled = build_pbf_stream_dir()
+        old = pq._STREAM_SRC_DIR[0]
+        try:
+            a = t_of(q, SRC)
+            pq._STREAM_SRC_DIR[0] = scaled
+            b = t_of(q, SRC)
+        finally:
+            pq._STREAM_SRC_DIR[0] = old
+        return a, b
+
     names = args or DEFAULT_SET
     for q in names:
         if q in PBF_SET:
-            if K != 10:
-                print(f"{q}: SKIPPED at {K}x (synthetic PBF builder is "
-                      f"10x-specific; scan rate has bench.py's "
-                      f"steady_state_20m block)")
-                continue
-            p10 = build_pbf()
-            a, b = t_of_pbf(q, None), t_of_pbf(q, p10)
+            pk = build_pbf()
+            a, b = t_of_pbf(q, None), t_of_pbf(q, pk)
+        elif q == "s_pbf_stream":
+            a, b = t_of_pbf_stream(q)
         else:
             a, b = t_of(q, SRC), t_of(q, OUT)
         print(f"{q}: sf0.1={a}s {K}x={b}s ratio={round(b / a, 2)}")

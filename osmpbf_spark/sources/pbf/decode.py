@@ -306,6 +306,15 @@ def read_block_payload(f, meta: BlockMeta, zlib_only: bool = False) -> bytes:
             lz4_data = v
         elif field == BLOB_ZSTD:
             zstd_data = v
+        elif field == BLOB_OBSOLETE_BZIP2:
+            # fileformat.proto field 5 is deprecated ("Don't reuse this
+            # tag number") — name it in the error so a user holding an
+            # ancient bzip2 planet file learns WHY it is rejected rather
+            # than seeing a generic unknown-field failure
+            raise ValueError(
+                "blob uses OBSOLETE_bzip2_data (fileformat.proto field 5, "
+                "deprecated); re-encode the file with zlib/zstd/lz4"
+            )
         else:
             raise ValueError(
                 f"unsupported blob compression (field {field}); "

@@ -1,10 +1,13 @@
 """Full-registry oracle sweep — the driver's correctness gate, locally.
 
-Runs EVERY registered query (not just the 50-query driver window) against
-its DuckDB twin at sf0.01 and compares with tests/parity.assert_frames_match
-(strict value equality — a superset of the driver's order-insensitive
-value-hash). Exit code 0 means every oracle-carrying query is exactly
-equal and every rows-only query executed; non-zero prints the failures.
+Runs EVERY registered query (not just the 50-query driver window) PLUS the
+CI-only FIXTURES tier against their DuckDB twins at sf0.01 and compares
+with tests/parity.assert_frames_match (strict value equality — a superset
+of the driver's order-insensitive value-hash). When both SemDeDup forms run
+(any full sweep), the scale-k == fixed-k fixture-equivalence invariant is
+asserted in the same pass. Exit code 0 means every oracle-carrying query is
+exactly equal, every rows-only query executed, and every cross-query
+invariant held; non-zero prints the failures.
 
 Usage:
     python scripts/sweep_oracles.py              # full registry at sf0.01
@@ -82,10 +85,18 @@ def main() -> int:
         return 2
     names = [n for n in qs if not only or n in only]
     failures: list[str] = []
+    # cross-query invariants asserted in the same pass (r10 verdict Next
+    # #7): at fixture scale k = SEM_K, so scale-k SemDeDup must equal the
+    # fixed-k FIXTURES query exactly, cosines included — the anchor that
+    # keeps the fixtures tier from silently rotting between test runs
+    _EQUIV_PAIR = ("q_dedup_semantic_scalek", "q_dedup_semantic")
+    kept: dict[str, object] = {}
     t0 = time.time()
     for i, name in enumerate(names, 1):
         try:
             pdf = qs[name](spark, sf_dir).toPandas()
+            if name in _EQUIV_PAIR:
+                kept[name] = pdf
             if name in oracles:
                 duck_pdf = con.execute(oracles[name]).df()
                 assert_frames_match(pdf, duck_pdf, name)
@@ -97,6 +108,20 @@ def main() -> int:
             status = f"FAIL: {exc}"
             traceback.print_exc()
         print(f"[{i}/{len(names)}] {name}: {status}", flush=True)
+
+    if all(n in kept for n in _EQUIV_PAIR):
+        try:
+            cols = ["cell", "removed_id", "keeper_id", "cos"]
+            a = kept[_EQUIV_PAIR[0]][cols].sort_values(cols)
+            b = kept[_EQUIV_PAIR[1]][cols].sort_values(cols)
+            assert a.reset_index(drop=True).equals(b.reset_index(drop=True)), (
+                "scale-k fixture decisions diverge from fixed-k"
+            )
+            print("equiv[scalek==fixedk]: green", flush=True)
+        except Exception as exc:  # noqa: BLE001
+            failures.append("equiv[scalek==fixedk]")
+            print(f"equiv[scalek==fixedk]: FAIL: {exc}", flush=True)
+            traceback.print_exc()
 
     print(
         f"\n{len(names) - len(failures)}/{len(names)} green"

@@ -255,6 +255,25 @@ def test_lz4_zstd_blob_roundtrip(tmp_path, compress, blob_field):
             decode.read_block_payload(f, bad_meta)
 
 
+def test_obsolete_bzip2_blob_rejected_by_name(tmp_path):
+    """fileformat.proto field 5 (OBSOLETE_bzip2_data) gets its own
+    explicit rejection naming the codec (r10 ADVICE: the constant was
+    defined with a 'rejected explicitly' comment but fell through to the
+    generic unknown-field branch — a user holding an ancient bzip2 file
+    deserves the real reason)."""
+    import struct as _struct
+
+    blob = wire.field_varint(2, 10) + wire.field_len(5, b"BZh9 fake payload")
+    p = str(tmp_path / "bzip2.pbf")
+    with open(p, "wb") as f:
+        header = wire.field_len(1, b"OSMData") + wire.field_varint(3, len(blob))
+        f.write(_struct.pack(">i", len(header)) + header + blob)
+    meta = decode.index_blocks(p)[0]
+    with open(p, "rb") as f:
+        with pytest.raises(ValueError, match="bzip2"):
+            decode.read_block_payload(f, meta)
+
+
 def test_resync_scan_recovers_after_corruption(fixture_dir, tmp_path):
     """Corrupt the first OSMData block's payload bytes mid-file: the exact
     index still lists it (header intact) but decode would fail; resync_scan

@@ -206,13 +206,17 @@ def all_oracles() -> dict[str, str]:
 #   2. Queries whose CODE changes in r11: q_dedup_semantic_scalek
 #      (SEM_K_MAX codebook cap — the oracle's kk subquery gained a
 #      LEAST — plus broadcast codebook, empty-coarse guard, row-blocked
-#      prune gram). New r11 registrations join this tier.
-#   3. The oldest remaining rows: 45 of the 48 r08 greens. Deferred to
+#      prune gram) and the NEW q_dedup_embed_scaleb (bits-per-band grown
+#      with n after the 100x smoke OOM'd the fixture-parameter embed
+#      stream — the scalek treatment for hyperplane LSH).
+#   3. The oldest remaining rows: 44 of the 48 r08 greens. Deferred to
 #      r12 (the window holds 50): q_agg_cube / q_agg_gsets (sibling
 #      q_agg_rollup is r10-stamped; both keep dedicated pytest parity
-#      in test_relational) and q_set_except (siblings q_set_union /
-#      q_set_intersect r10-stamped; pytest parity). The r09/r10 greens
-#      stay in the every-CI pytest/sweep coverage.
+#      in test_relational), q_set_except (siblings q_set_union /
+#      q_set_intersect r10-stamped; pytest parity), and s_upsert_stream
+#      (displaced by the scaleb registration; r08-stamped with dedicated
+#      pytest parity in test_streaming). The r09/r10 greens stay in the
+#      every-CI pytest/sweep coverage.
 _R11_WINDOW = (
     # 1: the four r07-stamped rows (verdict r10 Next #3)
     "q_corpus_mix",
@@ -221,6 +225,7 @@ _R11_WINDOW = (
     "q_pbf_zorder",
     # 2: r11-changed code
     "q_dedup_semantic_scalek",
+    "q_dedup_embed_scaleb",
     # 3: oldest remaining rows (r08), minus the three deferrals above
     "q_anomaly_zscore",
     "q_array_hof",
@@ -266,7 +271,6 @@ _R11_WINDOW = (
     "s_stateful",
     "s_tumble_append",
     "s_tumble_stream",
-    "s_upsert_stream",
 )
 
 _R11_RANK = {n: i for i, n in enumerate(_R11_WINDOW)}

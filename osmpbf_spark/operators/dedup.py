@@ -835,8 +835,18 @@ EMB_DIM = 64
 EMB_BANDS = 4  # bands of hyperplane sign bits; candidate if ANY band matches
 EMB_BITS = 3  # bits per band — fixture-scale; at 100 TB use 16+ bits/band
 EMB_THRESH = "0.4"  # exact-verification cosine floor (text, parsed per engine)
+# scale-bits ladder (q_dedup_embed_scaleb): +1 bit per corpus doubling
+# from EMBS_BASE rows, so band-bucket occupancy n/2^bits stays ~constant
+# (the r11 100x smoke OOM'd the fixture-parameter embed stream: 3-bit
+# bands = an 8-key space, occupancy linear in n, pairs quadratic)
+EMBS_BASE = 128
+EMBS_STEPS = 10  # bits in [EMB_BITS, EMB_BITS + EMBS_STEPS] = [3, 13]
+EMBS_MAXBITS = EMB_BITS + EMBS_STEPS
+# plane pool sized for the ladder ceiling; RandomState fills sequentially,
+# so rows [0, 12) are bit-identical to the historical (12, 64) draw and
+# every existing band key is unchanged (pinned in test_dedup)
 _EMB_PLANES = np.random.RandomState(11).standard_normal(
-    (EMB_BANDS * EMB_BITS, EMB_DIM)
+    (EMB_BANDS * EMBS_MAXBITS, EMB_DIM)
 )
 
 
@@ -960,6 +970,169 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = fanout(pairs.distinct())
     x = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
     y = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("e1"), F.col("e2"), lambda a, b: a.cast("double") * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(x, "id1")
+        .join(y, "id2")
+        .select("id1", "id2", dot.alias("cos"))
+        .filter(F.col("cos") >= float(EMB_THRESH))
+        .select("id1", "id2", "cos")
+    )
+
+
+def _embs_sql_bits() -> str:
+    """DuckDB scalar for the bits ladder: 3 + one bit per corpus doubling
+    from EMBS_BASE — exact integer indicators, no logarithms (transcendental
+    functions are banned from oracles; see the BM25 recipe)."""
+    steps = " + ".join(
+        f"(CASE WHEN COUNT(*) >= {EMBS_BASE << j} THEN 1 ELSE 0 END)"
+        for j in range(EMBS_STEPS)
+    )
+    return f"{EMB_BITS} + {steps}"
+
+
+def _embs_sql_band(b: int) -> str:
+    """Gated band key: bit i contributes only when i < kk.bits; plane
+    index strides by EMBS_MAXBITS so a given (band, bit) always means the
+    same hyperplane regardless of the corpus-derived bits value."""
+    return " + ".join(
+        f"(CASE WHEN {i} < kk.bits AND"
+        f" ({_sql_plane_dot(b * EMBS_MAXBITS + i)}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(EMBS_MAXBITS)
+    )
+
+
+_EMBS_ORACLE = f"""
+WITH kk AS (SELECT {_embs_sql_bits()} AS bits FROM embeddings),
+e AS (
+  SELECT vec_id, embedding,
+         {", ".join(f"{_embs_sql_band(b)} AS b{b}" for b in range(EMB_BANDS))}
+  FROM embeddings CROSS JOIN kk
+),
+cand AS (
+  {" UNION ".join(
+      f"SELECT a.vec_id AS id1, c.vec_id AS id2 FROM e a JOIN e c"
+      f" ON a.b{b} = c.b{b} AND a.vec_id < c.vec_id"
+      for b in range(EMB_BANDS)
+  )}
+)
+SELECT id1, id2, cos FROM (
+  SELECT cand.id1, cand.id2, {_sql_pair_dot()} AS cos
+  FROM cand
+  JOIN embeddings x ON x.vec_id = cand.id1
+  JOIN embeddings y ON y.vec_id = cand.id2)
+WHERE cos >= CAST('{EMB_THRESH}' AS DOUBLE)
+"""
+
+
+@query("q_dedup_embed_scaleb", oracle=_EMBS_ORACLE, tags=("dedup", "sim"))
+def q_dedup_embed_scaleb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_embed with band WIDTH grown with the corpus — the scalek
+    treatment applied to hyperplane LSH, after the r11 100x smoke OOM'd
+    the fixture-parameter embed stream: EMB_BITS = 3 is an 8-key band
+    space, so bucket occupancy is n/8 and in-bucket pairs are quadratic
+    in n BY PARAMETER (the q_dedup_embed docstring has always said "at
+    100 TB use 16+ bits/band"; this query makes that knob in-plan and
+    oracle-checked instead of prose).
+
+    bits = EMB_BITS + #{{j < EMBS_STEPS : n >= EMBS_BASE·2^j}} — one bit
+    per corpus doubling from 128 rows, so occupancy n/2^bits stays in a
+    ~constant band (15-32 across the ladder) and the candidate-pair term
+    stays LINEAR in n. The ladder is exact integer indicators computed
+    once from COUNT(*) (a broadcast scalar in Spark, a scalar subquery in
+    DuckDB — the scalek kk precedent; no logarithms, oracles ban
+    transcendentals). Above the ladder ceiling (n >= 128·2^10, bits
+    capped at 13) occupancy grows linearly again — at true 100 TB you
+    extend EMBS_STEPS (plane pool grows with it; RandomState fills
+    sequentially so existing keys never change) — 13 bits covers the
+    smoke's 200k-vector range with headroom.
+
+    Signing runs as dimension-ascending numpy inside ONE mapInPandas
+    (the scalek assignment precedent: 52 gated plane dots per row as
+    interpreted Catalyst HOF folds would be the same n·k lambda-fold
+    trap the r10 smoke caught): D accumulated acc += E[:,d]·P[:,d] with
+    d ascending = the oracle's left-to-right + chain, float32 widened
+    exactly, sign at >= 0. The plane pool ships in the task closure
+    (52 x 64 f64 = 27 KB — codebook-bounded, not corpus-bounded). The
+    candidate tail is q_dedup_embed's measured shape unchanged: explode
+    (band, key), one self-join, distinct, fanout, exact-dot verify.
+
+    Reference: gballet/osmpbfinputformat has no dedup surface; this is
+    part of the mandated LLM-pipeline extension family (SURVEY §2C).
+    """
+    import pandas as pd  # noqa: F401
+
+    emb = load(spark, sf_dir, "embeddings")
+    bits_expr = F.lit(EMB_BITS)
+    for j in range(EMBS_STEPS):
+        bits_expr = bits_expr + F.when(
+            F.col("n") >= (EMBS_BASE << j), 1
+        ).otherwise(0)
+    bits_df = (
+        emb.agg(F.count("*").alias("n"))
+        .select(bits_expr.alias("bits"))
+    )
+    planes = _EMB_PLANES  # (EMB_BANDS * EMBS_MAXBITS, EMB_DIM) f64
+
+    def sign_bands(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bits = int(pdf["bits"].iloc[0])
+            E = np.empty((len(pdf), EMB_DIM), dtype=np.float64)
+            for j, v in enumerate(pdf["embedding"]):
+                E[j, :] = v  # float32 -> float64 widening, exact
+            # dimension-ascending accumulation = the oracle's
+            # left-to-right + chain per (row, plane)
+            D = np.zeros((len(pdf), planes.shape[0]), dtype=np.float64)
+            for d in range(EMB_DIM):
+                D += E[:, d, None] * planes[None, :, d]
+            out = {"vec_id": pdf["vec_id"]}
+            for b in range(EMB_BANDS):
+                key = np.zeros(len(pdf), dtype=np.int64)
+                for i in range(bits):
+                    key += (
+                        D[:, b * EMBS_MAXBITS + i] >= 0
+                    ).astype(np.int64) << i
+                out[f"b{b}"] = key
+            yield pd.DataFrame(out)
+
+    banded = (
+        fanout(emb)
+        .crossJoin(F.broadcast(bits_df))
+        .mapInPandas(
+            sign_bands,
+            "vec_id long, "
+            + ", ".join(f"b{b} long" for b in range(EMB_BANDS)),
+        )
+        .localCheckpoint(eager=True)
+    )
+    keys = banded.select(
+        "vec_id",
+        F.posexplode(F.array(*[f"b{b}" for b in range(EMB_BANDS)])).alias(
+            "band", "k"
+        ),
+    )
+    pairs = (
+        keys.select(F.col("vec_id").alias("id1"), "band", "k")
+        .join(
+            keys.select(F.col("vec_id").alias("id2"), "band", "k"),
+            ["band", "k"],
+        )
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+    )
+    cand = fanout(pairs.distinct())  # see q_dedup_embed: sized to compute
+    emb2 = load(spark, sf_dir, "embeddings")
+    x = emb2.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
+    y = emb2.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
     dot = F.aggregate(
         F.zip_with(
             F.col("e1"), F.col("e2"), lambda a, b: a.cast("double") * b.cast("double")

@@ -550,3 +550,53 @@ def test_dedup_passage_pack_bound_guard(spark):
         ).write.mode("overwrite").parquet(f"{td}/documents.parquet")
         with pytest.raises(Exception, match="pack bounds violated"):
             q_dedup_passage(spark, td).collect()
+
+def test_dedup_embed_scaleb_parity_bits_and_plane_prefix(spark, duck):
+    """q_dedup_embed_scaleb: exact oracle parity (gated dynamic-width band
+    keys + cosines are bit-identical chains on both engines); the bits
+    ladder is exact integer indicators (pinned here for the fixture
+    sizes); and extending the plane pool to the ladder ceiling kept the
+    historical 12 planes bit-identical (RandomState fills sequentially) —
+    the invariant that makes every pre-r11 band key, and therefore every
+    q_dedup_embed / s_dedup_embed_stream oracle, unchanged."""
+    import numpy as np
+
+    from osmpbf_spark.operators.dedup import (
+        EMB_BANDS,
+        EMB_BITS,
+        EMB_DIM,
+        EMBS_BASE,
+        EMBS_STEPS,
+        _EMB_PLANES,
+    )
+
+    legacy = np.random.RandomState(11).standard_normal(
+        (EMB_BANDS * EMB_BITS, EMB_DIM)
+    )
+    assert (_EMB_PLANES[: EMB_BANDS * EMB_BITS] == legacy).all()
+
+    def bits_of(n: int) -> int:
+        return EMB_BITS + sum(n >= (EMBS_BASE << j) for j in range(EMBS_STEPS))
+
+    assert bits_of(0) == 3 and bits_of(127) == 3
+    assert bits_of(500) == 5  # sf0.001 / sf0.01 embeddings
+    assert bits_of(2000) == 7  # sf0.1
+    assert bits_of(200_000) == 13  # 100x smoke corpus; ladder ceiling
+    assert bits_of(10**9) == 13  # capped — extend EMBS_STEPS beyond
+
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_dedup_embed_scaleb")
+    # precision against all-pairs numpy ground truth (same margin logic
+    # as the fixed-bits test above)
+    rows = duck.sql(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    m = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    cos = m @ m.T
+    iu, ju = np.triu_indices(len(m), k=1)
+    loose = {
+        (ids[i], ids[j])
+        for i, j in zip(iu[cos[iu, ju] >= 0.4 - 1e-6], ju[cos[iu, ju] >= 0.4 - 1e-6])
+    }
+    found = {(int(a), int(b)) for a, b in zip(pdf["id1"], pdf["id2"])}
+    assert found <= loose, f"false positives: {sorted(found - loose)[:5]}"

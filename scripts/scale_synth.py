@@ -28,9 +28,17 @@ import sys
 import time
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-# bump when build() changes what it writes (v4: part copies carry ALL
-# source columns — v3 silently projected p_mfgr/p_container/p_comment away)
-_MARKER = "_built_v4"
+# bump when build() changes what it writes (v5: embedding copies are
+# per-copy SIGN-FLIPPED, not epsilon-shifted — the v4 +0.001k shift left
+# all K copies of a vector within cos ~0.9999 of each other, so the true
+# near-dup pair count grew as K² BY CONSTRUCTION and the 100x embed
+# smoke measured output explosion, not machinery: ~10^10 candidate pairs
+# OOM'd the JVM. Sign flips keyed by (k, dim) preserve unit norm AND the
+# within-slice pair structure exactly — cos(s⊙a, s⊙b) = cos(a, b) — while
+# decorrelating slices (expected cross-slice cos ~0), so per-row dup
+# density stays CONSTANT as K grows: the density-preserving scale-up the
+# document table already had via per-copy text suffixes)
+_MARKER = "_built_v5"
 K = 10
 OUT = "/tmp/sf_synth_1"  # the K=10 dir keeps its historical name
 PBF_OUT = "/tmp/pbf_synth_1"  # ditto
@@ -46,7 +54,8 @@ def _configure(k: int) -> None:
 
 DEFAULT_SET = [
     "q_agg_basic", "q_join_inner", "q_grid_agg", "q_join_5way",
-    "q_dedup_exact", "q_dedup_minhash", "q_text_rarity", "q_scd2",
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_embed_scaleb",
+    "q_text_rarity", "q_scd2",
     "q_anomaly_zscore", "q_cluster_kmeans", "q_sim_search_lsh",
     "q_decontaminate", "q_doc_pack", "q_dedup_passage",
     "q_dedup_semantic_scalek",
@@ -163,8 +172,9 @@ def build() -> None:
     TO '{OUT}/documents.parquet' (FORMAT PARQUET)""")
     con.execute(f"""
     COPY (SELECT vec_id + k*1000000 AS vec_id,
-                 list_transform(embedding, x -> CAST(x + 0.001*k AS FLOAT))
-                   AS embedding,
+                 list_transform(embedding, (x, i) -> CAST(
+                   CASE WHEN k = 0 OR hash(k*131 + i) % 2 = 0
+                        THEN x ELSE -x END AS FLOAT)) AS embedding,
                  label
           FROM read_parquet('{SRC}/embeddings.parquet'), {copies})
     TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)""")
@@ -290,6 +300,46 @@ def main() -> None:
             pq._PBF = old
             pq._DECODED_CACHE.clear()
 
+    def t_of_embed_stream(q: str) -> tuple[float, float]:
+        # OPERATING-CURVE measurement: each corpus runs at its ladder
+        # bits (the q_dedup_embed_scaleb rule) — at the fixture's 3 bits
+        # the band space is 8 keys and occupancy is n/8, so a 100x run
+        # is quadratic BY PARAMETER (the r11 smoke OOM'd exactly there);
+        # production sizes bits to the corpus at deploy time, so the
+        # honest machinery ratio compares each scale at its own setting.
+        import duckdb as _dk
+
+        from osmpbf_spark.operators import dedup
+
+        def bits_of(n: int) -> int:
+            return dedup.EMB_BITS + sum(
+                n >= (dedup.EMBS_BASE << j) for j in range(dedup.EMBS_STEPS)
+            )
+
+        _c = _dk.connect()
+        n_src = _c.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{SRC}/embeddings.parquet')"
+        ).fetchone()[0]
+        n_out = _c.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{OUT}/embeddings.parquet')"
+        ).fetchone()[0]
+        _c.close()
+        old = dedup.EMB_BITS
+        # resolve BOTH ladder values before mutating the global bits_of
+        # reads as its base (first attempt computed the 10x value on top
+        # of the already-patched baseline: 7 + 8 instead of 3 + 8)
+        bits_src, bits_out = bits_of(n_src), bits_of(n_out)
+        try:
+            dedup.EMB_BITS = bits_src
+            print(f"  [{q}: baseline bits={bits_src}]", flush=True)
+            a = t_of(q, SRC)
+            dedup.EMB_BITS = bits_out
+            print(f"  [{q}: {K}x bits={bits_out}]", flush=True)
+            b = t_of(q, OUT)
+        finally:
+            dedup.EMB_BITS = old
+        return a, b
+
     def t_of_pbf_stream(q: str) -> tuple[float, float]:
         # swap the cached stream-source dir: baseline = the query's own
         # 2-copy dir (reset to force a rebuild), scaled = 2K copies
@@ -312,6 +362,8 @@ def main() -> None:
             a, b = t_of_pbf(q, None), t_of_pbf(q, pk)
         elif q == "s_pbf_stream":
             a, b = t_of_pbf_stream(q)
+        elif q == "s_dedup_embed_stream":
+            a, b = t_of_embed_stream(q)
         else:
             a, b = t_of(q, SRC), t_of(q, OUT)
         print(f"{q}: sf0.1={a}s {K}x={b}s ratio={round(b / a, 2)}")

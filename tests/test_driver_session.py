@@ -72,21 +72,27 @@ def test_correctness_window_names_all_registered():
     intended one got no correctness row. catalog._import_all now raises
     on phantom slots — this test proves the guard trips (and that the
     current window is clean, since all_queries() runs it)."""
+    import re
+
     import osmpbf_spark.catalog as cat
 
-    assert set(cat._R10_WINDOW) <= set(cat.all_queries())  # clean window
-    assert len(cat._R10_WINDOW) == 50  # the driver checks exactly 50
+    # discover the CURRENT round's window symbol (rotations rename it
+    # each round; r11 broke this test by hardcoding _R10_WINDOW)
+    names = sorted(n for n in vars(cat) if re.fullmatch(r"_R\d+_WINDOW", n))
+    assert len(names) == 1, f"expected exactly one window tuple: {names}"
+    wname = names[0]
+    window = getattr(cat, wname)
+    assert set(window) <= set(cat.all_queries())  # clean window
+    assert len(window) == 50  # the driver checks exactly 50
     import pytest
 
     # the guard must FAIL LOUDLY on a bogus name, not sort it quietly
-    bogus = cat._R10_WINDOW + ("q_this_query_does_not_exist",)
-    orig = cat._R10_WINDOW
     try:
-        cat._R10_WINDOW = bogus
+        setattr(cat, wname, window + ("q_this_query_does_not_exist",))
         with pytest.raises(RuntimeError, match="not in REGISTRY"):
             cat._import_all()
     finally:
-        cat._R10_WINDOW = orig
+        setattr(cat, wname, window)
 
 
 TZ_SCRIPT = """

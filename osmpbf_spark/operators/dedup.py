@@ -941,8 +941,12 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: band keys here are 3-bit (fixture has 2k random vectors
     and a 0.4 floor); a 100 TB corpus with true near-dups (cos >= 0.9) uses
     16+ bits/band so buckets stay ~corpus/2^bits and the band joins shuffle
-    on high-cardinality keys. The unit-norm fixture makes cosine == dot
-    (verified in tests/test_similarity.py)."""
+    on high-cardinality keys. r11 made that knob IN-PLAN:
+    q_dedup_embed_scaleb grows bits with COUNT(*) (exact indicator
+    ladder) after the 100x smoke showed the 8-key space quadratic by
+    parameter — this fixed-bits query stays as the 3-bit semantics
+    anchor, the scaleb form is the production shape. The unit-norm
+    fixture makes cosine == dot (verified in tests/test_similarity.py)."""
     emb = fanout(load(spark, sf_dir, "embeddings"))
     banded = emb.select(
         "vec_id",

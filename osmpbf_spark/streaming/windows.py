@@ -868,7 +868,19 @@ def s_dedup_embed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole bucket table into driver memory is gone. At ingest scale
     this is how a vector store flags near-dups on write: band-key state,
     new arrivals pair only within their buckets, exact cosine
-    verification downstream (q_dedup_embed's tail)."""
+    verification downstream (q_dedup_embed's tail).
+
+    Scale posture (r11, after the 100x smoke OOM'd this query at the
+    fixture's 3-bit bands — an 8-key space, bucket occupancy n/8, pair
+    emission quadratic BY PARAMETER): production sizes bits/band to the
+    expected corpus at deploy time, exactly the q_dedup_embed_scaleb
+    ladder (bits = 3 + one per doubling from 128 rows). The smoke
+    measures this query on that operating curve — each scale at its
+    ladder bits via the module EMB_BITS knob (scale_synth
+    t_of_embed_stream): sf0.1 at 7 bits 3.5s, 100x at 13 bits 71s,
+    ratio 20.5 — sublinear, dominated by the 52 gated plane dots
+    running as Catalyst HOF folds; if that signing cost ever matters
+    the stream can adopt scaleb's numpy signing."""
     from osmpbf_spark.operators.dedup import EMB_BANDS, _emb_band
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")

@@ -417,9 +417,12 @@ def main() -> None:
     # whether the run was quiet (r09 verdict Next #1: variance must be
     # measured, not narrated)
     host = _host_delta(host_start, _host_sample())
-    if host is not None:
-        host["quiet_gate"] = gate
-        result["host"] = host
+    if host is None:
+        # the gate record must survive even when /proc sampling fails —
+        # the artifact has to prove quietness or say exactly why not
+        host = {}
+    host["quiet_gate"] = gate
+    result["host"] = host
     result["value"] = total
     # full per-query sidecar for the NEXT run's re-time guard: the
     # driver's artifact keeps only the stdout tail, so fast queries

@@ -226,7 +226,7 @@ _R11_WINDOW = (
     # 2: r11-changed code
     "q_dedup_semantic_scalek",
     "q_dedup_embed_scaleb",
-    # 3: oldest remaining rows (r08), minus the three deferrals above
+    # 3: oldest remaining rows (r08), minus the four deferrals above
     "q_anomaly_zscore",
     "q_array_hof",
     "q_bfs_khop",

@@ -965,9 +965,12 @@ def q_dedup_semantic_scalek(spark: SparkSession, sf_dir: str) -> DataFrame:
       _semantic_prune_pandas).
     - The codebook ships as ONE spark.sparkContext.broadcast (torrent,
       cached per executor), not a per-task pickled closure — at the cap
-      a closure would re-ship 67 MB with every task. The fine-seed
-      routing table rides the same broadcast; workers regroup it into
-      the per-cell dict once per task (O(k), numpy argsort).
+      a closure would re-ship 67 MB with every task. The per-cell
+      fine-seed dict is built ONCE driver-side and broadcast as-is
+      (same payload; workers do zero regrouping), and each call
+      unpersists the previous invocation's broadcast so repeated runs
+      in one session (bench warmups, sweeps) hold at most one resident
+      codebook copy instead of leaking one per call.
     - Empty-coarse guard (r10 ADVICE): a non-empty embeddings table
       with no vec_id < SEM_K yields an empty coarse codebook; the
       numpy argmin over zero seeds raised where the oracle's empty
@@ -1011,21 +1014,31 @@ def q_dedup_semantic_scalek(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], out_schema)
 
     # route fine seeds to coarse cells (driver-side: k x SEM_K, trivial)
+    # and group them per cell HERE — workers receive the finished dict
     route = C_ids[np.argmin(_scalek_l2(S, C), axis=1)]
+    fine_by_cell_d = {}
+    for c in C_ids:
+        m = route == c
+        if m.any():
+            fine_by_cell_d[int(c)] = (sid[m], S[m])  # cid-ascending
+    if _SCALEK_BC[0] is not None:
+        # bound resident broadcast copies to ONE across repeated calls
+        # (bench warmups/re-times run this query 5-7x per session; at
+        # the 67 MB cap an un-released broadcast per call is a leak).
+        # unpersist, not destroy: an earlier still-lazy DataFrame that
+        # re-executes later just re-fetches from the driver.
+        _SCALEK_BC[0].unpersist(blocking=False)
     bc = spark.sparkContext.broadcast(
-        {"sid": sid, "S": S, "C_ids": C_ids, "C": C, "route": route}
+        {"C_ids": C_ids, "C": C, "fine": fine_by_cell_d}
     )
+    _SCALEK_BC[0] = bc
 
     def assign(batches):
         import pandas as pd  # noqa: F401 (worker-side)
 
         cb = bc.value
-        sid_w, S_w, C_ids_w, C_w = cb["sid"], cb["S"], cb["C_ids"], cb["C"]
-        fine_by_cell = {}
-        for c in C_ids_w:
-            m = cb["route"] == c
-            if m.any():
-                fine_by_cell[int(c)] = (sid_w[m], S_w[m])  # cid-ascending
+        C_ids_w, C_w = cb["C_ids"], cb["C"]
+        fine_by_cell = cb["fine"]
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -1052,6 +1065,12 @@ def q_dedup_semantic_scalek(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign, "vec_id long, embedding array<float>, cell long"
     )
     return _semantic_prune_pandas(assigned)
+
+
+# holder for the live codebook broadcast (see q_dedup_semantic_scalek:
+# each call unpersists its predecessor so sessions don't accumulate one
+# 67 MB broadcast per warmup/re-time)
+_SCALEK_BC: list = [None]
 
 
 def _scalek_l2(X, Y):

@@ -78,21 +78,22 @@ PBF_SHIFT = 10**9  # fixture node/way ids are ~4.4e8 / ~1e8: copies disjoint
 
 
 def build_pbf() -> str:
-    """10x key-shifted PBF from the fixture parquet images: each copy k
-    shifts every node id, way id, way ref, relation id, and way-member
+    """K-times key-shifted PBF from the fixture parquet images: each copy
+    k shifts every node id, way id, way ref, relation id, and way-member
     ref by k*PBF_SHIFT, so vertex resolution stays internally consistent
-    per copy and the ring/relation structure is exactly 10x the fixture
-    (coords unchanged — the area pipeline's cost scales with rows, not
-    coordinate values). One PrimitiveBlock per copy for nodes (~9.7k, the
-    real-world block size) plus one ways+relations block, giving the
-    decode 20 block-aligned split candidates."""
+    per copy and the ring/relation structure is exactly K-times the
+    fixture (coords unchanged — the area pipeline's cost scales with
+    rows, not coordinate values). One PrimitiveBlock per copy for nodes
+    (~9.7k, the real-world block size) plus one ways+relations block,
+    giving the decode 2K block-aligned split candidates. (K-generic
+    since r11; the 10x-only skip is gone.)"""
     import duckdb
 
     from osmpbf_spark.sources.pbf import encode
     from osmpbf_spark.sources.pbf.fixture import FIXTURE_DIR, ensure_fixture
 
-    path = f"{PBF_OUT}/fixture10x.osm.pbf"
-    if os.path.exists(f"{PBF_OUT}/{_PBF_MARKER}"):
+    path = f"{PBF_OUT}/fixture{K}x.osm.pbf"
+    if os.path.exists(f"{PBF_OUT}/{_PBF_MARKER}") and os.path.exists(path):
         return path
     shutil.rmtree(PBF_OUT, ignore_errors=True)
     os.makedirs(PBF_OUT, exist_ok=True)
@@ -342,12 +343,15 @@ def main() -> None:
 
     def t_of_pbf_stream(q: str) -> tuple[float, float]:
         # swap the cached stream-source dir: baseline = the query's own
-        # 2-copy dir (reset to force a rebuild), scaled = 2K copies
+        # 2-copy dir (slot RESET to None so the query provably rebuilds
+        # its default source rather than reusing whatever a prior code
+        # path left cached), scaled = 2K copies
         from osmpbf_spark.sources import pbf_queries as pq
 
         scaled = build_pbf_stream_dir()
         old = pq._STREAM_SRC_DIR[0]
         try:
+            pq._STREAM_SRC_DIR[0] = None
             a = t_of(q, SRC)
             pq._STREAM_SRC_DIR[0] = scaled
             b = t_of(q, SRC)

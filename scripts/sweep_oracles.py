@@ -123,10 +123,16 @@ def main() -> int:
             print(f"equiv[scalek==fixedk]: FAIL: {exc}", flush=True)
             traceback.print_exc()
 
+    # invariants are counted in their own denominator — folding them into
+    # the query tally misreported '149/150 green' with zero red QUERIES
+    # when only the cross-query equivalence failed
+    q_fail = [f for f in failures if f in qs]
+    inv_fail = [f for f in failures if f not in qs]
     print(
-        f"\n{len(names) - len(failures)}/{len(names)} green"
+        f"\n{len(names) - len(q_fail)}/{len(names)} green"
         f" in {time.time() - t0:.0f}s"
-        + (f"; FAILURES: {failures}" if failures else "")
+        + (f"; FAILURES: {q_fail}" if q_fail else "")
+        + (f"; INVARIANT FAILURES: {inv_fail}" if inv_fail else "")
     )
     return 1 if failures else 0
 

@@ -208,15 +208,21 @@ def all_oracles() -> dict[str, str]:
 #      LEAST — plus broadcast codebook, empty-coarse guard, row-blocked
 #      prune gram) and the NEW q_dedup_embed_scaleb (bits-per-band grown
 #      with n after the 100x smoke OOM'd the fixture-parameter embed
-#      stream — the scalek treatment for hyperplane LSH).
-#   3. The oldest remaining rows: 44 of the 48 r08 greens. Deferred to
+#      stream — the scalek treatment for hyperplane LSH) and
+#      s_session_append (append-mode session finalization through a
+#      parquet file sink — the scale form added after the 100x smoke
+#      broke complete-mode s_session_stream's driver memory sink).
+#   3. The oldest remaining rows: 43 of the 48 r08 greens. Deferred to
 #      r12 (the window holds 50): q_agg_cube / q_agg_gsets (sibling
 #      q_agg_rollup is r10-stamped; both keep dedicated pytest parity
 #      in test_relational), q_set_except (siblings q_set_union /
-#      q_set_intersect r10-stamped; pytest parity), and s_upsert_stream
+#      q_set_intersect r10-stamped; pytest parity), s_upsert_stream
 #      (displaced by the scaleb registration; r08-stamped with dedicated
-#      pytest parity in test_streaming). The r09/r10 greens stay in the
-#      every-CI pytest/sweep coverage.
+#      pytest parity in test_streaming), and s_tumble_stream (displaced
+#      by the s_session_append registration; its siblings s_tumble /
+#      s_tumble_append carry r09/r11-window stamps and it keeps pytest
+#      parity). The r09/r10 greens stay in the every-CI pytest/sweep
+#      coverage.
 _R11_WINDOW = (
     # 1: the four r07-stamped rows (verdict r10 Next #3)
     "q_corpus_mix",
@@ -226,6 +232,7 @@ _R11_WINDOW = (
     # 2: r11-changed code
     "q_dedup_semantic_scalek",
     "q_dedup_embed_scaleb",
+    "s_session_append",
     # 3: oldest remaining rows (r08), minus the four deferrals above
     "q_anomaly_zscore",
     "q_array_hof",
@@ -270,7 +277,6 @@ _R11_WINDOW = (
     "s_session_stream",
     "s_stateful",
     "s_tumble_append",
-    "s_tumble_stream",
 )
 
 _R11_RANK = {n: i for i, n in enumerate(_R11_WINDOW)}

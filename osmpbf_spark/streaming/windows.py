@@ -180,12 +180,16 @@ def _run_stream_to_parquet(
     name_prefix: str,
     schema: str,
     state_partitions: str | None = None,
+    no_data_batches: bool = False,
 ) -> DataFrame:
     """Run a streaming frame to completion through an append-mode PARQUET
     file sink (executor-side writes, availableNow trigger, process-lifetime
     temp dirs) and return the sink read back with ``schema``. Shared by
     every incremental stateful operator here — sink policy (timeouts,
-    cleanup, scoped confs) lives in exactly one place."""
+    cleanup, scoped confs) lives in exactly one place.
+    ``no_data_batches=True`` re-enables the trailing no-data batch for
+    append-mode WINDOW finalization (s_session_append; the stateful
+    operators emit eagerly and skip it as pure overhead)."""
     import atexit
     import shutil
     import tempfile
@@ -196,7 +200,9 @@ def _run_stream_to_parquet(
     ckpt_dir = tempfile.mkdtemp(prefix=f"osmpbf_{name}_ckpt_")
     for d in (out_dir, ckpt_dir):
         atexit.register(shutil.rmtree, d, ignore_errors=True)
-    with _scoped_state_partitions(spark, state_partitions):
+    with _scoped_state_partitions(
+        spark, state_partitions, no_data_batches=no_data_batches
+    ):
         q = (
             df.writeStream.outputMode("append")
             .format("parquet")
@@ -357,6 +363,71 @@ def s_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(events.schema).parquet(src)
     agg = session_agg(stream.withWatermark("ts", LATENESS))
     return _run_stream_to_memory(spark, agg, "s_session_stream", "complete")
+
+
+@query(
+    "s_session_append",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_US_10M}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+    g AS (
+      SELECT user_id,
+             MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL {GAP} AS session_end,
+             COUNT(*) AS n_events
+      FROM s GROUP BY user_id, sid)
+    SELECT user_id, session_start, session_end, n_events
+    FROM g CROSS JOIN mx
+    WHERE epoch_us(session_end) <= epoch_us(m) // 1000 * 1000 - {_US_30M}
+    """,
+    tags=("stream",),
+)
+def s_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-MODE session windows through a PARQUET FILE SINK — the
+    100 TB session shape, added after the r11 100x smoke broke the
+    complete-mode twin at scale: s_session_stream's memory sink funnels
+    the ENTIRE converged session table into driver block storage every
+    trigger, and at 10M events the driver lost the task result
+    (TaskResultLost, 8 GB JVM). Here each session is emitted EXACTLY
+    ONCE when the watermark (max event time − 30-minute lateness,
+    ms-truncated) passes its end, written executor-side, and never
+    revised — nothing funnels through the driver, which is how session
+    rollups actually deploy (the s_tumble_append semantics, carried to
+    MERGING session state, plus the production sink).
+
+    The oracle PROVES the finalization contract rather than assuming
+    it: the gaps-and-islands batch rewrite restricted to sessions whose
+    end ≤ the end-of-stream watermark — an early emission, a duplicate,
+    or a tail session leaking out (still open at stream end, by design
+    never emitted in append mode) would each hash-mismatch. The
+    trailing no-data micro-batch is deliberately re-enabled: it is what
+    advances the watermark after the data batch and flushes finalized
+    sessions. s_session_stream stays registered as the complete-mode
+    verification harness of the session-merge state machine (full,
+    unfiltered session set); this query is its scale form."""
+    events = load(spark, sf_dir, "events")
+    src = _stream_src(spark, events, f"events:{sf_dir}")
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = session_agg(stream.withWatermark("ts", LATENESS))
+    return _run_stream_to_parquet(
+        spark,
+        agg,
+        "s_session_append",
+        "user_id bigint, session_start timestamp,"
+        " session_end timestamp, n_events bigint",
+        no_data_batches=True,
+    )
 
 
 @query(

@@ -399,3 +399,32 @@ def test_inc_anomaly_multi_batch_prefix(spark, tmp_path):
     assert (int(row.user_id), int(row.event_id)) == (1, 13)
     import math
     assert abs(row.z - 48000 / math.sqrt(192e6)) < 1e-12
+
+
+def test_session_append_parity_and_finalization_subset(spark, duck):
+    """s_session_append (r11, the 100 TB session shape): exact oracle
+    parity — the append emissions equal the gaps-and-islands batch
+    sessions restricted to those finalized by the end-of-stream
+    watermark — and the emitted set must be a strict subset of the
+    complete-mode twin's full session table, with the difference being
+    EXACTLY the tail sessions still open at stream end (session_end
+    above the final watermark). Proves: no early emission, no
+    duplicates, no tail leak, and that the parquet file sink carries
+    the same rows the driver-funneled memory sink would."""
+    ap, _ = check_query(spark, duck, SF_DIR, "s_session_append")
+    full, _ = check_query(spark, duck, SF_DIR, "s_session_stream")
+    key = ["user_id", "session_start", "session_end", "n_events"]
+    a = set(map(tuple, ap[key].itertuples(index=False)))
+    f = set(map(tuple, full[key].itertuples(index=False)))
+    assert a <= f, "append emitted a session the full state never held"
+    tail = f - a
+    assert tail, "fixture should have open tail sessions"
+    wm_ms = duck.sql(
+        "SELECT (epoch_us(MAX(ts)) // 1000 * 1000) - 30*60*1000000"
+        " FROM events"
+    ).fetchone()[0]
+    for row in tail:
+        end_us = int(pd.Timestamp(row[2]).value // 1000)
+        assert end_us > wm_ms, (
+            f"finalized session missing from append output: {row}"
+        )

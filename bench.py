@@ -216,13 +216,15 @@ def _quiet_gate() -> dict:
     BEFORE SparkSession creation (our own footprint is ~0 here, so the
     reading is pure co-tenant load) and poll until the 1-minute average
     drops under SPARK_GRAFT_BENCH_QUIET_LA (default 3.0 on this 32-cpu
-    host) or the SPARK_GRAFT_BENCH_QUIET_WAIT_SEC budget (default 420s)
-    expires — then proceed regardless and let the host block in the
-    artifact tail say which case happened. Set the budget to 0 to
-    disable."""
+    host) or the SPARK_GRAFT_BENCH_QUIET_WAIT_SEC budget (default 300s
+    — bounded so a worst-case wait plus the ~10-minute suite stays
+    well inside any plausible driver timeout; a contended artifact
+    beats a missing one) expires — then proceed regardless and let the
+    host block in the artifact tail say which case happened. Set the
+    budget to 0 to disable."""
     thresh = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LA", "3.0"))
     budget = float(
-        os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT_SEC", "420")
+        os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT_SEC", "300")
     )
     waited = 0.0
     la = None

@@ -428,3 +428,48 @@ def test_session_append_parity_and_finalization_subset(spark, duck):
         assert end_us > wm_ms, (
             f"finalized session missing from append output: {row}"
         )
+
+
+def test_session_append_watermark_tie_boundary(spark, tmp_path):
+    """Pins the finalization comparator at the EXACT watermark tie —
+    random fixture data can never hit it: user 1's session ends
+    precisely ON the end-of-stream watermark (last event = max_ts −
+    40 min, so end = last + 10-min gap = ms-truncated max_ts − 30-min
+    lateness). Spark EMITS a session whose end equals the watermark,
+    and the oracle's <= keeps it — a strict < on either side would
+    diverge exactly here and nowhere else (probed r11; this test keeps
+    the comparator from silently flipping in either engine)."""
+    import duckdb
+    import numpy as np
+
+    from osmpbf_spark.catalog import REGISTRY, all_queries
+
+    all_queries()
+    M = pd.Timestamp("2024-01-01 12:00:00.000000")
+    T = M - pd.Timedelta(minutes=40)
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(4, dtype=np.int64),
+            "ts": [T - pd.Timedelta(minutes=1), T,
+                   M - pd.Timedelta(minutes=5), M],
+            "user_id": np.array([1, 1, 2, 2], dtype=np.int64),
+            "event_type": ["a"] * 4,
+            "value": [1.0] * 4,
+            "props": ["{}"] * 4,
+        }
+    )
+    pdf.to_parquet(tmp_path / "events.parquet", index=False)
+    q = REGISTRY["s_session_append"]
+    out = q.fn(spark, str(tmp_path)).toPandas()
+    assert len(out) == 1 and int(out["user_id"].iloc[0]) == 1
+    assert pd.Timestamp(out["session_end"].iloc[0]) == M - pd.Timedelta(
+        minutes=30
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    ora = con.sql(q.oracle).df()
+    con.close()
+    assert len(ora) == 1 and int(ora["user_id"].iloc[0]) == 1

@@ -473,3 +473,44 @@ def test_session_append_watermark_tie_boundary(spark, tmp_path):
     ora = con.sql(q.oracle).df()
     con.close()
     assert len(ora) == 1 and int(ora["user_id"].iloc[0]) == 1
+
+
+def test_tumble_append_watermark_tie_boundary(spark, tmp_path):
+    """Same tie-class pin as the session test above, for tumbling
+    windows: a window whose end equals the ms-truncated end-of-stream
+    watermark is EMITTED by Spark and KEPT by the oracle's <= — probed
+    r11 (the r08-era oracle had never been exercised at the exact tie;
+    both engines agree, this keeps it that way)."""
+    import duckdb
+    import numpy as np
+
+    from osmpbf_spark.catalog import REGISTRY, all_queries
+
+    all_queries()
+    M = pd.Timestamp("2024-01-01 12:00:00.000000")
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(3, dtype=np.int64),
+            "ts": [pd.Timestamp("2024-01-01 11:27:00"),
+                   M - pd.Timedelta(minutes=3), M],
+            "user_id": np.array([1, 2, 2], dtype=np.int64),
+            "event_type": ["a"] * 3,
+            "value": [1.0, 2.0, 3.0],
+            "props": ["{}"] * 3,
+        }
+    )
+    pdf.to_parquet(tmp_path / "events.parquet", index=False)
+    q = REGISTRY["s_tumble_append"]
+    out = q.fn(spark, str(tmp_path)).toPandas()
+    assert len(out) == 1
+    assert pd.Timestamp(out["window_end"].iloc[0]) == M - pd.Timedelta(
+        minutes=30
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    ora = con.sql(q.oracle).df()
+    con.close()
+    assert len(ora) == 1

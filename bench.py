@@ -236,8 +236,9 @@ def _quiet_gate() -> dict:
             break
         if la < thresh or waited >= budget:
             break
-        time.sleep(15)
-        waited += 15
+        step = min(15.0, budget - waited)
+        time.sleep(step)
+        waited += step
     return {
         "threshold": thresh,
         "waited_sec": round(waited, 1),

@@ -1026,8 +1026,14 @@ def q_dedup_semantic_scalek(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (bench warmups/re-times run this query 5-7x per session; at
         # the 67 MB cap an un-released broadcast per call is a leak).
         # unpersist, not destroy: an earlier still-lazy DataFrame that
-        # re-executes later just re-fetches from the driver.
-        _SCALEK_BC[0].unpersist(blocking=False)
+        # re-executes later just re-fetches from the driver. Guarded:
+        # the held broadcast may belong to an already-stopped
+        # SparkContext (multi-session test runs), where unpersist
+        # raises — a dead context freed its blocks anyway.
+        try:
+            _SCALEK_BC[0].unpersist(blocking=False)
+        except Exception:
+            pass
     bc = spark.sparkContext.broadcast(
         {"C_ids": C_ids, "C": C, "fine": fine_by_cell_d}
     )

@@ -948,26 +948,63 @@ def s_dedup_embed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ladder (bits = 3 + one per doubling from 128 rows). The smoke
     measures this query on that operating curve — each scale at its
     ladder bits via the module EMB_BITS knob (scale_synth
-    t_of_embed_stream): sf0.1 at 7 bits 3.5s, 100x at 13 bits 71s,
-    ratio 20.5 — sublinear, dominated by the 52 gated plane dots
-    running as Catalyst HOF folds; if that signing cost ever matters
-    the stream can adopt scaleb's numpy signing."""
-    from osmpbf_spark.operators.dedup import EMB_BANDS, _emb_band
+    t_of_embed_stream).
+
+    Signing is dimension-ascending numpy in ONE stateless mapInPandas
+    (r12, ported from q_dedup_embed_scaleb after the r11 smoke measured
+    the prior Catalyst HOF folds at 71s/ratio 20.5 at 13 ladder bits —
+    every HOF lambda fold runs interpreted per element, so 52 gated
+    plane dots were an n·k interpreter loop): D accumulated
+    acc += E[:,d]·P[:,d] with d ascending is the oracle's left-to-right
+    + chain, float32 widened exactly, sign at >= 0, so the band keys
+    stay bit-identical to _sql_band's unrolled CASE chains (the same
+    equivalence q_dedup_embed_scaleb's hash-green oracle already
+    proves). The plane slice ships in the task closure (<= 52 x 64 f64
+    = 27 KB, parameter-bounded). Plane indexing keeps _emb_band's
+    b*bits+i stride, and bits/planes are read from the dedup module at
+    query-build time so the smoke's EMB_BITS patching measures the
+    operating curve unchanged."""
+    from osmpbf_spark.operators import dedup as _dd
+
+    bands, bits, dim = _dd.EMB_BANDS, _dd.EMB_BITS, _dd.EMB_DIM
+    planes = _dd._EMB_PLANES[: bands * bits].copy()
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     src = _stream_src(spark, emb, f"embeddings:{sf_dir}")
     stream = spark.readStream.schema(emb.schema).parquet(src)
-    keys = stream.select(
-        F.col("vec_id").alias("doc_id"),
-        F.posexplode(
-            F.array(*[_emb_band(b) for b in range(EMB_BANDS)])
-        ).alias("band", "k"),
-    ).select(
-        "doc_id",
-        F.concat_ws(":", F.col("band").cast("string"), F.col("k")).alias(
-            "bkey"
-        ),
-    )
+
+    def sign(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.empty((len(pdf), dim), dtype=np.float64)
+            for j, v in enumerate(pdf["embedding"]):
+                E[j, :] = v  # float32 -> float64 widening, exact
+            D = np.zeros((len(pdf), planes.shape[0]), dtype=np.float64)
+            for d in range(dim):
+                D += E[:, d, None] * planes[None, :, d]
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            frames = []
+            for b in range(bands):
+                key = np.zeros(len(pdf), dtype=np.int64)
+                for i in range(bits):
+                    key += (D[:, b * bits + i] >= 0).astype(
+                        np.int64
+                    ) << i
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": ids,
+                            "bkey": [f"{b}:{k}" for k in key],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    keys = stream.mapInPandas(sign, "doc_id long, bkey string")
     # back on the 8-partition stream default: the 32-wide sizing dated
     # from when the ~3M in-bucket pairs materialized INSIDE the Python
     # operator (width followed compute). The pair-generator reshape moved

@@ -195,95 +195,91 @@ def all_oracles() -> dict[str, str]:
     return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
 
 
-# Round-11 rotation for the driver's 50-query correctness window (the
+# Round-12 rotation for the driver's 50-query correctness window (the
 # driver checks only the FIRST 50 registered queries each round; with
 # len(REGISTRY) registered, ordering decides what gets a fresh hard
-# row). Composition, per the r10 verdict's Next #3:
+# row). Composition, per the r11 verdict's Next #4:
 #
-#   1. The four r07-stamped queries — the registry's only stamps older
-#      than r08 (judge re-swept all four green in the r10 session; this
-#      tier is stamp freshness, not suspicion).
-#   2. Queries whose CODE changes in r11: q_dedup_semantic_scalek
-#      (SEM_K_MAX codebook cap — the oracle's kk subquery gained a
-#      LEAST — plus broadcast codebook, empty-coarse guard, row-blocked
-#      prune gram) and the NEW q_dedup_embed_scaleb (bits-per-band grown
-#      with n after the 100x smoke OOM'd the fixture-parameter embed
-#      stream — the scalek treatment for hyperplane LSH) and
-#      s_session_append (append-mode session finalization through a
-#      parquet file sink — the scale form added after the 100x smoke
-#      broke complete-mode s_session_stream's driver memory sink).
-#   3. The oldest remaining rows: 43 of the 48 r08 greens. Deferred to
-#      r12 (the window holds 50): q_agg_cube / q_agg_gsets (sibling
-#      q_agg_rollup is r10-stamped; both keep dedicated pytest parity
-#      in test_relational), q_set_except (siblings q_set_union /
-#      q_set_intersect r10-stamped; pytest parity), s_upsert_stream
-#      (displaced by the scaleb registration; r08-stamped with dedicated
-#      pytest parity in test_streaming), and s_tumble_stream (displaced
-#      by the s_session_append registration; its siblings s_tumble /
-#      s_tumble_append carry r09/r11-window stamps and it keeps pytest
-#      parity). The r09/r10 greens stay in the every-CI pytest/sweep
-#      coverage.
-_R11_WINDOW = (
-    # 1: the four r07-stamped rows (verdict r10 Next #3)
-    "q_corpus_mix",
-    "q_pbf_tag_filter",
-    "q_pbf_way_geom",
-    "q_pbf_zorder",
-    # 2: r11-changed code
-    "q_dedup_semantic_scalek",
-    "q_dedup_embed_scaleb",
-    "s_session_append",
-    # 3: oldest remaining rows (r08), minus the four deferrals above
-    "q_anomaly_zscore",
-    "q_array_hof",
-    "q_bfs_khop",
-    "q_bpe_encode",
-    "q_bpe_train",
-    "q_cluster_kmeans",
-    "q_decontaminate",
-    "q_dedup_clusters",
-    "q_dedup_embed",
-    "q_dedup_exact",
-    "q_dedup_minhash",
-    "q_dedup_ngram",
-    "q_dedup_simhash_exact",
-    "q_doc_pack",
-    "q_doc_pack_chunks",
-    "q_er_fuzzy_scaleb",
-    "q_explode_pos",
-    "q_grid_agg",
-    "q_incr_agg",
-    "q_join_5way",
-    "q_join_full",
-    "q_merge_upsert",
-    "q_multimodal",
-    "q_multimodal_agg",
-    "q_multimodal_decode",
-    "q_multimodal_frames",
-    "q_pagerank",
-    "q_pii_redact",
-    "q_pipeline_e2e",
-    "q_resample_locf",
-    "q_session_funnel",
-    "q_text_rarity",
-    "q_token_pmi",
-    "q_triangle_count",
-    "s_anomaly_stream",
+#   1. The five r08-stamped queries — the registry's only stamps older
+#      than r09 (the r11 judge re-swept all five green; this tier is
+#      stamp freshness, not suspicion).
+#   2. Queries whose CODE changes in r12: s_dedup_embed_stream (signing
+#      ported from interpreted Catalyst HOF plane-dot folds to
+#      q_dedup_embed_scaleb's dimension-ascending numpy mapInPandas —
+#      verdict r11 Next #1) and the NEW s_dedup_append (the
+#      s_session_append treatment for s_dedup_stream: TTL'd fingerprint
+#      state + per-arrival emit-once decisions through an append-mode
+#      parquet file sink — verdict r11 Next #2).
+#   3. The oldest remaining rows: 43 of the 46 registered r09 greens.
+#      Deferred to r13 (the window holds 50): s_tumble / s_slide /
+#      s_session — the three batch-twin window aggregations, whose SQL
+#      runs against its DuckDB oracle in EVERY CI pass
+#      (test_stream_twin_oracle_parity parametrizes over all
+#      stream-tagged queries) and whose streaming siblings carry fresh
+#      stamps (s_tumble_stream fronted in tier 1, s_tumble_append r11,
+#      s_session_append r11, s_session_stream r11). The r10/r11 greens
+#      stay in the every-CI pytest/sweep coverage.
+_R12_WINDOW = (
+    # 1: the five r08-stamped rows (verdict r11 Next #4)
+    "q_agg_cube",
+    "q_agg_gsets",
+    "q_set_except",
+    "s_tumble_stream",
+    "s_upsert_stream",
+    # 2: r12-changed code
     "s_dedup_embed_stream",
-    "s_dedup_near_stream",
-    "s_enrich_stream",
-    "s_funnel_stream",
-    "s_join_stream",
-    "s_session_stream",
-    "s_stateful",
-    "s_tumble_append",
+    "s_dedup_append",
+    # 3: oldest remaining rows (r09), minus the three deferrals above
+    "q_approx_percentile",
+    "q_attribution",
+    "q_corr",
+    "q_dedup_near",
+    "q_dedup_simhash",
+    "q_fd_check",
+    "q_histogram",
+    "q_inverted_index",
+    "q_mix_sources",
+    "q_pbf_changesets",
+    "q_pbf_compat_pig",
+    "q_pbf_grid_agg",
+    "q_pbf_join_way_nodes",
+    "q_pbf_meta",
+    "q_pbf_multipolygon",
+    "q_pbf_node_tags",
+    "q_pbf_pushdown",
+    "q_pbf_relations",
+    "q_pbf_scan_nodes",
+    "q_pbf_way_area",
+    "q_pbf_ways_bag",
+    "q_profile",
+    "q_resample_interp",
+    "q_sample_topk_group",
+    "q_sim_search",
+    "q_sim_search_ivf",
+    "q_sim_search_lsh",
+    "q_skyline",
+    "q_text_bm25",
+    "q_text_fingerprint",
+    "q_text_lang",
+    "q_text_quality",
+    "q_text_repetition",
+    "q_text_stats",
+    "q_text_token_freq",
+    "q_text_tokens_bpe",
+    "q_trend_ols",
+    "q_twap",
+    "q_window_ntile",
+    "s_dedup_stream",
+    "s_late",
+    "s_pbf_stream",
+    "s_time_rollup",
 )
 
-_R11_RANK = {n: i for i, n in enumerate(_R11_WINDOW)}
+_R12_RANK = {n: i for i, n in enumerate(_R12_WINDOW)}
 
 
 def _window_tier(name: str) -> int:
-    return _R11_RANK.get(name, len(_R11_WINDOW))
+    return _R12_RANK.get(name, len(_R12_WINDOW))
 
 
 def _import_all() -> None:
@@ -309,7 +305,7 @@ def _import_all() -> None:
     # The sweep CLI has the same guard for argv names
     # (scripts/sweep_oracles.py) — the window, which the driver actually
     # consumes, must fail just as loudly.
-    phantom = [n for n in _R11_WINDOW if n not in REGISTRY]
+    phantom = [n for n in _R12_WINDOW if n not in REGISTRY]
     if phantom:
         raise RuntimeError(
             f"correctness-window names not in REGISTRY: {phantom} — "

@@ -703,7 +703,13 @@ def s_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     per distinct fingerprint (bounded by corpus cardinality, sharded by
     the fingerprint hash across state partitions); in production you'd
     age state out with a watermark on ingest time + TTL — here the corpus
-    is finite and state must stay complete for the oracle equality."""
+    is finite and state must stay complete for the oracle equality.
+    The complete-mode memory sink re-collects the converged table into
+    the driver every trigger, so this query is the oracle-verification
+    harness; the deployable shape is s_dedup_append (r12): TTL'd
+    fingerprint state + per-arrival emit-once decisions through an
+    append-mode parquet file sink — nothing corpus-proportional on the
+    driver."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     src = _stream_src(spark, docs, f"documents:{sf_dir}")
     stream = spark.readStream.schema(docs.schema).parquet(src)
@@ -716,6 +722,140 @@ def s_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_stream_to_memory(spark, agg, "s_dedup_stream", "complete")
+
+
+@query(
+    "s_dedup_append",
+    oracle="""
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id,
+           CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY sha256(text))
+                AS INT) AS is_dup
+    FROM documents
+    """,
+    tags=("stream", "dedup"),
+)
+def s_dedup_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION twin of s_dedup_stream (r12, the s_session_append
+    treatment applied to the registry's last corpus-proportional
+    driver-funnel shape): per-arrival emit-once dedup DECISIONS through
+    an append-mode parquet FILE SINK, with the fingerprint table held as
+    TTL-aged executor-side state — nothing corpus-proportional ever
+    crosses the driver. s_dedup_stream's complete-mode memory sink
+    re-collects the full converged fingerprint table into driver block
+    storage every trigger (fine as the oracle-verification harness for
+    the streaming aggregation; fatal at corpus scale — the same failure
+    class the r11 100x smoke caught in s_session_stream as
+    TaskResultLost); this query is the shape an ingest pipeline deploys.
+
+    Semantics: each arriving document emits EXACTLY ONE decision row
+    (doc_id, keep_id, is_dup) at its arrival — keep_id is the survivor
+    its content fingerprint resolved to, is_dup = 1 iff that survivor is
+    an earlier arrival. First arrival wins across micro-batches; within
+    a micro-batch, same-trigger arrivals are admitted in doc_id order (a
+    deterministic tiebreak — concurrent arrivals in one trigger have no
+    meaningful order, and sorting makes the emitted decisions
+    independent of shuffle row order). State is one (fingerprint,
+    keeper, last-seen) entry per live fingerprint, KEY-BUCKETED into
+    n_groups state groups (the s_stateful shape), last-seen refreshed on
+    every hit and pruned past the TTL, with a group-level timeout
+    dropping whole idle groups — state is O(live fingerprints within the
+    dedup horizon), the sink is O(arrivals), writes are executor-side.
+
+    Oracle contract: with the fixture arriving as ONE in-order
+    availableNow batch (see _stream_src), first-wins + doc_id-ordered
+    admission makes every group's keeper exactly MIN(doc_id) over its
+    fingerprint, so the batch window-function oracle pins the full
+    decision table value-for-value. Each contract violation
+    hash-mismatches: a duplicate or dropped emission breaks the
+    row-per-document count, a wrong survivor breaks keep_id, a TTL that
+    fired mid-corpus would re-admit a later doc_id as its own keeper.
+
+    100 TB shape: state shards across the executor fleet by fingerprint
+    hash, bounded to dedup-horizon x ingest-rate by the TTL; emission
+    and sink cost track the arrival rate, not the corpus; the driver
+    holds offsets only. Reference: gballet/osmpbfinputformat has no
+    streaming or dedup surface; this is the mandated LLM-pipeline
+    extension family (SURVEY §2C)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    src = _stream_src(spark, docs, f"documents:{sf_dir}")
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    keyed = stream.select(
+        "doc_id", F.sha2("text", 256).alias("fp")
+    )
+    decided = _inc_dedup_decisions(spark, keyed, "s_dedup_append")
+    return decided.select(
+        "doc_id",
+        "keep_id",
+        (F.col("doc_id") != F.col("keep_id")).cast("int").alias("is_dup"),
+    )
+
+
+def _inc_dedup_decisions(
+    spark: SparkSession,
+    keyed,
+    name_prefix: str,
+    ttl_minutes: int = 60,
+) -> DataFrame:
+    """The stateful core of s_dedup_append, reusable against any keyed
+    streaming frame ``(doc_id long, fp string)`` (the _inc_lsh_pairs
+    precedent — tests feed multi-batch streams here to pin the
+    first-batch-wins / TTL / emit-once contracts the single-batch oracle
+    can't reach). Returns the decision frame (doc_id, keep_id) read back
+    from the append-mode parquet sink."""
+    import pandas as pd
+
+    ttl_ms = ttl_minutes * 60 * 1000
+
+    def emit(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            fps, keeps, last = state.get
+            table = {f: [k, t] for f, k, t in zip(fps, keeps, last)}
+        else:
+            table = {}
+        # batch processing timestamp, not wall-clock (the _inc_lsh_pairs
+        # argument: task retries must prune identically per attempt)
+        now_ms = state.getCurrentProcessingTimeMs()
+        table = {
+            f: v for f, v in table.items() if now_ms - v[1] <= ttl_ms
+        }
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            "doc_id"
+        )
+        out_doc: list[int] = []
+        out_keep: list[int] = []
+        for did, fp in zip(pdf["doc_id"], pdf["fp"]):
+            ent = table.get(fp)
+            if ent is None:
+                ent = [int(did), now_ms]
+                table[fp] = ent
+            else:
+                ent[1] = now_ms
+            out_doc.append(int(did))
+            out_keep.append(ent[0])
+        state.update(
+            (
+                list(table.keys()),
+                [v[0] for v in table.values()],
+                [v[1] for v in table.values()],
+            )
+        )
+        state.setTimeoutDuration(max(ttl_ms, 1))
+        yield pd.DataFrame({"doc_id": out_doc, "keep_id": out_keep})
+
+    return _bucketed_state_stream(
+        spark,
+        keyed,
+        ["fp"],
+        emit,
+        "doc_id long, keep_id long",
+        "fps array<string>, keeps array<long>, last_ms array<long>",
+        name_prefix,
+        timeout="ttl",
+    )
 
 
 def _bucketed_state_stream(

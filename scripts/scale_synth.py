@@ -69,7 +69,7 @@ DEFAULT_SET = [
     # growth vs TTL for the two dedup streams, offset-log/micro-batch
     # planning growth for the PBF stream
     "s_dedup_near_stream", "s_dedup_embed_stream", "s_pbf_stream",
-    "s_session_append",
+    "s_session_append", "s_dedup_append",
 ]
 
 # queries that read the PBF fixture, not the sf parquet dir

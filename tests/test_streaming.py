@@ -268,6 +268,69 @@ def test_inc_lsh_ttl_evicts_idle_buckets(spark, tmp_path):
     assert pairs == {(1, 2)}
 
 
+def test_inc_dedup_decisions_multi_batch(spark, tmp_path):
+    """s_dedup_append's stateful core across THREE micro-batches — the
+    contracts the single-batch oracle can't reach: (1) emit-once — every
+    arrival gets exactly one decision row in its own batch; (2)
+    first-batch-wins — a later batch's smaller doc_id still resolves to
+    the earlier keeper; (3) within-batch doc_id-ordered admission — the
+    batch min is the keeper for same-trigger collisions."""
+    from osmpbf_spark.streaming import windows as W
+
+    src = str(tmp_path / "dedup_src")
+    schema = "doc_id long, fp string"
+    # batch A: fp X collides in-trigger (7, 9 -> keeper 7); fp Y singleton.
+    # batch B: doc 3 < 7 arrives for X — first-batch keeper 7 must hold.
+    # batch C: doc 8 joins Y -> keeper 4; doc 5 opens fresh fp Z.
+    batches = [
+        [(9, "X"), (7, "X"), (4, "Y")],
+        [(3, "X")],
+        [(8, "Y"), (5, "Z")],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    got = W._inc_dedup_decisions(spark, stream, "inc_dedup_test").toPandas()
+    decisions = {
+        int(d): int(k) for d, k in zip(got["doc_id"], got["keep_id"])
+    }
+    assert len(got) == 6, "one decision row per arrival, exactly once"
+    assert decisions == {9: 7, 7: 7, 4: 4, 3: 7, 8: 4, 5: 5}
+
+
+def test_inc_dedup_decisions_ttl_reopens_fingerprint(spark, tmp_path):
+    """With a zero TTL, a fingerprint idle since the prior micro-batch is
+    pruned before the next batch's arrivals — the later doc becomes its
+    own keeper (the dedup-horizon semantics), while same-batch collisions
+    still resolve to the batch min."""
+    from osmpbf_spark.streaming import windows as W
+
+    src = str(tmp_path / "dedup_ttl_src")
+    schema = "doc_id long, fp string"
+    for rows in [[(1, "X"), (2, "X")], [(3, "X")]]:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    got = W._inc_dedup_decisions(
+        spark, stream, "inc_dedup_ttl_test", ttl_minutes=0
+    ).toPandas()
+    decisions = {
+        int(d): int(k) for d, k in zip(got["doc_id"], got["keep_id"])
+    }
+    assert decisions == {1: 1, 2: 1, 3: 3}
+
+
 def test_inc_upsert_emits_only_winning_updates(spark, tmp_path):
     """_inc_upsert_updates must emit a key's row only in micro-batches
     where the arrival BEATS the key's current state winner — a stale or

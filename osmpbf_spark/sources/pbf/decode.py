@@ -24,9 +24,10 @@ This is the engine-side replacement for the reference's scan pipeline
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
-from dataclasses import dataclass
+from dataclasses import asdict, dataclass
 
 import numpy as np
 
@@ -172,6 +173,69 @@ def index_blocks(path: str) -> list[BlockMeta]:
                     stats = _parse_block_stats(v)
             blocks.append(BlockMeta(btype, f.tell(), datasize, stats))
             f.seek(datasize, 1)
+    return blocks
+
+
+# in-process block-index cache, keyed by (path, size, mtime_ns). Bounded
+# FIFO: planning re-runs (every Spark action re-plans; streams re-plan per
+# micro-batch) hit this tier, while the sidecar tier below survives
+# processes. 256 files x ~60k BlockMeta ≈ tens of MB worst case — a
+# driver-side planning cache, never shipped to executors.
+_INDEX_CACHE: dict[tuple, list[BlockMeta]] = {}
+_INDEX_CACHE_MAX = 256
+
+
+def index_blocks_cached(
+    path: str, cache_dir: str | None = None
+) -> list[BlockMeta]:
+    """``index_blocks`` behind two cache tiers keyed by the file's
+    (path, size, mtime_ns) identity: an in-process dict (re-plans within
+    one driver) and an optional JSON sidecar directory (``cache_dir``,
+    the ``index_cache_dir`` reader option — survives driver restarts, so
+    a 100 TB lake pays the header walk once per file EVER, not once per
+    session). A file whose backend reports no stable identity
+    (memory://, stat failure) is walked every time — the cache can skip
+    work, never change results."""
+    ident = fs.fs_stat(path)
+    if ident is None:
+        return index_blocks(path)
+    key = (path, ident[0], ident[1])
+    hit = _INDEX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    blocks: list[BlockMeta] | None = None
+    sidecar = None
+    if cache_dir:
+        import hashlib
+        import json
+
+        digest = hashlib.sha256(repr(key).encode()).hexdigest()[:32]
+        sidecar = os.path.join(cache_dir, f"pbfidx_{digest}.json")
+        try:
+            with open(sidecar) as fh:
+                blocks = [BlockMeta(**b) for b in json.load(fh)]
+        except (OSError, ValueError, TypeError):
+            blocks = None  # absent or unreadable: rebuild below
+    if blocks is None:
+        blocks = index_blocks(path)
+        if sidecar is not None:
+            import json
+            import tempfile
+
+            try:
+                os.makedirs(cache_dir, exist_ok=True)
+                fd, tmp = tempfile.mkstemp(
+                    dir=cache_dir, suffix=".tmp"
+                )
+                with os.fdopen(fd, "w") as fh:
+                    json.dump([asdict(b) for b in blocks], fh)
+                os.replace(tmp, sidecar)  # atomic: concurrent planners
+                # either see the full sidecar or none
+            except OSError:
+                pass  # read-only cache dir: planning still succeeded
+    if len(_INDEX_CACHE) >= _INDEX_CACHE_MAX:
+        _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
+    _INDEX_CACHE[key] = blocks
     return blocks
 
 

@@ -125,6 +125,38 @@ def fs_open(path: str, mode: str = "rb"):
     return f
 
 
+def fs_stat(path: str) -> tuple[int, int] | None:
+    """(size, mtime_ns) identity for sidecar-index invalidation, or None
+    when the backend can't provide a stable one (callers must then skip
+    caching and walk the file — correctness never depends on a stat).
+    Local files use os.stat; fsspec backends use info() size + whatever
+    mtime the store reports (object stores report last-modified; a
+    missing mtime degrades to size-only identity, still invalidated by
+    any size change)."""
+    scheme = scheme_of(path)
+    if scheme is None or scheme == "file":
+        try:
+            st = os.stat(strip_file_scheme(path))
+        except OSError:
+            return None
+        return (st.st_size, st.st_mtime_ns)
+    if scheme == "memory":
+        # process-local test store: no mtime; rewrites of same-size
+        # content would alias, so report no identity (no caching)
+        return None
+    try:  # pragma: no cover - exercised only with fsspec remotes
+        info = _fsspec_fs(scheme).info(path)
+        size = int(info.get("size") or 0)
+        mt = info.get("mtime") or info.get("LastModified") or 0
+        try:
+            mt_ns = int(float(mt) * 1e9)
+        except (TypeError, ValueError):
+            mt_ns = int(getattr(mt, "timestamp", lambda: 0)() * 1e9)
+        return (size, mt_ns)
+    except Exception:  # pragma: no cover
+        return None
+
+
 def fs_isdir(path: str) -> bool:
     scheme = scheme_of(path)
     if scheme is None or scheme == "file":

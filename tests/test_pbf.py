@@ -65,6 +65,91 @@ def test_block_structure(fixture_dir):
     ]
 
 
+def test_index_cache_tiers_and_invalidation(fixture_dir, tmp_path, monkeypatch):
+    """index_blocks_cached: the sidecar + in-process tiers return the exact
+    index_blocks result, a second call walks NOTHING (in-proc hit), a new
+    process image (cleared dict) reloads from the sidecar without a walk,
+    and touching the file's mtime invalidates both tiers."""
+    import shutil
+
+    src = f"{fixture_dir}/fixture.osm.pbf"
+    p = str(tmp_path / "f.osm.pbf")
+    shutil.copy(src, p)
+    cache = str(tmp_path / "idx")
+    walks = []
+    real = decode.index_blocks
+    monkeypatch.setattr(
+        decode, "index_blocks", lambda path: walks.append(path) or real(path)
+    )
+    got = decode.index_blocks_cached(p, cache)
+    assert got == real(p)
+    assert len(walks) == 1
+    sidecars = list((tmp_path / "idx").glob("pbfidx_*.json"))
+    assert len(sidecars) == 1, "one sidecar per file identity"
+    # in-proc tier: no new walk
+    assert decode.index_blocks_cached(p, cache) == got
+    assert len(walks) == 1
+    # fresh process image: sidecar tier serves, still no walk
+    decode._INDEX_CACHE.clear()
+    assert decode.index_blocks_cached(p, cache) == got
+    assert len(walks) == 1
+    # identity change (mtime bump) invalidates both tiers
+    st = os.stat(p)
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    assert decode.index_blocks_cached(p, cache) == got
+    assert len(walks) == 2
+    # corrupt sidecar: rebuild, never fail
+    decode._INDEX_CACHE.clear()
+    for sc in (tmp_path / "idx").glob("pbfidx_*.json"):
+        sc.write_text("{not json")
+    assert decode.index_blocks_cached(p, cache) == got
+
+
+def test_plan_files_threaded_matches_serial(fixture_dir, tmp_path):
+    """The thread-pooled multi-file planner must produce exactly the
+    partitions of per-file serial planning, in file order — threading is
+    a latency fix, never a plan change."""
+    import shutil
+
+    from osmpbf_spark.sources.pbf.datasource import OsmPbfReader
+
+    src = f"{fixture_dir}/fixture.osm.pbf"
+    paths = []
+    for i in range(7):
+        p = str(tmp_path / f"c{i}.osm.pbf")
+        shutil.copy(src, p)
+        paths.append(p)
+    rdr = OsmPbfReader({"path": str(tmp_path)}, None)
+    threaded = rdr._plan_files(paths)
+    serial = [part for p in paths for part in rdr._plan_files([p])]
+    assert [(pt.path, pt.ranges) for pt in threaded] == [
+        (pt.path, pt.ranges) for pt in serial
+    ]
+
+    # the POOL path proper: a non-local scheme is wait-dominated by
+    # construction, so multi-file memory:// planning goes through the
+    # ThreadPoolExecutor — must equal the per-file serial plan too
+    from osmpbf_spark.sources.pbf import fs as pbf_fs
+
+    data = open(src, "rb").read()
+    mem_paths = []
+    for i in range(5):
+        mp = f"memory://plan/c{i}.osm.pbf"
+        with pbf_fs.fs_open(mp, "wb") as f:
+            f.write(data)
+        mem_paths.append(mp)
+    try:
+        pooled = rdr._plan_files(mem_paths)
+        mem_serial = [
+            part for p in mem_paths for part in rdr._plan_files([p])
+        ]
+        assert [(pt.path, pt.ranges) for pt in pooled] == [
+            (pt.path, pt.ranges) for pt in mem_serial
+        ]
+    finally:
+        pbf_fs.memory_clear()
+
+
 def test_header_features(fixture_dir):
     idx = decode.index_blocks(f"{fixture_dir}/fixture.osm.pbf")
     with open(f"{fixture_dir}/fixture.osm.pbf", "rb") as f:

@@ -206,19 +206,25 @@ def all_oracles() -> dict[str, str]:
 #   2. Queries whose CODE changes in r12: s_dedup_embed_stream (signing
 #      ported from interpreted Catalyst HOF plane-dot folds to
 #      q_dedup_embed_scaleb's dimension-ascending numpy mapInPandas —
-#      verdict r11 Next #1) and the NEW s_dedup_append (the
+#      verdict r11 Next #1), the NEW s_dedup_append (the
 #      s_session_append treatment for s_dedup_stream: TTL'd fingerprint
 #      state + per-arrival emit-once decisions through an append-mode
-#      parquet file sink — verdict r11 Next #2).
-#   3. The oldest remaining rows: 43 of the 46 registered r09 greens.
+#      parquet file sink — verdict r11 Next #2), and q_dedup_embed_scaleb
+#      (plane indexing re-keyed band-INTERLEAVED, i*EMB_BANDS + b, plan
+#      and oracle together: the r11 EMBS_MAXBITS stride reassigned every
+#      band >= 1's planes on a ladder extension, falsifying the
+#      documented extend-EMBS_STEPS invariant — caught writing the r12
+#      extension test, verdict r11 Next #6).
+#   3. The oldest remaining rows: 42 of the 46 registered r09 greens.
 #      Deferred to r13 (the window holds 50): s_tumble / s_slide /
-#      s_session — the three batch-twin window aggregations, whose SQL
-#      runs against its DuckDB oracle in EVERY CI pass
-#      (test_stream_twin_oracle_parity parametrizes over all
+#      s_session / s_time_rollup — four stream-tagged batch-twin
+#      aggregations, whose SQL runs against its DuckDB oracle in EVERY
+#      CI pass (test_stream_twin_oracle_parity parametrizes over all
 #      stream-tagged queries) and whose streaming siblings carry fresh
 #      stamps (s_tumble_stream fronted in tier 1, s_tumble_append r11,
-#      s_session_append r11, s_session_stream r11). The r10/r11 greens
-#      stay in the every-CI pytest/sweep coverage.
+#      s_session_append r11, s_session_stream r11; s_time_rollup
+#      displaced by the scaleb re-front). The r10/r11 greens stay in
+#      the every-CI pytest/sweep coverage.
 _R12_WINDOW = (
     # 1: the five r08-stamped rows (verdict r11 Next #4)
     "q_agg_cube",
@@ -229,6 +235,7 @@ _R12_WINDOW = (
     # 2: r12-changed code
     "s_dedup_embed_stream",
     "s_dedup_append",
+    "q_dedup_embed_scaleb",
     # 3: oldest remaining rows (r09), minus the three deferrals above
     "q_approx_percentile",
     "q_attribution",
@@ -272,7 +279,6 @@ _R12_WINDOW = (
     "s_dedup_stream",
     "s_late",
     "s_pbf_stream",
-    "s_time_rollup",
 )
 
 _R12_RANK = {n: i for i, n in enumerate(_R12_WINDOW)}

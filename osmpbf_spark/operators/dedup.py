@@ -1002,12 +1002,20 @@ def _embs_sql_bits() -> str:
 
 
 def _embs_sql_band(b: int) -> str:
-    """Gated band key: bit i contributes only when i < kk.bits; plane
-    index strides by EMBS_MAXBITS so a given (band, bit) always means the
-    same hyperplane regardless of the corpus-derived bits value."""
+    """Gated band key: bit i contributes only when i < kk.bits. Plane
+    index is BAND-INTERLEAVED (row i*EMB_BANDS + b), so a given
+    (band, bit) always means the same hyperplane regardless of the
+    corpus-derived bits value AND regardless of later ladder extensions:
+    growing EMBS_STEPS appends rows to the pool (RandomState fills
+    sequentially — the prefix is bit-identical), and the interleave maps
+    every pre-existing (band, bit) to a prefix row. The r11 layout
+    strode by EMBS_MAXBITS (b*EMBS_MAXBITS + i), which was stable in
+    bits but REASSIGNED every band >= 1's planes on a ladder extension —
+    the documented extend-the-ladder invariant was false under it
+    (caught writing the r12 extension test; pinned in test_dedup)."""
     return " + ".join(
         f"(CASE WHEN {i} < kk.bits AND"
-        f" ({_sql_plane_dot(b * EMBS_MAXBITS + i)}) >= 0"
+        f" ({_sql_plane_dot(i * EMB_BANDS + b)}) >= 0"
         f" THEN {1 << i} ELSE 0 END)"
         for i in range(EMBS_MAXBITS)
     )
@@ -1103,7 +1111,7 @@ def q_dedup_embed_scaleb(spark: SparkSession, sf_dir: str) -> DataFrame:
                 key = np.zeros(len(pdf), dtype=np.int64)
                 for i in range(bits):
                     key += (
-                        D[:, b * EMBS_MAXBITS + i] >= 0
+                        D[:, i * EMB_BANDS + b] >= 0
                     ).astype(np.int64) << i
                 out[f"b{b}"] = key
             yield pd.DataFrame(out)

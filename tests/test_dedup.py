@@ -584,6 +584,52 @@ def test_dedup_embed_scaleb_parity_bits_and_plane_prefix(spark, duck):
     assert bits_of(200_000) == 13  # 100x smoke corpus; ladder ceiling
     assert bits_of(10**9) == 13  # capped — extend EMBS_STEPS beyond
 
+    # ---- occupancy band within the ladder, and what the cap costs ----
+    # Between doublings, expected band-bucket occupancy n/2^bits stays in
+    # [8, 16): each doubling of n adds one bit. At the 13-bit ceiling
+    # occupancy grows linearly again — one corpus doubling past the
+    # ceiling already leaves the band, which is exactly when EMBS_STEPS
+    # must be extended (the in-plan signal is cheap: COUNT(*) vs
+    # EMBS_BASE << EMBS_STEPS).
+    for j in range(EMBS_STEPS):
+        lo, hi = EMBS_BASE << j, (EMBS_BASE << (j + 1)) - 1
+        assert lo / 2 ** bits_of(lo) == 8.0
+        assert hi / 2 ** bits_of(hi) < 16.0
+    ceiling_n = EMBS_BASE << EMBS_STEPS  # 131072
+    assert ceiling_n / 2 ** bits_of(ceiling_n) == 16.0  # last in-band
+    assert (2 * ceiling_n) / 2 ** bits_of(2 * ceiling_n) == 32.0  # out
+
+    # ---- the extension invariant the interleaved layout guarantees ----
+    # Growing EMBS_STEPS by +2: (1) bits_of is unchanged for every corpus
+    # below the old ceiling (the new indicators need n >= 2^17/2^18), so
+    # no historical plan re-keys; (2) the extended plane pool maps every
+    # pre-existing (band, bit) to the SAME hyperplane — rows are drawn
+    # sequentially (prefix bit-identical) and the band-INTERLEAVED index
+    # i*EMB_BANDS + b keeps old (band, bit) pairs inside that prefix.
+    # (The r11 b*EMBS_MAXBITS + i stride failed (2): extension moved
+    # every band >= 1's plane rows — caught writing this test.)
+    ext_steps = EMBS_STEPS + 2
+
+    def bits_of_ext(n: int) -> int:
+        return EMB_BITS + sum(n >= (EMBS_BASE << j) for j in range(ext_steps))
+
+    for n in (0, 127, 500, 2000, 200_000 - 100_000, ceiling_n - 1):
+        assert bits_of_ext(n) == bits_of(n)
+    # past the old ceiling the extension restores the occupancy band
+    assert (2 * ceiling_n) / 2 ** bits_of_ext(2 * ceiling_n) == 8.0
+
+    ext_maxbits = EMB_BITS + ext_steps
+    pool_ext = np.random.RandomState(11).standard_normal(
+        (EMB_BANDS * ext_maxbits, EMB_DIM)
+    )
+    from osmpbf_spark.operators.dedup import EMBS_MAXBITS
+
+    for b in range(EMB_BANDS):
+        for i in range(EMBS_MAXBITS):
+            assert (
+                pool_ext[i * EMB_BANDS + b] == _EMB_PLANES[i * EMB_BANDS + b]
+            ).all(), f"(band {b}, bit {i}) plane reassigned by extension"
+
     pdf, _ = check_query(spark, duck, SF_DIR, "q_dedup_embed_scaleb")
     # precision against all-pairs numpy ground truth (same margin logic
     # as the fixed-bits test above)

@@ -408,7 +408,11 @@ class OsmPbfReader(DataSourceReader):
         local files are the opposite regime — the walk is pure GIL-bound
         header parsing, where 16 threads measured 14x SLOWER than the
         serial loop (130ms vs 9ms for 200 fixture files) — so the
-        fixture/test shape stays serial by construction."""
+        fixture/test shape stays serial by construction. Measured on
+        the wait-dominated side (2ms injected per read over the same
+        200-file layout, under-selling real object-store range-GET
+        latency): serial 3.9s -> 16 threads 0.28s, 14.2x — the gate
+        picks the winning side of a 14x swing in either direction."""
         cache_dir = self.index_cache_dir
         if not paths:  # stream no-data micro-batch: nothing new to plan
             return []

@@ -360,7 +360,25 @@ def main() -> None:
             pq._STREAM_SRC_DIR[0] = old
         return a, b
 
+    def _blockmgr_bytes() -> int:
+        # shuffle/spill footprint of THIS app: local-mode block manager
+        # dirs live under the JVM's java.io.tmpdir as blockmgr-*
+        import glob as _g
+
+        total = 0
+        for d in _g.glob("/tmp/blockmgr-*"):
+            for root, _dirs, files in os.walk(d):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+        return total
+
     names = args or DEFAULT_SET
+    suite_t0 = time.perf_counter()
+    peak_shuffle = 0
+    results: list[tuple[str, float, float]] = []
     for q in names:
         if q in PBF_SET:
             pk = build_pbf()
@@ -371,7 +389,21 @@ def main() -> None:
             a, b = t_of_embed_stream(q)
         else:
             a, b = t_of(q, SRC), t_of(q, OUT)
+        results.append((q, a, b))
+        peak_shuffle = max(peak_shuffle, _blockmgr_bytes())
         print(f"{q}: sf0.1={a}s {K}x={b}s ratio={round(b / a, 2)}")
+    # single-suite integration signal (r11 verdict Next #5): every query
+    # in ONE long-lived session — accumulated shuffle dirs, broadcast
+    # and state-store residue, and the linear tails (minhash signing)
+    # all share the same JVM instead of each family getting a fresh one
+    print(
+        f"SUITE: {len(results)} queries, {K}x sum "
+        f"{round(sum(b for _, _, b in results), 1)}s "
+        f"(sf0.1 sum {round(sum(a for _, a, _ in results), 1)}s), "
+        f"session wall {round(time.perf_counter() - suite_t0, 1)}s "
+        f"incl. baselines+warmups, peak blockmgr "
+        f"{round(peak_shuffle / (1 << 20), 1)} MB"
+    )
     spark.stop()
 
 

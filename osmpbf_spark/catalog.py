@@ -236,7 +236,7 @@ _R12_WINDOW = (
     "s_dedup_embed_stream",
     "s_dedup_append",
     "q_dedup_embed_scaleb",
-    # 3: oldest remaining rows (r09), minus the three deferrals above
+    # 3: oldest remaining rows (r09), minus the four deferrals above
     "q_approx_percentile",
     "q_attribution",
     "q_corr",

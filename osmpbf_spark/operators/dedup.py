@@ -850,6 +850,39 @@ _EMB_PLANES = np.random.RandomState(11).standard_normal(
 )
 
 
+def embed_matrix(col) -> np.ndarray:
+    """Arrow/pandas embedding column -> (n, EMB_DIM) f64 matrix; the
+    float32 -> float64 widening is exact, so downstream arithmetic sees
+    the same values as the SQL CAST(... AS DOUBLE) chains."""
+    E = np.empty((len(col), EMB_DIM), dtype=np.float64)
+    for j, v in enumerate(col):
+        E[j, :] = v
+    return E
+
+
+def plane_dots_asc(E: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """D[r, p] = sum_d E[r, d] * planes[p, d], accumulated with d
+    ASCENDING — exactly the oracle's left-to-right + chain per (row,
+    plane), so sign(D) is bit-identical to the unrolled SQL CASE chains.
+    This is THE numpy signing kernel: q_dedup_embed_scaleb and
+    s_dedup_embed_stream both sign through it (one copy of the
+    bit-exactness argument; they differ only in bits source and plane
+    row layout)."""
+    D = np.zeros((E.shape[0], planes.shape[0]), dtype=np.float64)
+    for d in range(E.shape[1]):
+        D += E[:, d, None] * planes[None, :, d]
+    return D
+
+
+def band_key_from_dots(D: np.ndarray, b: int, bits: int, row_of) -> np.ndarray:
+    """Band b's integer key from the signed dots: bit i set iff
+    D[:, row_of(b, i)] >= 0 — same >= 0 boundary as the SQL CASE."""
+    key = np.zeros(D.shape[0], dtype=np.int64)
+    for i in range(bits):
+        key += (D[:, row_of(b, i)] >= 0).astype(np.int64) << i
+    return key
+
+
 def _emb_plane_dot(p: int):
     """JVM-side dot of ``embedding`` with literal plane p: every constant a
     DoubleType literal (exact bits, no text parsing), fold left-to-right so
@@ -1094,26 +1127,17 @@ def q_dedup_embed_scaleb(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = _EMB_PLANES  # (EMB_BANDS * EMBS_MAXBITS, EMB_DIM) f64
 
     def sign_bands(batches):
+        # band-interleaved row layout: (band b, bit i) -> row i*EMB_BANDS+b
         for pdf in batches:
             if not len(pdf):
                 continue
             bits = int(pdf["bits"].iloc[0])
-            E = np.empty((len(pdf), EMB_DIM), dtype=np.float64)
-            for j, v in enumerate(pdf["embedding"]):
-                E[j, :] = v  # float32 -> float64 widening, exact
-            # dimension-ascending accumulation = the oracle's
-            # left-to-right + chain per (row, plane)
-            D = np.zeros((len(pdf), planes.shape[0]), dtype=np.float64)
-            for d in range(EMB_DIM):
-                D += E[:, d, None] * planes[None, :, d]
+            D = plane_dots_asc(embed_matrix(pdf["embedding"]), planes)
             out = {"vec_id": pdf["vec_id"]}
             for b in range(EMB_BANDS):
-                key = np.zeros(len(pdf), dtype=np.int64)
-                for i in range(bits):
-                    key += (
-                        D[:, i * EMB_BANDS + b] >= 0
-                    ).astype(np.int64) << i
-                out[f"b{b}"] = key
+                out[f"b{b}"] = band_key_from_dots(
+                    D, b, bits, lambda b, i: i * EMB_BANDS + b
+                )
             yield pd.DataFrame(out)
 
     banded = (

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 import struct
+import threading
 import zlib
 from dataclasses import asdict, dataclass
 
@@ -180,9 +181,13 @@ def index_blocks(path: str) -> list[BlockMeta]:
 # FIFO: planning re-runs (every Spark action re-plans; streams re-plan per
 # micro-batch) hit this tier, while the sidecar tier below survives
 # processes. 256 files x ~60k BlockMeta ≈ tens of MB worst case — a
-# driver-side planning cache, never shipped to executors.
+# driver-side planning cache, never shipped to executors. The lock covers
+# eviction+insert: _index_files hits this from 16 pool threads, and two
+# threads racing the FIFO pop on the same first key is a KeyError that
+# would fail the whole plan.
 _INDEX_CACHE: dict[tuple, list[BlockMeta]] = {}
 _INDEX_CACHE_MAX = 256
+_INDEX_CACHE_LOCK = threading.Lock()
 
 
 def index_blocks_cached(
@@ -193,14 +198,19 @@ def index_blocks_cached(
     one driver) and an optional JSON sidecar directory (``cache_dir``,
     the ``index_cache_dir`` reader option — survives driver restarts, so
     a 100 TB lake pays the header walk once per file EVER, not once per
-    session). A file whose backend reports no stable identity
-    (memory://, stat failure) is walked every time — the cache can skip
-    work, never change results."""
+    session). Sidecars are named by the PATH digest with the (size,
+    mtime_ns) identity stored inside — a rewritten/compacted file
+    replaces its own sidecar in place instead of orphaning one per
+    identity, so the cache dir is bounded by the live file count. A file
+    whose backend reports no stable identity (memory://, stat failure)
+    is walked every time — the cache can skip work, never change
+    results."""
     ident = fs.fs_stat(path)
     if ident is None:
         return index_blocks(path)
     key = (path, ident[0], ident[1])
-    hit = _INDEX_CACHE.get(key)
+    with _INDEX_CACHE_LOCK:
+        hit = _INDEX_CACHE.get(key)
     if hit is not None:
         return hit
     blocks: list[BlockMeta] | None = None
@@ -209,33 +219,51 @@ def index_blocks_cached(
         import hashlib
         import json
 
-        digest = hashlib.sha256(repr(key).encode()).hexdigest()[:32]
+        digest = hashlib.sha256(path.encode()).hexdigest()[:32]
         sidecar = os.path.join(cache_dir, f"pbfidx_{digest}.json")
         try:
             with open(sidecar) as fh:
-                blocks = [BlockMeta(**b) for b in json.load(fh)]
-        except (OSError, ValueError, TypeError):
-            blocks = None  # absent or unreadable: rebuild below
+                doc = json.load(fh)
+            if doc.get("size") == ident[0] and doc.get("mtime_ns") == ident[1]:
+                blocks = [BlockMeta(**b) for b in doc["blocks"]]
+        except (OSError, ValueError, TypeError, KeyError):
+            blocks = None  # absent/unreadable/stale: rebuild below
     if blocks is None:
         blocks = index_blocks(path)
         if sidecar is not None:
             import json
             import tempfile
 
+            tmp = None
             try:
                 os.makedirs(cache_dir, exist_ok=True)
                 fd, tmp = tempfile.mkstemp(
                     dir=cache_dir, suffix=".tmp"
                 )
                 with os.fdopen(fd, "w") as fh:
-                    json.dump([asdict(b) for b in blocks], fh)
+                    json.dump(
+                        {
+                            "size": ident[0],
+                            "mtime_ns": ident[1],
+                            "blocks": [asdict(b) for b in blocks],
+                        },
+                        fh,
+                    )
                 os.replace(tmp, sidecar)  # atomic: concurrent planners
                 # either see the full sidecar or none
+                tmp = None
             except OSError:
-                pass  # read-only cache dir: planning still succeeded
-    if len(_INDEX_CACHE) >= _INDEX_CACHE_MAX:
-        _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
-    _INDEX_CACHE[key] = blocks
+                pass  # read-only/full cache dir: planning still succeeded
+            finally:
+                if tmp is not None:  # failed write: no .tmp turds left
+                    try:
+                        os.unlink(tmp)
+                    except OSError:
+                        pass
+    with _INDEX_CACHE_LOCK:
+        while len(_INDEX_CACHE) >= _INDEX_CACHE_MAX:
+            _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
+        _INDEX_CACHE[key] = blocks
     return blocks
 
 

@@ -1106,7 +1106,7 @@ def s_dedup_embed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     operating curve unchanged."""
     from osmpbf_spark.operators import dedup as _dd
 
-    bands, bits, dim = _dd.EMB_BANDS, _dd.EMB_BITS, _dd.EMB_DIM
+    bands, bits = _dd.EMB_BANDS, _dd.EMB_BITS
     planes = _dd._EMB_PLANES[: bands * bits].copy()
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -1117,23 +1117,23 @@ def s_dedup_embed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        from osmpbf_spark.operators.dedup import (
+            band_key_from_dots,
+            embed_matrix,
+            plane_dots_asc,
+        )
+
+        # legacy _emb_band row layout: (band b, bit i) -> row b*bits+i
         for pdf in batches:
             if not len(pdf):
                 continue
-            E = np.empty((len(pdf), dim), dtype=np.float64)
-            for j, v in enumerate(pdf["embedding"]):
-                E[j, :] = v  # float32 -> float64 widening, exact
-            D = np.zeros((len(pdf), planes.shape[0]), dtype=np.float64)
-            for d in range(dim):
-                D += E[:, d, None] * planes[None, :, d]
+            D = plane_dots_asc(embed_matrix(pdf["embedding"]), planes)
             ids = pdf["vec_id"].to_numpy(np.int64)
             frames = []
             for b in range(bands):
-                key = np.zeros(len(pdf), dtype=np.int64)
-                for i in range(bits):
-                    key += (D[:, b * bits + i] >= 0).astype(
-                        np.int64
-                    ) << i
+                key = band_key_from_dots(
+                    D, b, bits, lambda b, i: b * bits + i
+                )
                 frames.append(
                     pd.DataFrame(
                         {

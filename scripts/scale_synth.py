@@ -262,6 +262,24 @@ def main() -> None:
     from osmpbf_spark.catalog import all_queries
     from osmpbf_spark.session import get_spark
 
+    def _blockmgr_dirs() -> set[str]:
+        # where local-mode block-manager dirs live: SPARK_LOCAL_DIRS if
+        # set, else java.io.tmpdir (get_spark sets no spark.local.dir)
+        import glob as _g
+        import tempfile as _tf
+
+        env = os.environ.get("SPARK_LOCAL_DIRS")
+        bases = [d for d in env.split(",") if d] if env else [_tf.gettempdir()]
+        out: set[str] = set()
+        for base in bases:
+            out.update(_g.glob(os.path.join(base, "blockmgr-*")))
+        return out
+
+    # snapshot BEFORE the session exists: a co-tenant Spark app's shuffle
+    # dirs must not inflate the reported peak, and our own session's dir
+    # (created at get_spark) must not be excluded
+    _preexisting_blockmgr = _blockmgr_dirs()
+
     spark = get_spark("scale_synth")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
@@ -361,12 +379,9 @@ def main() -> None:
         return a, b
 
     def _blockmgr_bytes() -> int:
-        # shuffle/spill footprint of THIS app: local-mode block manager
-        # dirs live under the JVM's java.io.tmpdir as blockmgr-*
-        import glob as _g
-
+        # shuffle/spill footprint of THIS suite's session only
         total = 0
-        for d in _g.glob("/tmp/blockmgr-*"):
+        for d in _blockmgr_dirs() - _preexisting_blockmgr:
             for root, _dirs, files in os.walk(d):
                 for f in files:
                     try:

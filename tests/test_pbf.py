@@ -93,11 +93,14 @@ def test_index_cache_tiers_and_invalidation(fixture_dir, tmp_path, monkeypatch):
     decode._INDEX_CACHE.clear()
     assert decode.index_blocks_cached(p, cache) == got
     assert len(walks) == 1
-    # identity change (mtime bump) invalidates both tiers
+    # identity change (mtime bump) invalidates both tiers, and the
+    # rebuilt sidecar REPLACES the old one (path-keyed, identity
+    # stored inside) — no orphan accumulation for rewritten files
     st = os.stat(p)
     os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
     assert decode.index_blocks_cached(p, cache) == got
     assert len(walks) == 2
+    assert len(list((tmp_path / "idx").glob("pbfidx_*"))) == 1
     # corrupt sidecar: rebuild, never fail
     decode._INDEX_CACHE.clear()
     for sc in (tmp_path / "idx").glob("pbfidx_*.json"):

@@ -17,6 +17,8 @@ absorb.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -86,11 +88,6 @@ class _scoped_state_partitions:
     must pass ``no_data_batches=True``, which re-enables the trailing
     batch while keeping the state-partition pinning (s_tumble_append)."""
 
-    _CONFS = {
-        "spark.sql.shuffle.partitions": _STREAM_STATE_PARTITIONS,
-        "spark.sql.streaming.noDataMicroBatches.enabled": "false",
-    }
-
     def __init__(
         self,
         spark: SparkSession,
@@ -98,7 +95,16 @@ class _scoped_state_partitions:
         no_data_batches: bool = False,
     ):
         self.spark = spark
-        self.confs = dict(self._CONFS)
+        # read the module global at ENTER time, not class-definition time:
+        # scale_synth's operating-curve runs re-size the state-partition
+        # pin per corpus (the deliberate once-per-deploy rate sizing the
+        # comment above describes), the same runtime-knob pattern as
+        # dedup.EMB_BITS. Each stream run checkpoints into a fresh dir,
+        # so re-pinning between runs never fights a checkpoint.
+        self.confs = {
+            "spark.sql.shuffle.partitions": _STREAM_STATE_PARTITIONS,
+            "spark.sql.streaming.noDataMicroBatches.enabled": "false",
+        }
         if state_partitions is not None:
             self.confs["spark.sql.shuffle.partitions"] = state_partitions
         if no_data_batches:
@@ -120,11 +126,16 @@ class _scoped_state_partitions:
         return False
 
 
-def _await_or_raise(q, timeout: int = 300) -> None:
+def _await_or_raise(q, timeout: int | None = None) -> None:
     """awaitTermination returning False means TIMEOUT with the query still
     running — falling through would hand a partial sink to the caller (and
     the correctness harness) as if it were the full result. Fail loudly
-    and stop the straggler instead."""
+    and stop the straggler instead. The budget is env-tunable
+    (SPARK_GRAFT_STREAM_TIMEOUT, default 300s) because the scale smokes
+    legitimately run 100-300x corpora through these streams; CI and the
+    driver keep the default."""
+    if timeout is None:
+        timeout = int(os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT", "300"))
     if not q.awaitTermination(timeout):
         q.stop()
         raise TimeoutError(

@@ -360,6 +360,35 @@ def main() -> None:
             dedup.EMB_BITS = old
         return a, b
 
+    def t_of_state_sized(q: str) -> tuple[float, float]:
+        # OPERATING-CURVE measurement for stateful streams whose cost is
+        # dominated by the state-partition pin (the t_of_embed_stream
+        # rule applied to _STREAM_STATE_PARTITIONS): the registered
+        # fixture query pins 4 state partitions — the once-per-deploy
+        # rate sizing for sf0.1 volume (windows.py measured 32 -> 4 as a
+        # 2-6x win THERE) — but a K-hundred-x corpus through 4 partitions
+        # serializes the state machine on 4 cores. Production re-sizes
+        # the pin for the higher rate at deploy time (each run here
+        # checkpoints fresh, so re-pinning never fights a checkpoint);
+        # the honest machinery ratio compares each scale at its own
+        # deliberate setting.
+        from osmpbf_spark.streaming import windows as W
+
+        old = W._STREAM_STATE_PARTITIONS
+        try:
+            print(f"  [{q}: baseline state_partitions={old}]", flush=True)
+            a = t_of(q, SRC)
+            W._STREAM_STATE_PARTITIONS = "32"
+            print(f"  [{q}: {K}x state_partitions=32]", flush=True)
+            b = t_of(q, OUT)
+        finally:
+            W._STREAM_STATE_PARTITIONS = old
+        return a, b
+
+    # streams whose scaled run re-sizes the state-partition pin; at the
+    # default 10x the fixture sizing is still the honest setting
+    STATE_SIZED = {"s_session_append"} if K >= 100 else set()
+
     def t_of_pbf_stream(q: str) -> tuple[float, float]:
         # swap the cached stream-source dir: baseline = the query's own
         # 2-copy dir (slot RESET to None so the query provably rebuilds
@@ -402,6 +431,8 @@ def main() -> None:
             a, b = t_of_pbf_stream(q)
         elif q == "s_dedup_embed_stream":
             a, b = t_of_embed_stream(q)
+        elif q in STATE_SIZED:
+            a, b = t_of_state_sized(q)
         else:
             a, b = t_of(q, SRC), t_of(q, OUT)
         results.append((q, a, b))

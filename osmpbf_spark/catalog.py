@@ -195,97 +195,86 @@ def all_oracles() -> dict[str, str]:
     return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
 
 
-# Round-12 rotation for the driver's 50-query correctness window (the
+# Round-13 rotation for the driver's 50-query correctness window (the
 # driver checks only the FIRST 50 registered queries each round; with
 # len(REGISTRY) registered, ordering decides what gets a fresh hard
-# row). Composition, per the r11 verdict's Next #4:
+# row). Composition, per the r12 verdict's Next #3:
 #
-#   1. The five r08-stamped queries — the registry's only stamps older
-#      than r09 (the r11 judge re-swept all five green; this tier is
-#      stamp freshness, not suspicion).
-#   2. Queries whose CODE changes in r12: s_dedup_embed_stream (signing
-#      ported from interpreted Catalyst HOF plane-dot folds to
-#      q_dedup_embed_scaleb's dimension-ascending numpy mapInPandas —
-#      verdict r11 Next #1), the NEW s_dedup_append (the
-#      s_session_append treatment for s_dedup_stream: TTL'd fingerprint
-#      state + per-arrival emit-once decisions through an append-mode
-#      parquet file sink — verdict r11 Next #2), and q_dedup_embed_scaleb
-#      (plane indexing re-keyed band-INTERLEAVED, i*EMB_BANDS + b, plan
-#      and oracle together: the r11 EMBS_MAXBITS stride reassigned every
-#      band >= 1's planes on a ladder extension, falsifying the
-#      documented extend-EMBS_STEPS invariant — caught writing the r12
-#      extension test, verdict r11 Next #6).
-#   3. The oldest remaining rows: 42 of the 46 registered r09 greens.
-#      Deferred to r13 (the window holds 50): s_tumble / s_slide /
-#      s_session / s_time_rollup — four stream-tagged batch-twin
-#      aggregations, whose SQL runs against its DuckDB oracle in EVERY
-#      CI pass (test_stream_twin_oracle_parity parametrizes over all
-#      stream-tagged queries) and whose streaming siblings carry fresh
-#      stamps (s_tumble_stream fronted in tier 1, s_tumble_append r11,
-#      s_session_append r11, s_session_stream r11; s_time_rollup
-#      displaced by the scaleb re-front). The r10/r11 greens stay in
-#      the every-CI pytest/sweep coverage.
-_R12_WINDOW = (
-    # 1: the five r08-stamped rows (verdict r11 Next #4)
-    "q_agg_cube",
-    "q_agg_gsets",
-    "q_set_except",
-    "s_tumble_stream",
-    "s_upsert_stream",
-    # 2: r12-changed code
-    "s_dedup_embed_stream",
-    "s_dedup_append",
-    "q_dedup_embed_scaleb",
-    # 3: oldest remaining rows (r09), minus the four deferrals above
-    "q_approx_percentile",
-    "q_attribution",
-    "q_corr",
-    "q_dedup_near",
-    "q_dedup_simhash",
-    "q_fd_check",
-    "q_histogram",
-    "q_inverted_index",
-    "q_mix_sources",
-    "q_pbf_changesets",
-    "q_pbf_compat_pig",
-    "q_pbf_grid_agg",
-    "q_pbf_join_way_nodes",
-    "q_pbf_meta",
-    "q_pbf_multipolygon",
-    "q_pbf_node_tags",
-    "q_pbf_pushdown",
-    "q_pbf_relations",
-    "q_pbf_scan_nodes",
-    "q_pbf_way_area",
-    "q_pbf_ways_bag",
-    "q_profile",
-    "q_resample_interp",
-    "q_sample_topk_group",
-    "q_sim_search",
-    "q_sim_search_ivf",
-    "q_sim_search_lsh",
-    "q_skyline",
-    "q_text_bm25",
-    "q_text_fingerprint",
-    "q_text_lang",
-    "q_text_quality",
-    "q_text_repetition",
-    "q_text_stats",
-    "q_text_token_freq",
-    "q_text_tokens_bpe",
-    "q_trend_ols",
-    "q_twap",
-    "q_window_ntile",
-    "s_dedup_stream",
-    "s_late",
-    "s_pbf_stream",
+#   1. The four r09-stamped rows deferred from r12 — the registry's only
+#      stamps older than r10 (s_tumble / s_slide / s_session /
+#      s_time_rollup; the r12 judge re-swept all four green, so this
+#      tier is stamp freshness, not suspicion).
+#   2. Code that is NEW in r13: q_sort_global (full global sort + parquet
+#      materialize + scalable file-offset rank — verdict r12 Next #6).
+#   3. 45 of the 49 r10-stamped rows (the oldest remaining block,
+#      q_scan_project .. u_udtf). The window holds 50, so four r10 rows
+#      defer to r14: q_scan_project / q_filter_pred / q_case_null /
+#      q_math_funcs — the four most trivial single-table plans, each
+#      hash-compared against its DuckDB oracle in EVERY CI pass
+#      (test_relational.test_oracle_parity parametrizes over the whole
+#      untagged-relational set), so deferral costs stamp freshness only,
+#      never verification coverage.
+_R13_WINDOW = (
+    # 1: the four r09-stamped rows (verdict r12 Next #3)
+    "s_tumble",
+    "s_slide",
+    "s_session",
+    "s_time_rollup",
+    # 2: r13-new code
+    "q_sort_global",
+    # 3: oldest remaining rows (r10), minus the four deferrals above
+    "q_agg_basic",
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_approx_cd",
+    "q_asof_join",
+    "q_bpe_merge_count",
+    "q_date_funcs",
+    "q_dedup_incremental",
+    "q_dedup_passage",
+    "q_dedup_url",
+    "q_er_fuzzy",
+    "q_having",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_range",
+    "q_join_semi",
+    "q_join_skew_salt",
+    "q_json_funcs",
+    "q_lateral_topk",
+    "q_map_funcs",
+    "q_multimodal_resize",
+    "q_pbf_roundtrip",
+    "q_percentile",
+    "q_pivot",
+    "q_rollup_cascade",
+    "q_sample_stratified",
+    "q_scd2",
+    "q_set_intersect",
+    "q_set_union",
+    "q_sort_limit",
+    "q_str_funcs",
+    "q_subq_in",
+    "q_subq_scalar",
+    "q_unpivot",
+    "q_vec_centroid",
+    "q_vec_quantize",
+    "q_window_dist",
+    "q_window_frame",
+    "q_window_lead_lag",
+    "q_window_rank",
+    "u_udaf",
+    "u_udf",
+    "u_udtf",
 )
 
-_R12_RANK = {n: i for i, n in enumerate(_R12_WINDOW)}
+_R13_RANK = {n: i for i, n in enumerate(_R13_WINDOW)}
 
 
 def _window_tier(name: str) -> int:
-    return _R12_RANK.get(name, len(_R12_WINDOW))
+    return _R13_RANK.get(name, len(_R13_WINDOW))
 
 
 def _import_all() -> None:
@@ -311,7 +300,7 @@ def _import_all() -> None:
     # The sweep CLI has the same guard for argv names
     # (scripts/sweep_oracles.py) — the window, which the driver actually
     # consumes, must fail just as loudly.
-    phantom = [n for n in _R12_WINDOW if n not in REGISTRY]
+    phantom = [n for n in _R13_WINDOW if n not in REGISTRY]
     if phantom:
         raise RuntimeError(
             f"correctness-window names not in REGISTRY: {phantom} — "

@@ -856,6 +856,82 @@ def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sort_global",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(string_split(lower(text), ' ')))
+                  AS BIGINT) * 100000 + n_chars AS score
+      FROM documents)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+             AS rk,
+           doc_id, score
+    FROM s
+    """,
+    tags=("sort",),
+)
+def q_sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full global sort + materialize — the 100 TB "order the corpus by a
+    quality score and write it back" curation step. Contrast q_sort_limit:
+    there only k rows survive (TakeOrderedAndProject heap); here EVERY row
+    is output, in global order, so the sort itself must scale.
+
+    Scale shape: ``orderBy`` plans a range exchange — the driver samples
+    key quantiles, each reducer gets one contiguous key range, and
+    ExternalSorter spills a range to disk when it exceeds executor memory
+    (UnsafeExternalSorter; no task ever needs the whole corpus resident).
+    The parquet write preserves the order across files: part-00000 holds
+    the highest scores, part-00001 the next range, and so on.
+
+    The returned global rank is derived from the WRITTEN artifact without
+    a single-partition window (the classic scalable global-rank shape):
+    rows within a part file are already in sort order and files are
+    range-ordered by name, so rank = within-file row_number + the
+    cumulative row count of lexicographically-earlier files. The offset
+    table is #files-sized (collected; bounded by partition count, not
+    rows) and broadcast back. Score is pure integer arithmetic (distinct-
+    token count * 100000 + n_chars) so the oracle hash is exact."""
+    import tempfile
+
+    d = load(spark, sf_dir, "documents")
+    score = (
+        F.size(F.array_distinct(F.split(F.lower("text"), " "))).cast("long")
+        * 100000
+        + F.col("n_chars")
+    ).alias("score")
+    out = tempfile.mkdtemp(prefix="osmpbf_sort_global_")
+    (
+        d.select("doc_id", score)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).withColumn(
+        "f", F.col("_metadata.file_path")
+    )
+    per_file = sorted(
+        back.groupBy("f").agg(F.count("*").alias("n")).collect(),
+        key=lambda r: r.f,
+    )
+    offs, acc = [], 0
+    for r in per_file:
+        offs.append((r.f, acc))
+        acc += r.n
+    off_df = spark.createDataFrame(offs, "f string, off long")
+    w = Window.partitionBy("f").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        back.join(F.broadcast(off_df), "f")
+        .select(
+            (F.row_number().over(w).cast("long") + F.col("off")).alias("rk"),
+            "doc_id",
+            "score",
+        )
+    )
+
+
+@query(
     "q_set_union",
     oracle="""
     SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000

@@ -95,7 +95,9 @@ class _scoped_state_partitions:
         no_data_batches: bool = False,
     ):
         self.spark = spark
-        # read the module global at ENTER time, not class-definition time:
+        # read the module global at CONSTRUCTION time (all current call
+        # sites construct inline in the `with` statement, so this equals
+        # enter time), not class-definition time:
         # scale_synth's operating-curve runs re-size the state-partition
         # pin per corpus (the deliberate once-per-deploy rate sizing the
         # comment above describes), the same runtime-knob pattern as

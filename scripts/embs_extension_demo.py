@@ -34,7 +34,9 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))  # repo root: osmpbf_spark
+sys.path.insert(0, _HERE)  # scripts/: scale_synth, under any invocation style
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = "/tmp/sf_synth_300"
@@ -42,17 +44,30 @@ EXT = 2  # extra ladder steps, matching test_dedup's +2-step pin
 
 
 def main() -> int:
-    from osmpbf_spark.catalog import all_queries
-    from osmpbf_spark.operators import dedup
     from osmpbf_spark.session import get_spark
 
-    if not os.path.exists(f"{OUT}/_built_v5"):
-        import scale_synth
+    import scale_synth
 
+    # a full build() dir (all tables) or an embeddings-only dir both work
+    # — the demo reads only embeddings.parquet
+    if not any(
+        os.path.exists(f"{OUT}/{m}")
+        for m in (scale_synth._MARKER, scale_synth._EMB_MARKER)
+    ):
         scale_synth._configure(300)
-        scale_synth.build()
+        scale_synth.build_embeddings()
 
     spark = get_spark("embs_extension_demo")
+    try:
+        return _run(spark)
+    finally:
+        spark.stop()
+
+
+def _run(spark) -> int:
+    from osmpbf_spark.catalog import all_queries
+    from osmpbf_spark.operators import dedup
+
     spark.sparkContext.setLogLevel("ERROR")
     q = all_queries()["q_dedup_embed_scaleb"]
 
@@ -125,7 +140,6 @@ def main() -> int:
     finally:
         restore()
     print(f"300x extended (+{EXT} steps): {b}s  ({round(a / b, 2)}x faster)")
-    spark.stop()
     return 0
 
 

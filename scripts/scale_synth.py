@@ -39,6 +39,7 @@ SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # density stays CONSTANT as K grows: the density-preserving scale-up the
 # document table already had via per-copy text suffixes)
 _MARKER = "_built_v5"
+_EMB_MARKER = f"{_MARKER}_emb"  # build_embeddings() partial-build marker
 K = 10
 OUT = "/tmp/sf_synth_1"  # the K=10 dir keeps its historical name
 PBF_OUT = "/tmp/pbf_synth_1"  # ditto
@@ -155,6 +156,32 @@ def build_pbf() -> str:
     return path
 
 
+def _copy_embeddings(con, copies: str) -> None:
+    con.execute(f"""
+    COPY (SELECT vec_id + k*1000000 AS vec_id,
+                 list_transform(embedding, (x, i) -> CAST(
+                   CASE WHEN k = 0 OR hash(k*131 + i) % 2 = 0
+                        THEN x ELSE -x END AS FLOAT)) AS embedding,
+                 label
+          FROM read_parquet('{SRC}/embeddings.parquet'), {copies})
+    TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)""")
+
+
+def build_embeddings() -> None:
+    """Embeddings-only build for consumers that read just
+    embeddings.parquet (scripts/embs_extension_demo.py): at K=300 the
+    full build() also materializes ~180M-row lineitem/orders/events
+    copies the demo never touches. Writes its own marker so a partial
+    dir is never mistaken for a full build() output."""
+    import duckdb
+
+    os.makedirs(OUT, exist_ok=True)
+    con = duckdb.connect()
+    _copy_embeddings(con, f"unnest(range(0,{K})) AS t(k)")
+    with open(f"{OUT}/{_EMB_MARKER}", "w") as fh:
+        fh.write("ok")
+
+
 def build() -> None:
     import duckdb
 
@@ -172,14 +199,7 @@ def build() -> None:
                    AS n_chars
           FROM read_parquet('{SRC}/documents.parquet'), {copies})
     TO '{OUT}/documents.parquet' (FORMAT PARQUET)""")
-    con.execute(f"""
-    COPY (SELECT vec_id + k*1000000 AS vec_id,
-                 list_transform(embedding, (x, i) -> CAST(
-                   CASE WHEN k = 0 OR hash(k*131 + i) % 2 = 0
-                        THEN x ELSE -x END AS FLOAT)) AS embedding,
-                 label
-          FROM read_parquet('{SRC}/embeddings.parquet'), {copies})
-    TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)""")
+    _copy_embeddings(con, copies)
     con.execute(f"""
     COPY (SELECT l_orderkey + k*100000000 AS l_orderkey, l_partkey,
                  l_suppkey, l_linenumber, l_quantity, l_extendedprice,

@@ -63,6 +63,79 @@ def _host_sample() -> dict | None:
         return None
 
 
+def _engine_cpu_ticks() -> int | None:
+    """Total CPU ticks consumed by THIS process tree — the python driver,
+    the py4j JVM it spawned, and every pyspark worker under the JVM.
+
+    Why: /proc/stat's busy fraction counts the bench's OWN work, so a
+    run-level "busy_frac < x" gate can't tell a healthy saturated suite
+    from a co-tenant storm (the r12 artifact passed the start gate at
+    loadavg 2.16, then ran at busy_frac 0.1445 and inflated ~8% — r12
+    verdict Next #2). Subtracting the engine tree's ticks from the host's
+    busy ticks isolates CO-TENANT load, which is the only thing a re-time
+    should trigger on. Live descendants are summed via a ppid walk;
+    cutime/cstime on live ancestors cover already-reaped workers (they
+    only accumulate at reap time, so nothing is double-counted)."""
+    try:
+        import glob as _glob
+
+        info: dict[int, tuple[int, int]] = {}
+        for p in _glob.glob("/proc/[0-9]*/stat"):
+            try:
+                with open(p) as fh:
+                    s = fh.read()
+            except Exception:
+                continue  # pid exited mid-walk
+            rp = s.rindex(")")
+            f = s[rp + 2 :].split()
+            # post-comm indices: 1=ppid, 11=utime, 12=stime, 13=cutime,
+            # 14=cstime (man proc: fields 4, 14, 15, 16, 17)
+            info[int(p.split("/")[2])] = (
+                int(f[1]),
+                int(f[11]) + int(f[12]) + int(f[13]) + int(f[14]),
+            )
+        kids: dict[int, list[int]] = {}
+        for pid, (ppid, _) in info.items():
+            kids.setdefault(ppid, []).append(pid)
+        total, seen, stack = 0, set(), [os.getpid()]
+        while stack:
+            pid = stack.pop()
+            if pid in seen or pid not in info:
+                continue
+            seen.add(pid)
+            total += info[pid][1]
+            stack.extend(kids.get(pid, ()))
+        return total
+    except Exception:
+        return None
+
+
+def _tick_sample() -> dict | None:
+    """One (host /proc/stat, engine-tree ticks) snapshot for a query's
+    timed window."""
+    host = _host_sample()
+    if host is None:
+        return None
+    return {"cpu": host["cpu"], "engine": _engine_cpu_ticks()}
+
+
+def _cotenant_frac(start: dict | None, end: dict | None) -> float | None:
+    """Fraction of the window's total host CPU capacity consumed by
+    processes OUTSIDE the bench's own tree. ~0 on a quiet host no matter
+    how hard the suite itself runs; >0.05 marks a co-tenant storm."""
+    if not start or not end or start.get("engine") is None or end.get(
+        "engine"
+    ) is None:
+        return None
+    d = [e - s for s, e in zip(start["cpu"], end["cpu"])]
+    total = sum(d[:8])
+    if total <= 0:
+        return None
+    busy = total - d[3] - d[4]
+    other = busy - (end["engine"] - start["engine"])
+    return round(max(0.0, other / total), 4)
+
+
 def _host_delta(start: dict | None, end: dict | None) -> dict | None:
     """Fold two _host_sample snapshots into run-window fractions.
 
@@ -259,6 +332,7 @@ def main() -> None:
     # co-tenant signal (r10 verdict Next #1 — the artifact of record
     # must be a quiet-host run, or self-identify as not)
     host_start = _host_sample()
+    ticks_start = _tick_sample()
 
     from osmpbf_spark.session import get_spark
 
@@ -321,6 +395,21 @@ def main() -> None:
         print(f"bench: pbf throughput FAILED: {exc}", file=sys.stderr)
 
     prior_times = _prior_artifact_times()
+    # Mid-run contention judge (r12 verdict Next #2): the start gate only
+    # proves the host was quiet BEFORE the JVM came up; BENCH_r12 passed
+    # it and then ran contended (busy_frac 0.1445, loadavg 2.16 -> 3.83),
+    # inflating the artifact ~8% with no engine change. Each timed window
+    # now measures its own CO-TENANT busy fraction (host busy minus this
+    # process tree's CPU — the suite's own work can't trip it), and a
+    # window above the threshold gets re-timed, stamping the artifact
+    # with the quiet attempt. Queries that stayed contended through every
+    # attempt are listed in host.contended_queries so a noisy artifact
+    # self-identifies instead of reading as a regression.
+    co_thresh = float(
+        os.environ.get("SPARK_GRAFT_BENCH_COTENANT_FRAC", "0.05")
+    )
+    contended_retimed: list[str] = []
+    contended_stuck: list[str] = []
     times: dict[str, float] = {}
     for name, fn in qs.items():
         w = None
@@ -335,10 +424,12 @@ def main() -> None:
                 prev = w
         except Exception:
             pass
+        win0 = _tick_sample()
         t0 = time.perf_counter()
         try:
             materialize(fn(spark, sf_dir))
             timed = time.perf_counter() - t0
+            co = _cotenant_frac(win0, _tick_sample())
             # Re-time once if the timed run reads >1.5x the converged
             # warmup: the warmup already PROVED the plan runs at ~w, so
             # a timed run far above it caught a GC pause / compile storm
@@ -388,6 +479,42 @@ def main() -> None:
                     except Exception:
                         break
 
+            # Contention re-time (r12 verdict Next #2): the window above
+            # measured co-tenant CPU > threshold, so the number may be
+            # inflated by the neighbors, not the plan. Re-run until an
+            # attempt's own window is quiet (max 2) and keep the min —
+            # the artifact records the quiet attempt. Skipped when the
+            # timed run already matched its baseline (contention that
+            # did no harm needs no re-measure); recorded as stuck when
+            # every attempt stayed contended.
+            if co is not None and co > co_thresh:
+                baseline = min(
+                    (x for x in (w, prior_src and prior_src[0]) if x),
+                    default=None,
+                )
+                if baseline is None or timed > baseline + max(
+                    0.05, 0.1 * baseline
+                ):
+                    quiet_seen = False
+                    for _ in range(2):
+                        try:
+                            win0 = _tick_sample()
+                            t0 = time.perf_counter()
+                            materialize(fn(spark, sf_dir))
+                            t = time.perf_counter() - t0
+                        except Exception:
+                            break
+                        co2 = _cotenant_frac(win0, _tick_sample())
+                        timed = min(timed, t)
+                        if co2 is None or co2 <= co_thresh:
+                            quiet_seen = True
+                            break
+                    (
+                        contended_retimed
+                        if quiet_seen
+                        else contended_stuck
+                    ).append(name)
+
             times[name] = round(timed, 4)
         except Exception as exc:  # keep benching; a broken query reads as -1
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
@@ -425,6 +552,19 @@ def main() -> None:
         # the artifact has to prove quietness or say exactly why not
         host = {}
     host["quiet_gate"] = gate
+    # run-wide co-tenant fraction: host busy minus this process tree —
+    # the number the r12 verdict asked the gate to judge (busy_frac alone
+    # counts the suite's own work and can't separate the two)
+    co_run = _cotenant_frac(ticks_start, _tick_sample())
+    if co_run is not None:
+        host["cotenant_busy_frac"] = co_run
+        host["contended"] = co_run > co_thresh
+    if contended_retimed:
+        host["contended_retimed"] = sorted(contended_retimed)
+    if contended_stuck:
+        # every re-time attempt for these also ran contended: their
+        # numbers are min-of-attempts but NOT certified quiet
+        host["contended_queries"] = sorted(contended_stuck)
     result["host"] = host
     result["value"] = total
     # full per-query sidecar for the NEXT run's re-time guard: the

@@ -1,0 +1,152 @@
+"""PBF lake planning + scan at 100x-class scale (r12 verdict Next #4).
+
+The r12 sidecar-cache work (gated thread-pool header walks + JSON
+sidecars keyed by (path, size, mtime_ns) — sources/pbf/decode.py
+index_blocks_cached, datasource.py _index_files) was measured at the
+decode layer only. This script exercises the full registered-query
+shape on a real many-file lake:
+
+  1. Build a 200-file, 20M-node lake with the engine's own writer
+     (100k nodes/file, 8k-node blocks — the real-world block size;
+     ~13 block-aligned split candidates per file).
+  2. COLD plan: empty sidecar dir, empty in-proc cache — time the
+     driver-side partitions() walk (what every first action pays).
+  3. WARM plan: in-proc cache cleared (a NEW driver image), sidecars
+     on disk — time partitions() again. The engine must issue zero
+     header reads here (pinned by test_pbf.py
+     test_lake_replan_zero_header_walks).
+  4. Run the q_pbf_grid_agg shape (reference README.md:24-35: 2048^2
+     grid-bin + count) over the lake end-to-end and report scan
+     throughput.
+
+Usage: python scripts/pbf_lake_demo.py  [--files 200] [--nodes 100000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+
+LAKE = "/tmp/pbf_lake_200"
+MARKER = "_built_v1"
+
+
+def build_lake(n_files: int, nodes_per_file: int) -> None:
+    from osmpbf_spark.sources.pbf import encode
+
+    marker = f"{LAKE}/{MARKER}_{n_files}x{nodes_per_file}"
+    if os.path.exists(marker):
+        return
+    shutil.rmtree(LAKE, ignore_errors=True)
+    os.makedirs(LAKE, exist_ok=True)
+    for i in range(n_files):
+        rng = np.random.RandomState(1000 + i)
+        ids = (
+            np.cumsum(rng.randint(1, 5, nodes_per_file))
+            + i * 10 * nodes_per_file
+        )
+        lat7 = rng.randint(-900_000_000, 900_000_000, nodes_per_file)
+        lon7 = rng.randint(-1_800_000_000, 1_800_000_000, nodes_per_file)
+        blocks = [
+            {
+                "nodes": {
+                    "id": ids[j : j + 8000],
+                    "lat_nano": lat7[j : j + 8000] * 100,
+                    "lon_nano": lon7[j : j + 8000] * 100,
+                    "tags": [None] * len(ids[j : j + 8000]),
+                }
+            }
+            for j in range(0, nodes_per_file, 8000)
+        ]
+        encode.write_pbf(f"{LAKE}/part-{i:05d}.osm.pbf", blocks)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+
+
+def time_plan(cache_dir: str) -> tuple[float, int]:
+    """One driver-side planning pass; returns (wall, n_partitions)."""
+    from osmpbf_spark.sources.pbf.datasource import OsmPbfReader
+
+    t0 = time.perf_counter()
+    parts = OsmPbfReader(
+        {"path": LAKE, "index_cache_dir": cache_dir}, None
+    ).partitions()
+    return time.perf_counter() - t0, len(parts)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--files", type=int, default=200)
+    ap.add_argument("--nodes", type=int, default=100_000)
+    args = ap.parse_args()
+
+    from osmpbf_spark.session import get_spark
+    from osmpbf_spark.sources.pbf import decode
+    from osmpbf_spark.sources.pbf.datasource import read_pbf
+
+    t0 = time.perf_counter()
+    build_lake(args.files, args.nodes)
+    print(f"lake: {args.files} files x {args.nodes} nodes "
+          f"(build/check {round(time.perf_counter() - t0, 1)}s)")
+
+    cache = f"{LAKE}_idxcache"
+    shutil.rmtree(cache, ignore_errors=True)
+
+    decode._INDEX_CACHE.clear()
+    cold, nparts = time_plan(cache)
+    n_sidecars = len(os.listdir(cache))
+    decode._INDEX_CACHE.clear()  # NEW driver image: sidecars only
+    warm, nparts2 = time_plan(cache)
+    assert nparts == nparts2, "warm plan diverged from cold plan"
+    print(
+        f"planning: cold {round(cold * 1000, 1)}ms -> warm (sidecar) "
+        f"{round(warm * 1000, 1)}ms  ({round(cold / warm, 1)}x), "
+        f"{nparts} partitions, {n_sidecars} sidecars"
+    )
+
+    spark = get_spark("pbf_lake_demo")
+    try:
+        spark.sparkContext.setLogLevel("ERROR")
+        from pyspark.sql import functions as F
+
+        n_total = args.files * args.nodes
+
+        def grid_agg():
+            nodes = read_pbf(
+                spark, LAKE, "node", index_cache_dir=cache
+            )
+            tile = (
+                F.floor((F.col("lat") + 90) * 2048 / 180) * 2048
+                + F.floor((F.col("lon") + 180) * 2048 / 360)
+            ).cast("bigint")
+            return nodes.groupBy(tile.alias("tile")).agg(
+                F.count("*").alias("cnt")
+            )
+
+        # warmup (codegen, python workers), then timed
+        grid_agg().write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        grid_agg().write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        print(
+            f"q_pbf_grid_agg shape over the lake: {round(dt, 2)}s, "
+            f"{round(n_total / dt / 1e6, 2)} Mnodes/s"
+        )
+        cnt = grid_agg().agg(F.sum("cnt")).collect()[0][0]
+        assert cnt == n_total, f"scan lost rows: {cnt} != {n_total}"
+        print(f"row-count check: {cnt} == {n_total} OK")
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

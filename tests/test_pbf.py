@@ -108,6 +108,39 @@ def test_index_cache_tiers_and_invalidation(fixture_dir, tmp_path, monkeypatch):
     assert decode.index_blocks_cached(p, cache) == got
 
 
+def test_lake_replan_zero_header_walks(fixture_dir, tmp_path, monkeypatch):
+    """r12 verdict Next #4 pin: on a many-file lake with index_cache_dir
+    set, a SECOND planning pass from a fresh driver image (in-proc cache
+    cleared; only the JSON sidecars survive) issues ZERO header walks and
+    produces the identical partition plan — a lake walks each file once
+    EVER, across driver restarts."""
+    import shutil
+
+    from osmpbf_spark.sources.pbf.datasource import OsmPbfReader
+
+    src = f"{fixture_dir}/fixture.osm.pbf"
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    for i in range(16):
+        shutil.copy(src, lake / f"f{i:03d}.osm.pbf")
+    cache = str(tmp_path / "idx")
+    walks: list[str] = []
+    real = decode.index_blocks
+    monkeypatch.setattr(
+        decode, "index_blocks", lambda p: walks.append(p) or real(p)
+    )
+    opts = {"path": str(lake), "index_cache_dir": cache}
+    decode._INDEX_CACHE.clear()  # isolate from other tests' entries
+    cold = OsmPbfReader(dict(opts), None).partitions()
+    assert len(walks) == 16, "cold plan walks each file exactly once"
+    decode._INDEX_CACHE.clear()  # fresh driver image: only sidecars left
+    warm = OsmPbfReader(dict(opts), None).partitions()
+    assert len(walks) == 16, "warm re-plan must issue zero header walks"
+    assert [(p.path, p.ranges) for p in cold] == [
+        (p.path, p.ranges) for p in warm
+    ]
+
+
 def test_plan_files_threaded_matches_serial(fixture_dir, tmp_path):
     """The thread-pooled multi-file planner must produce exactly the
     partitions of per-file serial planning, in file order — threading is

@@ -681,3 +681,71 @@ def test_way_area_shares_window_partitioning(spark):
     assert len(keys) <= 3, f"expected <=3 hash exchanges, got {keys}"
     assert set(keys) <= {"nodeid", "way_id"}, keys
     assert keys.count("way_id") <= 1, keys
+
+
+def test_aqe_skew_join_split_engages(spark):
+    """q_join_skew_salt's docstring names AQE's skew-join split as the
+    automatic weapon for moderate skew (salting is the manual one for
+    extreme skew). Prove the automatic path actually engages on this
+    engine (r12 verdict Next #5): a sort-merge join with one key owning
+    ~30% of the fact side, under proportionally lowered skew thresholds,
+    must mark the hot partition in the adaptive executed plan —
+    SortMergeJoin(skew=true) over an "AQEShuffleRead skewed", i.e.
+    OptimizeSkewedJoin split the hot partition across tasks instead of
+    letting one reducer own 30% of the shuffle.
+
+    Two load-bearing details, both discovered empirically:
+    - the FINAL adaptive plan is only on the execution that ran, so the
+      probe must collect() the same DataFrame it inspects (a noop write
+      spawns a separate QueryExecution whose plan stays isFinalPlan=false);
+    - the consumer must NOT require the join's hash distribution: with a
+      downstream groupBy on the join key, the agg reuses the join's
+      partitioning and OptimizeSkewedJoin declines the split (splitting
+      would break the required distribution and force an extra shuffle —
+      spark.sql.adaptive.forceOptimizeSkewedJoin). A global agg (or
+      write) downstream leaves the split legal. At 100 TB this is an
+      operating note: a skewed join feeding a same-key aggregation needs
+      the SALTED shape; AQE's split only rescues joins whose output is
+      consumed distribution-free.
+    """
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(1_000_000).select(
+            F.when(F.col("id") % 10 < 3, 0)
+            .otherwise(F.pmod(F.hash("id"), 997))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(0, 997).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = fact.join(dim, "k").agg(F.sum(F.col("v") + F.col("w")).alias("s"))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan[:1200]
+        assert "AQEShuffleRead skewed" in plan, plan[:1200]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

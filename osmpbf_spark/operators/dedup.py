@@ -128,21 +128,28 @@ def _with_shingles(df: DataFrame) -> DataFrame:
 
 
 def _jaccard_pairs(
-    cand: DataFrame, docs: DataFrame, threshold: float, widen: bool = True
+    cand: DataFrame, docs: DataFrame, threshold: float
 ) -> DataFrame:
     """Exact shingle-Jaccard verification of candidate (doc_a, doc_b) pairs.
     Two joins on doc_id (shuffle bounded by #candidates) + JVM set ops.
-    With ``widen`` the candidate set is fanned out first: pair rows are two
-    longs, so AQE sizes the exchange to ~1 partition by bytes, which would
+    The candidate set is fanned out first: pair rows are two longs, so
+    AQE sizes the exchange to ~1 partition by bytes, which would
     single-thread the per-pair array intersection — width must follow
     downstream compute (same trap as q_dedup_embed's verification stage).
-    Callers whose candidate sets are small enough for AQE's runtime
-    broadcast conversion (q_dedup_minhash's 4-band buckets) pass
-    widen=False: the broadcast join computes the intersections on the
-    corpus-shingle side, already fanout-wide, and the extra exchange is
-    pure latency (~0.45s at sf0.1)."""
-    if widen:
-        cand = fanout(cand)
+
+    The fanout is UNCONDITIONAL for corpus-derived candidate sets (r13;
+    there used to be a widen=False opt-out): the opt-out path let AQE
+    broadcast the candidates and saved
+    ~0.45s of exchange latency at sf0.1, but a dedup candidate set is
+    CORPUS-PROPORTIONAL by construction (constant dup density means
+    #pairs grows with #docs), so the broadcast build must eventually
+    exhaust the driver heap — and did, at 100x inside the shared-session
+    smoke (notEnoughMemoryToBuildAndBroadcastTableError under 8 GB with
+    suite residue; the same run passes alone, which is exactly the
+    marginal-size failure mode that becomes deterministic at 1000x).
+    The shuffle join costs a bounded small exchange at toy scale and is
+    the only shape that survives scale-up."""
+    cand = fanout(cand)
     sh = _with_shingles(docs).select("doc_id", "sh")
     a = sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a")
     b = sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b")
@@ -484,7 +491,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
-    return _jaccard_pairs(cand, d, 0.7, widen=False)
+    return _jaccard_pairs(cand, d, 0.7)
 
 
 # ---------------------------------------------------------------------------

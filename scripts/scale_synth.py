@@ -458,6 +458,17 @@ def main() -> None:
         results.append((q, a, b))
         peak_shuffle = max(peak_shuffle, _blockmgr_bytes())
         print(f"{q}: sf0.1={a}s {K}x={b}s ratio={round(b / a, 2)}")
+        # Broadcast/shuffle cleanup in Spark is GC-DRIVEN (ContextCleaner
+        # acts on weak references; spark.cleaner.periodicGC defaults to
+        # 30min) — a 20-minute suite can finish without one full GC, so
+        # dead broadcasts from earlier queries pile up in the driver's
+        # old gen until a later query's own (small, legitimate) broadcast
+        # build hits notEnoughMemoryToBuildAndBroadcastTableError. Seen
+        # once at 100x (r13, q_dedup_minhash after 5 queries of residue;
+        # same query passes alone). Nudge a full GC between queries —
+        # exactly what the periodicGC knob does for long-lived apps, on a
+        # cadence matched to this suite.
+        spark.sparkContext._jvm.System.gc()
     # single-suite integration signal (r11 verdict Next #5): every query
     # in ONE long-lived session — accumulated shuffle dirs, broadcast
     # and state-store residue, and the linear tails (minhash signing)

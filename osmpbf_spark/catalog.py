@@ -205,15 +205,18 @@ def all_oracles() -> dict[str, str]:
 #      s_time_rollup; the r12 judge re-swept all four green, so this
 #      tier is stamp freshness, not suspicion).
 #   2. Code that is NEW in r13: q_sort_global (full global sort + parquet
-#      materialize + scalable file-offset rank — verdict r12 Next #6).
-#   3. 45 of the 49 r10-stamped rows (the oldest remaining block,
-#      q_scan_project .. u_udtf). The window holds 50, so four r10 rows
+#      materialize + scalable file-offset rank — verdict r12 Next #6),
+#      plus the two curation staples built on the same machinery:
+#      q_corpus_shuffle (seeded deterministic epoch shuffle) and
+#      q_split_hash (map-only 80/10/10 hash split).
+#   3. 43 of the 49 r10-stamped rows (the oldest remaining block,
+#      q_scan_project .. u_udtf). The window holds 50, so six r10 rows
 #      defer to r14: q_scan_project / q_filter_pred / q_case_null /
-#      q_math_funcs — the four most trivial single-table plans, each
-#      hash-compared against its DuckDB oracle in EVERY CI pass
-#      (test_relational.test_oracle_parity parametrizes over the whole
-#      untagged-relational set), so deferral costs stamp freshness only,
-#      never verification coverage.
+#      q_math_funcs / q_str_funcs / q_map_funcs — the most trivial
+#      single-table plans, each hash-compared against its DuckDB oracle
+#      in EVERY CI pass (test_relational.test_oracle_parity parametrizes
+#      over the whole untagged-relational set), so deferral costs stamp
+#      freshness only, never verification coverage.
 _R13_WINDOW = (
     # 1: the four r09-stamped rows (verdict r12 Next #3)
     "s_tumble",
@@ -222,6 +225,8 @@ _R13_WINDOW = (
     "s_time_rollup",
     # 2: r13-new code
     "q_sort_global",
+    "q_corpus_shuffle",
+    "q_split_hash",
     # 3: oldest remaining rows (r10), minus the four deferrals above
     "q_agg_basic",
     "q_agg_distinct",
@@ -244,7 +249,6 @@ _R13_WINDOW = (
     "q_join_skew_salt",
     "q_json_funcs",
     "q_lateral_topk",
-    "q_map_funcs",
     "q_multimodal_resize",
     "q_pbf_roundtrip",
     "q_percentile",
@@ -255,7 +259,6 @@ _R13_WINDOW = (
     "q_set_intersect",
     "q_set_union",
     "q_sort_limit",
-    "q_str_funcs",
     "q_subq_in",
     "q_subq_scalar",
     "q_unpivot",

@@ -891,21 +891,46 @@ def q_sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is #files-sized (collected; bounded by partition count, not
     rows) and broadcast back. Score is pure integer arithmetic (distinct-
     token count * 100000 + n_chars) so the oracle hash is exact."""
-    import tempfile
-
     d = load(spark, sf_dir, "documents")
     score = (
         F.size(F.array_distinct(F.split(F.lower("text"), " "))).cast("long")
         * 100000
         + F.col("n_chars")
     ).alias("score")
-    out = tempfile.mkdtemp(prefix="osmpbf_sort_global_")
-    (
-        d.select("doc_id", score)
-        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .write.mode("overwrite")
-        .parquet(out)
+    return _rank_from_ordered_write(
+        spark,
+        d.select("doc_id", score),
+        [("score", False), ("doc_id", True)],
+        ["doc_id", "score"],
+        "osmpbf_sort_global_",
     )
+
+
+def _rank_from_ordered_write(
+    spark: SparkSession,
+    df: DataFrame,
+    order: list[tuple[str, bool]],
+    keep: list[str],
+    prefix: str,
+) -> DataFrame:
+    """Globally order ``df`` by ``order`` [(col, ascending)], write it to
+    parquet (the curation artifact), and return ``keep`` columns with each
+    row's GLOBAL rank ``rk`` — derived scalably from the written files:
+    range partitions land as lexicographically ordered part files, rows
+    within a file are already in key order, so rank = within-file
+    row_number + the cumulative row count of earlier files. The offset
+    table is #files-sized (bounded by partition count, never rows) and
+    broadcast back; no single-partition window anywhere. Shared by
+    q_sort_global and q_corpus_shuffle."""
+    import tempfile
+
+    def cols():
+        return [
+            F.col(c).asc() if asc else F.col(c).desc() for c, asc in order
+        ]
+
+    out = tempfile.mkdtemp(prefix=prefix)
+    df.orderBy(*cols()).write.mode("overwrite").parquet(out)
     back = spark.read.parquet(out).withColumn(
         "f", F.col("_metadata.file_path")
     )
@@ -918,17 +943,107 @@ def q_sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         offs.append((r.f, acc))
         acc += r.n
     off_df = spark.createDataFrame(offs, "f string, off long")
-    w = Window.partitionBy("f").orderBy(
-        F.col("score").desc(), F.col("doc_id").asc()
-    )
+    w = Window.partitionBy("f").orderBy(*cols())
     return (
         back.join(F.broadcast(off_df), "f")
         .select(
             (F.row_number().over(w).cast("long") + F.col("off")).alias("rk"),
-            "doc_id",
-            "score",
+            *keep,
         )
     )
+
+
+@query(
+    "q_corpus_shuffle",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT AS shuffle_key
+      FROM documents)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
+             AS rk,
+           doc_id, shuffle_key
+    FROM s
+    """,
+    tags=("curation",),
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle — the "randomize example order per
+    training epoch, reproducibly" curation step. Each doc gets a
+    pseudorandom 60-bit key = md5("epoch1:" || doc_id) (change the seed
+    string per epoch for a fresh order; md5 integer parsing is replicated
+    term-for-term in the oracle, so the whole permutation hash-matches);
+    the global order + rank comes from the same range-exchange sort +
+    written-file offset machinery as q_sort_global — a full-corpus sort
+    by an incompressible key, the worst case for the range partitioner's
+    sampling, still bounded-memory (external sort spills per range).
+    At 100 TB this IS how you shuffle a corpus you cannot hold: sort by
+    hash(seed, id) and write; readers stream the files in name order."""
+    d = load(spark, sf_dir, "documents")
+    key = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("epoch1:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("shuffle_key")
+    )
+    return _rank_from_ordered_write(
+        spark,
+        d.select("doc_id", key),
+        [("shuffle_key", True), ("doc_id", True)],
+        ["doc_id", "shuffle_key"],
+        "osmpbf_corpus_shuffle_",
+    )
+
+
+@query(
+    "q_split_hash",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                 1, 15))::BIGINT % 100 AS b
+          FROM documents)
+    """,
+    tags=("curation",),
+)
+def q_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test split (80/10/10) by content-
+    independent key hashing — the assignment every training pipeline
+    needs to be (a) stable across runs and cluster sizes, (b) free of
+    coordination (map-only: no shuffle, no state, no RNG whose stream
+    depends on partitioning), and (c) reproducible by any other engine
+    (the oracle replicates the md5 bucket arithmetic exactly). Salting
+    the id with a split-namespace string keeps this assignment
+    independent of q_corpus_shuffle's epoch keys — the same doc never
+    correlates across uses of its hash."""
+    d = load(spark, sf_dir, "documents")
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(b < 80, "train").when(b < 90, "validation").otherwise("test")
+    )
+    return d.select("doc_id", split.alias("split"))
 
 
 @query(

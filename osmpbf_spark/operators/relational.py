@@ -906,6 +906,9 @@ def q_sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANK_DIRS: dict[str, str] = {}
+
+
 def _rank_from_ordered_write(
     spark: SparkSession,
     df: DataFrame,
@@ -921,7 +924,14 @@ def _rank_from_ordered_write(
     row_number + the cumulative row count of earlier files. The offset
     table is #files-sized (bounded by partition count, never rows) and
     broadcast back; no single-partition window anywhere. Shared by
-    q_sort_global and q_corpus_shuffle."""
+    q_sort_global and q_corpus_shuffle.
+
+    One output dir per (process, prefix), overwritten on each invocation:
+    a bench run re-executes the query ~6x and a fresh mkdtemp per call
+    would accumulate orphan dirs for the life of /tmp. Safe because every
+    caller fully materializes one invocation's result before building the
+    next (the returned frame READS the written files — never interleave
+    two live invocations of the same query in one process)."""
     import tempfile
 
     def cols():
@@ -929,7 +939,9 @@ def _rank_from_ordered_write(
             F.col(c).asc() if asc else F.col(c).desc() for c, asc in order
         ]
 
-    out = tempfile.mkdtemp(prefix=prefix)
+    out = _RANK_DIRS.get(prefix)
+    if out is None:
+        out = _RANK_DIRS[prefix] = tempfile.mkdtemp(prefix=prefix)
     df.orderBy(*cols()).write.mode("overwrite").parquet(out)
     back = spark.read.parquet(out).withColumn(
         "f", F.col("_metadata.file_path")

@@ -506,7 +506,12 @@ def main() -> None:
                             break
                         co2 = _cotenant_frac(win0, _tick_sample())
                         timed = min(timed, t)
-                        if co2 is None or co2 <= co_thresh:
+                        if co2 is None:
+                            # sampling failed: quietness was NOT measured
+                            # — stop re-timing but never certify (the
+                            # initial co is treated the same way)
+                            break
+                        if co2 <= co_thresh:
                             quiet_seen = True
                             break
                     (

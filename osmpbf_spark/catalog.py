@@ -227,7 +227,7 @@ _R13_WINDOW = (
     "q_sort_global",
     "q_corpus_shuffle",
     "q_split_hash",
-    # 3: oldest remaining rows (r10), minus the four deferrals above
+    # 3: oldest remaining rows (r10), minus the six deferrals above
     "q_agg_basic",
     "q_agg_distinct",
     "q_agg_rollup",

@@ -909,6 +909,25 @@ def q_sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RANK_DIRS: dict[str, str] = {}
 
 
+def _cleanup_rank_dirs() -> None:
+    """atexit: the per-process rank-write dirs hold full sorted-corpus
+    parquet copies — without this every bench/driver/pytest process
+    leaks one per prefix for the life of /tmp."""
+    import shutil
+
+    for d in _RANK_DIRS.values():
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _part_index(path: str) -> int:
+    """Numeric part index from a Spark output file name; files without
+    one (never produced by this writer) sort after all indexed files."""
+    import re
+
+    m = re.search(r"part-(\d+)", path.rsplit("/", 1)[-1])
+    return int(m.group(1)) if m else 1 << 62
+
+
 def _rank_from_ordered_write(
     spark: SparkSession,
     df: DataFrame,
@@ -941,14 +960,25 @@ def _rank_from_ordered_write(
 
     out = _RANK_DIRS.get(prefix)
     if out is None:
+        if not _RANK_DIRS:
+            import atexit
+
+            atexit.register(_cleanup_rank_dirs)
         out = _RANK_DIRS[prefix] = tempfile.mkdtemp(prefix=prefix)
     df.orderBy(*cols()).write.mode("overwrite").parquet(out)
     back = spark.read.parquet(out).withColumn(
         "f", F.col("_metadata.file_path")
     )
+    # order files by the PARSED part index, not lexicographically:
+    # Spark names outputs part-%05d-<uuid> and %05d is a MINIMUM width,
+    # so at >=100,001 range partitions "part-100000-…" sorts before
+    # "part-99999-…" and every offset past file 99999 would be wrong —
+    # exactly the partition counts the 100 TB posture implies (review
+    # r13). Files without a parseable index (none today) sort last,
+    # lexicographically, rather than crashing the rank step.
     per_file = sorted(
         back.groupBy("f").agg(F.count("*").alias("n")).collect(),
-        key=lambda r: r.f,
+        key=lambda r: (_part_index(r.f), r.f),
     )
     offs, acc = [], 0
     for r in per_file:

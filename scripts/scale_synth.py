@@ -40,6 +40,7 @@ SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # document table already had via per-copy text suffixes)
 _MARKER = "_built_v5"
 _EMB_MARKER = f"{_MARKER}_emb"  # build_embeddings() partial-build marker
+_DOC_MARKER = f"{_MARKER}_doc"  # build_documents() partial-build marker
 K = 10
 OUT = "/tmp/sf_synth_1"  # the K=10 dir keeps its historical name
 PBF_OUT = "/tmp/pbf_synth_1"  # ditto
@@ -183,12 +184,7 @@ def build_embeddings() -> None:
         fh.write("ok")
 
 
-def build() -> None:
-    import duckdb
-
-    os.makedirs(OUT, exist_ok=True)
-    con = duckdb.connect()
-    copies = f"unnest(range(0,{K})) AS t(k)"
+def _copy_documents(con, copies: str) -> None:
     con.execute(f"""
     COPY (SELECT doc_id + k*1000000 AS doc_id,
                  text || ' v' || CAST(k AS VARCHAR)
@@ -200,6 +196,28 @@ def build() -> None:
                    AS n_chars
           FROM read_parquet('{SRC}/documents.parquet'), {copies})
     TO '{OUT}/documents.parquet' (FORMAT PARQUET)""")
+
+
+def build_documents() -> None:
+    """Documents-only build for consumers that read just
+    documents.parquet (scripts/sort_global_demo.py) — same rationale and
+    marker discipline as build_embeddings()."""
+    import duckdb
+
+    os.makedirs(OUT, exist_ok=True)
+    con = duckdb.connect()
+    _copy_documents(con, f"unnest(range(0,{K})) AS t(k)")
+    with open(f"{OUT}/{_DOC_MARKER}", "w") as fh:
+        fh.write("ok")
+
+
+def build() -> None:
+    import duckdb
+
+    os.makedirs(OUT, exist_ok=True)
+    con = duckdb.connect()
+    copies = f"unnest(range(0,{K})) AS t(k)"
+    _copy_documents(con, copies)
     _copy_embeddings(con, copies)
     con.execute(f"""
     COPY (SELECT l_orderkey + k*100000000 AS l_orderkey, l_partkey,

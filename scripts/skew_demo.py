@@ -12,10 +12,12 @@ test_aqe_skew_join_split_engages for the distribution-reuse caveat):
 
   naive    — sort-merge join, AQE skew split disabled: one reducer owns
              30% of the shuffle; the straggler IS the wall clock.
-  aqe      — skew split enabled (thresholds at 16MB/factor 2 — the hot
-             partition is ~hundreds of MB at this scale; a 100 TB
-             deployment tunes the same two knobs): OptimizeSkewedJoin
-             splits the hot partition across tasks at runtime.
+  aqe      — skew split enabled (factor 1.5 / threshold 2MB /
+             advisory 4MB: the knobs are in bytes of COMPRESSED shuffle
+             data and this 100-copy synthetic compresses hard — a 100 TB
+             deployment tunes the same knobs in the same units):
+             OptimizeSkewedJoin splits the hot partition across tasks at
+             runtime.
   salted   — the q_join_skew_salt rewrite (probe salt = hash(row) % S,
              build side exploded S ways): the skew never reaches the
              shuffle in the first place.

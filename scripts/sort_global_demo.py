@@ -48,28 +48,16 @@ MEM = os.environ.get("SORT_DEMO_MEM", "1g")
 def ensure_corpus() -> str:
     import scale_synth
 
+    # a full build() dir or a documents-only dir both serve; the
+    # documents-only path writes its own marker so a fallback build is
+    # built once, not on every run
     have = any(
         os.path.exists(f"{CORPUS}/{m}")
-        for m in (scale_synth._MARKER, scale_synth._EMB_MARKER)
+        for m in (scale_synth._MARKER, scale_synth._DOC_MARKER)
     ) and os.path.exists(f"{CORPUS}/documents.parquet")
     if not have:
-        import duckdb
-
-        os.makedirs(CORPUS, exist_ok=True)
-        con = duckdb.connect()
-        src = scale_synth.SRC
-        con.execute(f"""
-        COPY (SELECT doc_id + k*1000000 AS doc_id,
-                     text || ' v' || CAST(k AS VARCHAR)
-                          || repeat(' x' || CAST((doc_id+k)%97 AS VARCHAR), 4)
-                       AS text,
-                     lang, source,
-                     length(text || ' v' || CAST(k AS VARCHAR)
-                            || repeat(' x' || CAST((doc_id+k)%97 AS VARCHAR),
-                                      4)) AS n_chars
-              FROM read_parquet('{src}/documents.parquet'),
-                   unnest(range(0,300)) AS t(k))
-        TO '{CORPUS}/documents.parquet' (FORMAT PARQUET)""")
+        scale_synth._configure(300)
+        scale_synth.build_documents()
     return f"{CORPUS}/documents.parquet"
 
 
@@ -130,9 +118,18 @@ def main() -> int:
             f"{round(peak / 1048576, 1)} MB"
         )
         # order proof: first file holds the global max score, last file
-        # the global min (range partitions are ordered by part number)
+        # the global min (range partitions are ordered by part number —
+        # sort by the PARSED index: part-%05d is a minimum width, so
+        # lexicographic order breaks past 100,000 partitions)
+        import re
+
+        def _idx(f: str) -> int:
+            m = re.search(r"part-(\d+)", f)
+            return int(m.group(1)) if m else 1 << 62
+
         files = sorted(
-            f for f in os.listdir(OUT) if f.startswith("part-")
+            (f for f in os.listdir(OUT) if f.startswith("part-")),
+            key=_idx,
         )
         first = spark.read.parquet(f"{OUT}/{files[0]}")
         last = spark.read.parquet(f"{OUT}/{files[-1]}")

@@ -533,3 +533,32 @@ def test_fd_check_ground_truth_and_plan(spark, duck):
     p = plan_of(spark, "q_fd_check")
     assert "Expand" not in p, p
     assert "SortAggregate" not in p, p
+
+
+def test_rank_write_orders_files_numerically():
+    """The global-rank offsets must follow the PARSED part index, not
+    lexicographic path order: Spark's part-%05d is a minimum width, so at
+    >=100,001 range partitions "part-100000-…" sorts lexicographically
+    before "part-99999-…" and every rank past file 99999 would silently
+    shift (r13 review finding). Pin the key function across the width
+    boundary and for unparseable names."""
+    from osmpbf_spark.operators.relational import _part_index
+
+    names = [
+        "/tmp/x/part-100000-uuid.snappy.parquet",
+        "/tmp/x/part-99999-uuid.snappy.parquet",
+        "/tmp/x/part-00001-uuid.snappy.parquet",
+        "/tmp/x/_SUCCESS",
+    ]
+    ordered = sorted(names, key=lambda f: (_part_index(f), f))
+    assert [f.rsplit("/", 1)[-1] for f in ordered] == [
+        "part-00001-uuid.snappy.parquet",
+        "part-99999-uuid.snappy.parquet",
+        "part-100000-uuid.snappy.parquet",
+        "_SUCCESS",  # unparseable names sort after all indexed files
+    ]
+    # and the lexicographic order this replaces really is wrong:
+    bad = sorted(n for n in names if "part-" in n)
+    assert bad[1].endswith("part-100000-uuid.snappy.parquet"), (
+        "lexicographic order no longer misbehaves?? revisit the fix"
+    )

@@ -153,6 +153,20 @@ def _jaccard_pairs(
     sh = _with_shingles(docs).select("doc_id", "sh")
     a = sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a")
     b = sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b")
+    # Join strategy is deliberately LEFT TO AQE (r13, measured both
+    # ways): when the runtime pair set is small AQE broadcast-converts
+    # and the corpus side crosses ZERO exchanges (1.13s at sf0.1); when
+    # it is large the size check refuses and the joins run as shuffles.
+    # Forcing shuffle_hash hints was built and REJECTED on measurement:
+    # it shuffles the corpus-shingle side once PER JOIN (doc_a, then
+    # doc_b — different keys, no exchange reuse), 1.13s -> 1.76s at
+    # sf0.1, past the 2x-of-oracle budget, to buy robustness only
+    # against a LOCAL-MODE artifact (driver broadcast build and executor
+    # external sort racing one unified memory pool inside a single JVM —
+    # impossible on a cluster, where the driver builds in its own heap).
+    # That race is absorbed where it belongs, in the local harness
+    # (scale_synth retries a failed materialize once after clearCache +
+    # GC and logs it), not by pessimizing every real deployment's plan.
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")

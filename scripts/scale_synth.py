@@ -328,7 +328,25 @@ def main() -> None:
     warmups, timed_runs = (2, 3) if K <= 10 else (1, 2)
 
     def mat(df):
-        df.write.format("noop").mode("overwrite").save()
+        # Retry-once on the local-mode broadcast/memory race: in ONE
+        # shared JVM the driver's runtime-broadcast build and the
+        # executors' external sorts contend for the same unified memory
+        # pool, so a mid-suite query carrying both can fail
+        # notEnoughMemoryToBuildAndBroadcast even though the identical
+        # query passes alone (observed twice at 100x, ~50% flaky; a real
+        # cluster separates the driver heap, so the engine plan is NOT
+        # pessimized for this — see dedup._jaccard_pairs). clearCache +
+        # full GC releases prior queries' broadcast residue; a retry
+        # that then succeeds proves the failure was environmental. The
+        # retry is LOGGED so a timing that absorbed one is never silent.
+        try:
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:
+            print(f"mat: retrying after local-mode failure: "
+                  f"{str(exc).splitlines()[0][:120]}")
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            df.write.format("noop").mode("overwrite").save()
 
     def t_of(q: str, sf_dir: str) -> float:
         for _ in range(warmups):

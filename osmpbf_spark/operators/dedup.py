@@ -138,17 +138,12 @@ def _jaccard_pairs(
     downstream compute (same trap as q_dedup_embed's verification stage).
 
     The fanout is UNCONDITIONAL for corpus-derived candidate sets (r13;
-    there used to be a widen=False opt-out): the opt-out path let AQE
-    broadcast the candidates and saved
-    ~0.45s of exchange latency at sf0.1, but a dedup candidate set is
-    CORPUS-PROPORTIONAL by construction (constant dup density means
-    #pairs grows with #docs), so the broadcast build must eventually
-    exhaust the driver heap — and did, at 100x inside the shared-session
-    smoke (notEnoughMemoryToBuildAndBroadcastTableError under 8 GB with
-    suite residue; the same run passes alone, which is exactly the
-    marginal-size failure mode that becomes deterministic at 1000x).
-    The shuffle join costs a bounded small exchange at toy scale and is
-    the only shape that survives scale-up."""
+    there used to be a widen=False opt-out that skipped it to save one
+    tiny exchange): a dedup candidate set is CORPUS-PROPORTIONAL by
+    construction (constant dup density means #pairs grows with #docs),
+    so its width must be guaranteed by the plan, not by hoping AQE's
+    byte-sizing leaves enough partitions for the array-intersection
+    compute downstream."""
     cand = fanout(cand)
     sh = _with_shingles(docs).select("doc_id", "sh")
     a = sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a")

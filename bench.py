@@ -410,6 +410,7 @@ def main() -> None:
     )
     contended_retimed: list[str] = []
     contended_stuck: list[str] = []
+    contended_unmeasured: list[str] = []
     times: dict[str, float] = {}
     for name, fn in qs.items():
         w = None
@@ -508,17 +509,21 @@ def main() -> None:
                         timed = min(timed, t)
                         if co2 is None:
                             # sampling failed: quietness was NOT measured
-                            # — stop re-timing but never certify (the
-                            # initial co is treated the same way)
+                            # — stop re-timing; record as UNMEASURED, not
+                            # as stayed-contended (a one-off /proc read
+                            # failure must not read as sustained host
+                            # contention in the artifact)
+                            quiet_seen = None
                             break
                         if co2 <= co_thresh:
                             quiet_seen = True
                             break
-                    (
-                        contended_retimed
-                        if quiet_seen
-                        else contended_stuck
-                    ).append(name)
+                    if quiet_seen is None:
+                        contended_unmeasured.append(name)
+                    elif quiet_seen:
+                        contended_retimed.append(name)
+                    else:
+                        contended_stuck.append(name)
 
             times[name] = round(timed, 4)
         except Exception as exc:  # keep benching; a broken query reads as -1
@@ -570,6 +575,10 @@ def main() -> None:
         # every re-time attempt for these also ran contended: their
         # numbers are min-of-attempts but NOT certified quiet
         host["contended_queries"] = sorted(contended_stuck)
+    if contended_unmeasured:
+        # re-timed after a contended window, but /proc sampling failed
+        # mid-retry: quietness is UNKNOWN, not refuted
+        host["contended_unmeasured"] = sorted(contended_unmeasured)
     result["host"] = host
     result["value"] = total
     # full per-query sidecar for the NEXT run's re-time guard: the

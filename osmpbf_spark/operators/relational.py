@@ -938,9 +938,11 @@ def _rank_from_ordered_write(
     """Globally order ``df`` by ``order`` [(col, ascending)], write it to
     parquet (the curation artifact), and return ``keep`` columns with each
     row's GLOBAL rank ``rk`` — derived scalably from the written files:
-    range partitions land as lexicographically ordered part files, rows
-    within a file are already in key order, so rank = within-file
-    row_number + the cumulative row count of earlier files. The offset
+    range partitions land as part files ordered by their NUMERIC part
+    index (never compare the names lexicographically — part-%05d is a
+    minimum width, see _part_index), rows within a file are already in
+    key order, so rank = within-file row_number + the cumulative row
+    count of earlier files. The offset
     table is #files-sized (bounded by partition count, never rows) and
     broadcast back; no single-partition window anywhere. Shared by
     q_sort_global and q_corpus_shuffle.
@@ -1021,7 +1023,8 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     by an incompressible key, the worst case for the range partitioner's
     sampling, still bounded-memory (external sort spills per range).
     At 100 TB this IS how you shuffle a corpus you cannot hold: sort by
-    hash(seed, id) and write; readers stream the files in name order."""
+    hash(seed, id) and write; readers stream the files in part-index
+    order (numeric, not lexicographic — see _part_index)."""
     d = load(spark, sf_dir, "documents")
     key = (
         F.conv(

@@ -342,8 +342,8 @@ def main() -> None:
         try:
             df.write.format("noop").mode("overwrite").save()
         except Exception as exc:
-            print(f"mat: retrying after local-mode failure: "
-                  f"{str(exc).splitlines()[0][:120]}")
+            head = (str(exc).splitlines() or [repr(exc)])[0]
+            print(f"mat: retrying after local-mode failure: {head[:120]}")
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
             df.write.format("noop").mode("overwrite").save()

@@ -118,18 +118,14 @@ def main() -> int:
             f"{round(peak / 1048576, 1)} MB"
         )
         # order proof: first file holds the global max score, last file
-        # the global min (range partitions are ordered by part number —
-        # sort by the PARSED index: part-%05d is a minimum width, so
-        # lexicographic order breaks past 100,000 partitions)
-        import re
-
-        def _idx(f: str) -> int:
-            m = re.search(r"part-(\d+)", f)
-            return int(m.group(1)) if m else 1 << 62
+        # the global min (range partitions are ordered by NUMERIC part
+        # index — same rule as the engine's rank derivation, so the
+        # proof and the engine can never disagree on file order)
+        from osmpbf_spark.operators.relational import _part_index
 
         files = sorted(
             (f for f in os.listdir(OUT) if f.startswith("part-")),
-            key=_idx,
+            key=_part_index,
         )
         first = spark.read.parquet(f"{OUT}/{files[0]}")
         last = spark.read.parquet(f"{OUT}/{files[-1]}")

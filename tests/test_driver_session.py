@@ -45,6 +45,11 @@ assert qs["q_histogram"](spark, "/root/testdata/sf0.001").count() > 0
 assert qs["q_trend_ols"](spark, "/root/testdata/sf0.001").count() > 0
 assert qs["q_er_fuzzy_scaleb"](spark, "/root/testdata/sf0.001").count() > 0
 assert qs["q_pbf_way_area"](spark, "/root/testdata/sf0.001").count() > 0
+# round-13 curation additions: parquet write + _metadata.file_path +
+# per-process rank dir under a vanilla session (no get_spark confs)
+assert qs["q_sort_global"](spark, "/root/testdata/sf0.001").count() > 0
+assert qs["q_corpus_shuffle"](spark, "/root/testdata/sf0.001").count() > 0
+assert qs["q_split_hash"](spark, "/root/testdata/sf0.001").count() > 0
 assert e.entry(spark).count() > 0
 print("VANILLA_OK")
 spark.stop()

@@ -13,12 +13,17 @@ driver transfer.
 
 Methodology (steady-state, JMH-style):
 
-- **Warmup pass then timed pass.** Every query runs once untimed, then once
-  timed. The first execution of each distinct plan shape pays Janino
-  whole-stage-codegen compilation (~100-300 ms), Python worker spin-up for
-  UDF plans, and parquet footer/file-listing I/O — one-time costs any
-  resident deployment amortizes. Measured: first-run latency is 1.5-2x
-  steady state on sub-second queries.
+- **Warmup pass then min-of-two timed windows.** Every query runs 1-3x
+  untimed (adaptive), then twice timed with the minimum kept. The first
+  execution of each distinct plan shape pays Janino whole-stage-codegen
+  compilation (~100-300 ms), Python worker spin-up for UDF plans, and
+  parquet footer/file-listing I/O — one-time costs any resident
+  deployment amortizes (measured: first-run latency is 1.5-2x steady
+  state on sub-second queries). The second timed window exists because
+  a sum of ~155 sub-second measurements inherits every right-tail GC/
+  scheduler hiccup: four same-code quiet runs each totaled +13.5..+25%
+  above their own per-query min envelope (r14), which is exactly the
+  "artifact drift" earlier rounds chased as contention.
 - **AQE stays ON**, same as the shipped session defaults. Measured both
   ways at sf0.1: disabling AQE shaves ~0.1-0.2s of stage-barrier latency
   off sub-second queries but costs 1-3s on the self-join-heavy ones
@@ -278,6 +283,53 @@ def _prior_artifact_times() -> dict[str, tuple[float, str]]:
     return out
 
 
+def _speed_probe(spark) -> dict:
+    """Fixed reference workloads that calibrate HOST SPEED for this run
+    — the r13 verdict's Next #1: the driver's artifact totaled ~8%
+    above the builder's quiet same-code run with contention measured
+    near zero, leaving 'host just runs slower / suite-position residue'
+    as untestable narrative. Two probes make it a measurement:
+
+    - python_md5_ms: single-thread CPython digest loop over fixed bytes
+      (CPU + memory speed, no JVM, no scheduler);
+    - jvm_agg_ms: min-of-3 of a fixed 20M-row codegen aggregate
+      (JVM/scheduler/all-core speed, the fabric every query runs on).
+
+    Recorded at suite start AND end: two artifacts whose probes match
+    but whose totals differ by X% have a real engine/position delta;
+    probes that differ by the same X% say the host itself ran slower —
+    and a start->end probe drift inside ONE run measures accumulated
+    JVM residue directly."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    buf, h = b"x" * (1 << 20), b""
+    for _ in range(64):
+        h = hashlib.md5(buf + h).digest()
+    py_ms = (time.perf_counter() - t0) * 1000
+
+    def jvm_once() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 20_000_000, numPartitions=32)
+            .selectExpr(
+                "id % 97 AS k", "(id * 2654435761) % 1000003 AS v"
+            )
+            .groupBy("k")
+            .sum("v")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return (time.perf_counter() - t0) * 1000
+
+    jvm_ms = min(jvm_once() for _ in range(3))
+    return {
+        "python_md5_ms": round(py_ms, 1),
+        "jvm_agg_ms": round(jvm_ms, 1),
+    }
+
+
 def _quiet_gate() -> dict:
     """Wait (bounded) for host load to drop before starting the JVM.
 
@@ -394,6 +446,11 @@ def main() -> None:
     except Exception as exc:
         print(f"bench: pbf throughput FAILED: {exc}", file=sys.stderr)
 
+    try:
+        probe_start = _speed_probe(spark)
+    except Exception:
+        probe_start = None
+
     prior_times = _prior_artifact_times()
     # Mid-run contention judge (r12 verdict Next #2): the start gate only
     # proves the host was quiet BEFORE the JVM came up; BENCH_r12 passed
@@ -425,26 +482,56 @@ def main() -> None:
                 prev = w
         except Exception:
             pass
-        win0 = _tick_sample()
-        t0 = time.perf_counter()
-        try:
+
+        # Every timed window carries its own co-tenant sample, and the
+        # attempt list remembers (seconds, co) pairs — so the contended
+        # classification below describes the attempt whose time the
+        # artifact actually KEEPS, not whichever window happened to run
+        # first (r13 review: `timed = min(timed, t)` could keep a
+        # contended first window's time while the query landed in
+        # contended_retimed, and warmup/prior re-time windows were never
+        # co-sampled at all, so the kept min could be entirely
+        # unmeasured).
+        attempts: list[tuple[float, float | None]] = []
+
+        def _attempt() -> float:
+            win0 = _tick_sample()
+            t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
-            timed = time.perf_counter() - t0
-            co = _cotenant_frac(win0, _tick_sample())
-            # Re-time once if the timed run reads >1.5x the converged
-            # warmup: the warmup already PROVED the plan runs at ~w, so
-            # a timed run far above it caught a GC pause / compile storm
-            # — position noise, not query cost (observed: a 2.5s-steady
-            # query reading 4.7s in one suite position, 2.5s standalone
-            # immediately after). Min-of-two on disagreement only; a
-            # query whose timed run agrees with warmup pays nothing.
+            t = time.perf_counter() - t0
+            attempts.append((t, _cotenant_frac(win0, _tick_sample())))
+            return t
+
+        def _kept() -> tuple[float, float | None]:
+            return min(attempts, key=lambda a: a[0])
+
+        try:
+            timed = _attempt()
+            # UNCONDITIONAL min-of-two (r13 verdict Next #1, measured
+            # r14): four same-code quiet runs each totaled +13.5%..+25%
+            # above their own per-query min envelope (70.0s) — a sum of
+            # ~155 sub-second queries inherits every right-tail GC/
+            # scheduler/codegen hiccup, and a SINGLE timed window per
+            # query makes the artifact a one-sample statistic whose
+            # expected elevation IS the "unexplained drift" the r12/r13
+            # artifacts showed (r13: artifact 86.2 vs builder single
+            # run 78.9 vs sidecar aged-min 72.3 — same spread, no
+            # contention needed). A second timed window halves the
+            # tail's contribution for ~25% more suite wall; scale_synth
+            # has used min-of-N from the start for the same reason.
+            try:
+                timed = min(timed, _attempt())
+            except Exception:
+                pass  # keep the valid first measurement
+            # Re-time once more if still >1.5x the converged warmup:
+            # the warmup already PROVED the plan runs at ~w, so a timed
+            # min far above it caught back-to-back storms — position
+            # noise, not query cost.
             if w is not None and timed > 1.5 * w:
                 try:
-                    t0 = time.perf_counter()
-                    materialize(fn(spark, sf_dir))
-                    timed = min(timed, time.perf_counter() - t0)
+                    timed = min(timed, _attempt())
                 except Exception:
-                    pass  # keep the valid first measurement
+                    pass
 
             # Vs-prior-artifact guard (r07 verdict Next #4): a number
             # >1.25x the PRIOR ROUND's recorded time for the same query
@@ -474,21 +561,24 @@ def main() -> None:
                     if timed <= band * prior or timed - prior <= slack:
                         break
                     try:
-                        t0 = time.perf_counter()
-                        materialize(fn(spark, sf_dir))
-                        timed = min(timed, time.perf_counter() - t0)
+                        timed = min(timed, _attempt())
                     except Exception:
                         break
 
-            # Contention re-time (r12 verdict Next #2): the window above
-            # measured co-tenant CPU > threshold, so the number may be
-            # inflated by the neighbors, not the plan. Re-run until an
-            # attempt's own window is quiet (max 2) and keep the min —
-            # the artifact records the quiet attempt. Skipped when the
+            # Contention re-time (r12 verdict Next #2): the kept-minimum
+            # window measured co-tenant CPU > threshold, so the number
+            # may be inflated by the neighbors, not the plan. Re-run
+            # until an attempt's own window is quiet (max 2) — the
+            # artifact keeps the min across attempts. Skipped when the
             # timed run already matched its baseline (contention that
-            # did no harm needs no re-measure); recorded as stuck when
-            # every attempt stayed contended.
-            if co is not None and co > co_thresh:
+            # did no harm needs no re-measure). Classification follows
+            # the KEPT attempt (r13 review): contended_retimed only when
+            # the kept time's own window measured quiet;
+            # contended_queries when the kept window measured contended;
+            # contended_unmeasured when the kept window's sampling
+            # failed (quietness unknown, not refuted).
+            _, co_kept = _kept()
+            if co_kept is not None and co_kept > co_thresh:
                 baseline = min(
                     (x for x in (w, prior_src and prior_src[0]) if x),
                     default=None,
@@ -496,31 +586,19 @@ def main() -> None:
                 if baseline is None or timed > baseline + max(
                     0.05, 0.1 * baseline
                 ):
-                    quiet_seen = False
                     for _ in range(2):
                         try:
-                            win0 = _tick_sample()
-                            t0 = time.perf_counter()
-                            materialize(fn(spark, sf_dir))
-                            t = time.perf_counter() - t0
+                            timed = min(timed, _attempt())
                         except Exception:
                             break
-                        co2 = _cotenant_frac(win0, _tick_sample())
-                        timed = min(timed, t)
-                        if co2 is None:
-                            # sampling failed: quietness was NOT measured
-                            # — stop re-timing; record as UNMEASURED, not
-                            # as stayed-contended (a one-off /proc read
-                            # failure must not read as sustained host
-                            # contention in the artifact)
-                            quiet_seen = None
+                        if attempts[-1][1] is not None and (
+                            attempts[-1][1] <= co_thresh
+                        ):
                             break
-                        if co2 <= co_thresh:
-                            quiet_seen = True
-                            break
-                    if quiet_seen is None:
+                    _, co_kept = _kept()
+                    if co_kept is None:
                         contended_unmeasured.append(name)
-                    elif quiet_seen:
+                    elif co_kept <= co_thresh:
                         contended_retimed.append(name)
                     else:
                         contended_stuck.append(name)
@@ -529,6 +607,21 @@ def main() -> None:
         except Exception as exc:  # keep benching; a broken query reads as -1
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             times[name] = -1.0
+        # Optional full-GC nudge BETWEEN queries (SPARK_GRAFT_BENCH_GC=1
+        # to enable) — the periodicGC practice scale_synth adopted in
+        # r13 after the 100x broadcast-residue failure. TESTED HERE AND
+        # REJECTED as a default (r14): a clean A/B pair on a quiet host
+        # measured the nudge 2% SLOWER overall (81.24s without vs
+        # 83.21s with, median per-query ratio 1.029) — at sf0.1 the
+        # per-query heaps never grow enough for residue to matter, so
+        # the forced collections just burn wall. The knob stays for
+        # long-session diagnosis; the 100x suite (where residue DID
+        # cause a real failure) keeps its own nudge in scale_synth.
+        if os.environ.get("SPARK_GRAFT_BENCH_GC", "0") == "1":
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
 
     total = round(sum(t for t in times.values() if t >= 0), 4)
     # The driver records only the LAST 2000 chars of this line, so the
@@ -569,6 +662,16 @@ def main() -> None:
     if co_run is not None:
         host["cotenant_busy_frac"] = co_run
         host["contended"] = co_run > co_thresh
+    # host-speed calibration (r13 verdict Next #1): fixed workloads at
+    # suite start and end; compare across artifacts/sidecars to separate
+    # "this host ran slower" from "the suite's plans got slower", and
+    # start-vs-end inside one run to see accumulated JVM residue
+    if probe_start is not None:
+        host["probe_start"] = probe_start
+        try:
+            host["probe_end"] = _speed_probe(spark)
+        except Exception:
+            pass
     if contended_retimed:
         host["contended_retimed"] = sorted(contended_retimed)
     if contended_stuck:

@@ -195,89 +195,86 @@ def all_oracles() -> dict[str, str]:
     return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
 
 
-# Round-13 rotation for the driver's 50-query correctness window (the
+# Round-14 rotation for the driver's 50-query correctness window (the
 # driver checks only the FIRST 50 registered queries each round; with
 # len(REGISTRY) registered, ordering decides what gets a fresh hard
-# row). Composition, per the r12 verdict's Next #3:
+# row). Composition, per the r13 verdict's Next #3:
 #
-#   1. The four r09-stamped rows deferred from r12 — the registry's only
-#      stamps older than r10 (s_tumble / s_slide / s_session /
-#      s_time_rollup; the r12 judge re-swept all four green, so this
-#      tier is stamp freshness, not suspicion).
-#   2. Code that is NEW in r13: q_sort_global (full global sort + parquet
-#      materialize + scalable file-offset rank — verdict r12 Next #6),
-#      plus the two curation staples built on the same machinery:
-#      q_corpus_shuffle (seeded deterministic epoch shuffle) and
-#      q_split_hash (map-only 80/10/10 hash split).
-#   3. 43 of the 49 r10-stamped rows (the oldest remaining block,
-#      q_scan_project .. u_udtf). The window holds 50, so six r10 rows
-#      defer to r14: q_scan_project / q_filter_pred / q_case_null /
-#      q_math_funcs / q_str_funcs / q_map_funcs — the most trivial
-#      single-table plans, each hash-compared against its DuckDB oracle
-#      in EVERY CI pass (test_relational.test_oracle_parity parametrizes
-#      over the whole untagged-relational set), so deferral costs stamp
-#      freshness only, never verification coverage.
-_R13_WINDOW = (
-    # 1: the four r09-stamped rows (verdict r12 Next #3)
-    "s_tumble",
-    "s_slide",
-    "s_session",
-    "s_time_rollup",
-    # 2: r13-new code
-    "q_sort_global",
-    "q_corpus_shuffle",
-    "q_split_hash",
-    # 3: oldest remaining rows (r10), minus the six deferrals above
-    "q_agg_basic",
-    "q_agg_distinct",
-    "q_agg_rollup",
-    "q_approx_cd",
-    "q_asof_join",
-    "q_bpe_merge_count",
-    "q_date_funcs",
-    "q_dedup_incremental",
-    "q_dedup_passage",
-    "q_dedup_url",
-    "q_er_fuzzy",
-    "q_having",
-    "q_join_anti",
-    "q_join_broadcast",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_range",
-    "q_join_semi",
-    "q_join_skew_salt",
-    "q_json_funcs",
-    "q_lateral_topk",
-    "q_multimodal_resize",
-    "q_pbf_roundtrip",
-    "q_percentile",
-    "q_pivot",
-    "q_rollup_cascade",
-    "q_sample_stratified",
-    "q_scd2",
-    "q_set_intersect",
-    "q_set_union",
-    "q_sort_limit",
-    "q_subq_in",
-    "q_subq_scalar",
-    "q_unpivot",
-    "q_vec_centroid",
-    "q_vec_quantize",
-    "q_window_dist",
-    "q_window_frame",
-    "q_window_lead_lag",
-    "q_window_rank",
-    "u_udaf",
-    "u_udf",
-    "u_udtf",
+#   1. The six r10-stamped rows deferred across r13 — the registry's
+#      oldest stamps (q_scan_project / q_filter_pred / q_case_null /
+#      q_math_funcs / q_str_funcs / q_map_funcs; the r13 judge re-swept
+#      all six green, so this tier is stamp freshness, not suspicion).
+#   2. Code that is NEW in r14: q_compact_files (small-file compaction,
+#      the lake OPTIMIZE verb — verdict r13 Next #5).
+#   3. 43 of the 48 r11-stamped rows (the oldest remaining block). The
+#      window holds 50, so five r11 rows defer to r15: q_array_hof /
+#      q_explode_pos / q_incr_agg / q_join_full / q_merge_upsert —
+#      every one hash-compared against its DuckDB oracle in EVERY CI
+#      pass (test_relational.test_oracle_parity parametrizes over the
+#      whole untagged-relational set), so deferral costs stamp
+#      freshness only, never verification coverage. After r14 stamps
+#      land, no registered stamp is older than r11.
+_R14_WINDOW = (
+    # 1: the six r10-stamped rows (verdict r13 Next #3)
+    "q_scan_project",
+    "q_filter_pred",
+    "q_case_null",
+    "q_math_funcs",
+    "q_str_funcs",
+    "q_map_funcs",
+    # 2: r14-new code
+    "q_compact_files",
+    # 3: oldest remaining rows (r11), minus the five deferrals above
+    "q_anomaly_zscore",
+    "q_bfs_khop",
+    "q_bpe_encode",
+    "q_bpe_train",
+    "q_cluster_kmeans",
+    "q_corpus_mix",
+    "q_decontaminate",
+    "q_dedup_clusters",
+    "q_dedup_embed",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_ngram",
+    "q_dedup_semantic_scalek",
+    "q_dedup_simhash_exact",
+    "q_doc_pack",
+    "q_doc_pack_chunks",
+    "q_er_fuzzy_scaleb",
+    "q_grid_agg",
+    "q_join_5way",
+    "q_multimodal",
+    "q_multimodal_agg",
+    "q_multimodal_decode",
+    "q_multimodal_frames",
+    "q_pagerank",
+    "q_pbf_tag_filter",
+    "q_pbf_way_geom",
+    "q_pbf_zorder",
+    "q_pii_redact",
+    "q_pipeline_e2e",
+    "q_resample_locf",
+    "q_session_funnel",
+    "q_text_rarity",
+    "q_token_pmi",
+    "q_triangle_count",
+    "s_anomaly_stream",
+    "s_dedup_near_stream",
+    "s_enrich_stream",
+    "s_funnel_stream",
+    "s_join_stream",
+    "s_session_append",
+    "s_session_stream",
+    "s_stateful",
+    "s_tumble_append",
 )
 
-_R13_RANK = {n: i for i, n in enumerate(_R13_WINDOW)}
+_R14_RANK = {n: i for i, n in enumerate(_R14_WINDOW)}
 
 
 def _window_tier(name: str) -> int:
-    return _R13_RANK.get(name, len(_R13_WINDOW))
+    return _R14_RANK.get(name, len(_R14_WINDOW))
 
 
 def _import_all() -> None:
@@ -285,6 +282,7 @@ def _import_all() -> None:
     registry for the driver's 50-query correctness window (tiers above)."""
     from osmpbf_spark.operators import (  # noqa: F401
         cdc,
+        compact,
         dedup,
         graph,
         grid,
@@ -303,7 +301,7 @@ def _import_all() -> None:
     # The sweep CLI has the same guard for argv names
     # (scripts/sweep_oracles.py) — the window, which the driver actually
     # consumes, must fail just as loudly.
-    phantom = [n for n in _R13_WINDOW if n not in REGISTRY]
+    phantom = [n for n in _R14_WINDOW if n not in REGISTRY]
     if phantom:
         raise RuntimeError(
             f"correctness-window names not in REGISTRY: {phantom} — "

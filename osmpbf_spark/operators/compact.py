@@ -1,0 +1,134 @@
+"""Small-file compaction — the lake OPTIMIZE verb (r13 verdict Next #5).
+
+Reference anchor: the reference is an ingestion InputFormat whose output
+lands wherever the MapReduce job writes it (README.md:20-55) — it ships
+no table-maintenance verbs at all. This engine's own streaming file
+sinks (s_dedup_append, s_upsert_stream, s_tumble_append) write one part
+file per trigger, so at 100 TB a long-lived sink directory accumulates
+the classic lake pathology: millions of KB-scale files whose per-file
+open/footer cost dominates every downstream scan and whose listing
+blows up planning. ``compact_files`` is the maintenance pass that
+rewrites such a directory into target-sized files.
+
+Scale shape:
+
+- **File stats come from the scan, not a driver FS walk**: the
+  ``_metadata`` hidden column gives (file_path, file_size) per row, so
+  per-file stats are one distributed aggregate whose result is
+  #files-sized — works identically on HDFS/S3/local, and the only
+  driver-side state is the (#files)-row stats frame.
+- **The rewrite is map-only**: ``coalesce(n_after)`` merges input
+  splits into fewer tasks with NO shuffle (pinned in
+  tests/test_plans.py) — each output task streams several small files
+  into one large one. ``repartition`` would give byte-perfect output
+  balance at the cost of shuffling the whole table; compaction inputs
+  are near-uniform small files (per-trigger sink output), so the
+  shuffle buys nothing. At cluster scale the pass runs per partition
+  directory, so one job never rewrites the whole table.
+- **Sizing** is the standard heuristic: n_after = ceil(input_bytes /
+  target). Compacted files come out slightly SMALLER than the sum of
+  their inputs (bigger row groups, shared dictionaries), so the
+  estimate errs toward files under target — the safe side.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osmpbf_spark.catalog import load, query
+from osmpbf_spark.operators.relational import epoch_out_dir
+
+# Lake-standard output file target. Module-global so demos/deploys can
+# re-size per table (the scale_synth EMB_BITS precedent); the sf-scale
+# registered query compacts its 64-file fragment to 1 file under any
+# sane value.
+COMPACT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def file_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-file (file, rows, bytes) for a parquet directory, computed
+    distributedly from the scan's ``_metadata`` column. The result is
+    #files-sized — safe to collect at any corpus scale."""
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("_metadata.file_path").alias("file"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.first(F.col("_metadata.file_size")).alias("bytes"),
+        )
+    )
+
+
+def compact_files(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str | None = None,
+    target_bytes: int | None = None,
+) -> tuple[str, dict]:
+    """Rewrite a fragmented parquet directory into ~target-sized files.
+
+    Returns ``(out_dir, stats)`` where stats carries the before/after
+    file counts, byte totals, and row counts the maintenance log wants.
+    The rewrite plan is shuffle-free (coalesce; see module docstring);
+    row-count equality before/after is asserted here because a
+    compaction that drops or duplicates rows must never return a
+    success stats dict.
+    """
+    target = target_bytes or COMPACT_TARGET_BYTES
+    before = file_stats(spark, in_path).agg(
+        F.count(F.lit(1)).alias("files"),
+        F.sum("bytes").alias("bytes"),
+        F.sum("rows").alias("rows"),
+    ).first()
+    n_after = max(1, math.ceil((before["bytes"] or 0) / target))
+    out = out_path or epoch_out_dir("osmpbf_compact_")
+    spark.read.parquet(in_path).coalesce(n_after).write.mode(
+        "overwrite"
+    ).parquet(out)
+    after = file_stats(spark, out).agg(
+        F.count(F.lit(1)).alias("files"),
+        F.sum("bytes").alias("bytes"),
+        F.sum("rows").alias("rows"),
+    ).first()
+    if after["rows"] != before["rows"]:
+        raise RuntimeError(
+            f"compaction row-count mismatch: {before['rows']} in, "
+            f"{after['rows']} out — refusing to report success"
+        )
+    return out, {
+        "files_before": before["files"],
+        "files_after": after["files"],
+        "bytes_before": int(before["bytes"] or 0),
+        "bytes_after": int(after["bytes"] or 0),
+        "rows": before["rows"],
+        "target_bytes": target,
+    }
+
+
+@query(
+    "q_compact_files",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+    tags=("compact", "curation"),
+)
+def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end compaction round-trip: fragment the documents table
+    into 64 per-trigger-sized part files (the streaming-sink shape that
+    creates the pathology), compact them back to target-sized files,
+    and return the COMPACTED directory's full content — the oracle pins
+    content equality with the source table, i.e. compaction is a pure
+    physical-layout rewrite. File-count/shuffle-free assertions live in
+    tests (test_relational / test_plans); the 100x before/after file
+    populations are measured in scripts/compact_demo.py."""
+    frag = epoch_out_dir("osmpbf_frag_")
+    load(spark, sf_dir, "documents").repartition(64).write.mode(
+        "overwrite"
+    ).parquet(frag)
+    out, _stats = compact_files(spark, frag)
+    return spark.read.parquet(out).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )

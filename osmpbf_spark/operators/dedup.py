@@ -1368,8 +1368,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every stage keys on the SAME content hash: the history side reduces
     to distinct hashes (shuffle volume = #distinct history docs — at
-    scale this is a bucketed/Z-ordered hash index maintained across
-    snapshots, so the exchange disappears entirely), the batch window
+    scale this is a bucketed hash index maintained across snapshots, so
+    the exchange disappears entirely; that shape is implemented in
+    build_history_index / dedup_incremental_against_history below,
+    plan-pinned in test_plans.py and measured at 100x in
+    scripts/bucketed_history_demo.py), the batch window
     and the anti-join reuse that partitioning, and AQE broadcast-converts
     whichever side is small (the batch, in steady state — a day's crawl
     vs years of corpus; the JOIN's build side is the DISTINCT-hash
@@ -1386,6 +1389,68 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
     return (
         inc.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .join(hist, "h", "left_anti")
+        .select("doc_id", "source", "lang", "n_chars")
+    )
+
+
+HISTORY_BUCKETS = 32  # sized to the session's shuffle partitions locally;
+# at cluster scale pick ~total cores (bucket count is fixed at table
+# creation, so size it for the corpus's steady state, not today's delta)
+
+
+def build_history_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    table: str,
+    path: str,
+    buckets: int = HISTORY_BUCKETS,
+) -> None:
+    """Materialize the dedup history as a MAINTAINED bucketed hash index
+    — the shape q_dedup_incremental's docstring promises at scale: the
+    distinct content hashes of the historical corpus, written ONCE as a
+    parquet table bucketed (and sorted) by the hash, so every subsequent
+    snapshot ingest anti-joins against it with NO exchange and NO
+    distinct recomputation on the history side (the index is distinct by
+    construction, and its bucketing IS the join partitioning).
+
+    External table (explicit path): bucketing metadata lives in the
+    session catalog, data on the FS. In production the refresh after an
+    accepted ingest appends the batch's new hashes INTO the bucketed
+    table (insertInto keeps the bucket spec); here the demo/test rebuild
+    is a full write."""
+    (
+        docs.select(F.md5("text").alias("h"))
+        .distinct()
+        .write.bucketBy(buckets, "h")
+        .sortBy("h")
+        .option("path", path)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def dedup_incremental_against_history(
+    spark: SparkSession, batch: DataFrame, history_table: str
+) -> DataFrame:
+    """Snapshot-delta dedup against the bucketed history index: dedup
+    the batch within itself (keep lowest doc_id per content hash), then
+    anti-join the maintained index. Per-ingest cost: ONE exchange of the
+    (small) batch to the index's bucket partitioning; the history side
+    is a bucketed scan with no exchange (pinned in
+    tests/test_plans.py::test_bucketed_history_anti_join_no_exchange)
+    and no md5/distinct recompute — that work was paid once at index
+    build. ``batch`` must carry (doc_id, source, lang, n_chars, text).
+    """
+    from pyspark.sql import Window
+
+    hist = spark.table(history_table)
+    b = batch.withColumn("h", F.md5("text"))
+    rn = F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
+    return (
+        b.withColumn("rn", rn)
         .filter(F.col("rn") == 1)
         .join(hist, "h", "left_anti")
         .select("doc_id", "source", "lang", "n_chars")

@@ -907,6 +907,7 @@ def q_sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RANK_DIRS: dict[str, str] = {}
+_RANK_EPOCHS: dict[str, int] = {}
 
 
 def _cleanup_rank_dirs() -> None:
@@ -917,6 +918,34 @@ def _cleanup_rank_dirs() -> None:
 
     for d in _RANK_DIRS.values():
         shutil.rmtree(d, ignore_errors=True)
+
+
+def epoch_out_dir(prefix: str) -> str:
+    """Per-(process, prefix) parquet output dir with an EPOCH SUBDIR per
+    invocation (r13 review: a single overwritten dir silently corrupted
+    any earlier returned frame not yet materialized — the returned frames
+    lazily READ the written files). Each call yields epoch=N and deletes
+    epochs <= N-2, so the current and immediately-previous invocations'
+    frames stay readable (bench's warm/timed interleave holds at most one
+    prior frame live) while disk stays bounded at two output copies; a
+    frame held unmaterialized across TWO newer invocations is out of
+    contract and fails loudly on read (missing files), never returns
+    wrong rows. The root is atexit-cleaned. Shared by the rank-write
+    queries and operators.compact."""
+    import shutil
+    import tempfile
+
+    root = _RANK_DIRS.get(prefix)
+    if root is None:
+        if not _RANK_DIRS:
+            import atexit
+
+            atexit.register(_cleanup_rank_dirs)
+        root = _RANK_DIRS[prefix] = tempfile.mkdtemp(prefix=prefix)
+    epoch = _RANK_EPOCHS[prefix] = _RANK_EPOCHS.get(prefix, -1) + 1
+    for stale in range(epoch - 1):
+        shutil.rmtree(f"{root}/epoch={stale}", ignore_errors=True)
+    return f"{root}/epoch={epoch}"
 
 
 def _part_index(path: str) -> int:
@@ -947,26 +976,15 @@ def _rank_from_ordered_write(
     broadcast back; no single-partition window anywhere. Shared by
     q_sort_global and q_corpus_shuffle.
 
-    One output dir per (process, prefix), overwritten on each invocation:
-    a bench run re-executes the query ~6x and a fresh mkdtemp per call
-    would accumulate orphan dirs for the life of /tmp. Safe because every
-    caller fully materializes one invocation's result before building the
-    next (the returned frame READS the written files — never interleave
-    two live invocations of the same query in one process)."""
-    import tempfile
+    Output layout: per-invocation epoch subdir under an atexit-cleaned
+    per-(process, prefix) root — see epoch_out_dir (r13 review fix)."""
 
     def cols():
         return [
             F.col(c).asc() if asc else F.col(c).desc() for c, asc in order
         ]
 
-    out = _RANK_DIRS.get(prefix)
-    if out is None:
-        if not _RANK_DIRS:
-            import atexit
-
-            atexit.register(_cleanup_rank_dirs)
-        out = _RANK_DIRS[prefix] = tempfile.mkdtemp(prefix=prefix)
+    out = epoch_out_dir(prefix)
     df.orderBy(*cols()).write.mode("overwrite").parquet(out)
     back = spark.read.parquet(out).withColumn(
         "f", F.col("_metadata.file_path")

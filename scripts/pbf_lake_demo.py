@@ -71,6 +71,101 @@ def build_lake(n_files: int, nodes_per_file: int) -> None:
         fh.write("ok")
 
 
+TAG_LAKE = "/tmp/pbf_lake_tags"
+
+
+def build_tag_lake(n_files: int, nodes_per_file: int) -> int:
+    """A lake where the tag of interest is SPARSE the way a real planet
+    extract is: every 4th file carries ONE block of highway-tagged nodes
+    (8k rows); every other block is untagged, so its indexdata
+    fingerprint is 0 and a tag_key scan can prove absence at planning
+    time. Returns the number of tagged rows written."""
+    from osmpbf_spark.sources.pbf import encode
+
+    marker = f"{TAG_LAKE}/{MARKER}_{n_files}x{nodes_per_file}"
+    block_rows = 8000
+    # tagged rows = one full first block per every-4th file
+    tagged_rows = min(block_rows, nodes_per_file) * len(range(0, n_files, 4))
+    if os.path.exists(marker):
+        return tagged_rows
+    shutil.rmtree(TAG_LAKE, ignore_errors=True)
+    os.makedirs(TAG_LAKE, exist_ok=True)
+    for i in range(n_files):
+        rng = np.random.RandomState(2000 + i)
+        ids = (
+            np.cumsum(rng.randint(1, 5, nodes_per_file))
+            + i * 10 * nodes_per_file
+        )
+        lat7 = rng.randint(-900_000_000, 900_000_000, nodes_per_file)
+        lon7 = rng.randint(-1_800_000_000, 1_800_000_000, nodes_per_file)
+        blocks = []
+        for j in range(0, nodes_per_file, block_rows):
+            n = len(ids[j : j + block_rows])
+            tagged = i % 4 == 0 and j == 0
+            blocks.append(
+                {
+                    "nodes": {
+                        "id": ids[j : j + block_rows],
+                        "lat_nano": lat7[j : j + block_rows] * 100,
+                        "lon_nano": lon7[j : j + block_rows] * 100,
+                        "tags": [{"highway": "residential"}] * n
+                        if tagged
+                        else [None] * n,
+                    }
+                }
+            )
+        encode.write_pbf(f"{TAG_LAKE}/part-{i:05d}.osm.pbf", blocks)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return tagged_rows
+
+
+def tag_pushdown_demo(spark, n_files: int, nodes_per_file: int) -> None:
+    """Tag-filter pushdown at LAKE scale (r13 verdict Next #6): blocks
+    skipped/read at planning time and the end-to-end wall vs an
+    unfiltered scan — the osmium-extract use case (reference
+    README.md:46-55) at the many-file shape."""
+    from pyspark.sql import functions as F
+
+    from osmpbf_spark.sources.pbf.datasource import OsmPbfReader, read_pbf
+
+    t0 = time.perf_counter()
+    expect = build_tag_lake(n_files, nodes_per_file)
+    print(
+        f"tag lake: {n_files} files, tagged rows {expect} "
+        f"(build/check {round(time.perf_counter() - t0, 1)}s)"
+    )
+
+    def n_blocks(**opts) -> int:
+        parts = OsmPbfReader({"path": TAG_LAKE, **opts}, None).partitions()
+        return sum(len(p.ranges) for p in parts)
+
+    total = n_blocks()
+    kept = n_blocks(tag_key="highway")
+    print(
+        f"planning: {total} blocks total, {kept} kept under "
+        f"tag_key=highway ({total - kept} skipped, "
+        f"{round(100 * (total - kept) / total, 1)}%)"
+    )
+
+    def scan_wall(**opts) -> tuple[float, int]:
+        df = read_pbf(spark, TAG_LAKE, "node", **opts)
+        df.count()  # warm
+        t0 = time.perf_counter()
+        n = df.count()
+        return time.perf_counter() - t0, n
+
+    w_all, n_all = scan_wall()
+    w_tag, n_tag = scan_wall(tag_key="highway")
+    assert n_all == n_files * nodes_per_file, n_all
+    assert n_tag == expect, (n_tag, expect)
+    print(
+        f"scan: unfiltered {round(w_all, 2)}s ({n_all} rows) vs "
+        f"tag-filtered {round(w_tag, 2)}s ({n_tag} rows) — "
+        f"{round(w_all / w_tag, 1)}x from block pruning"
+    )
+
+
 def time_plan(cache_dir: str) -> tuple[float, int]:
     """One driver-side planning pass; returns (wall, n_partitions)."""
     from osmpbf_spark.sources.pbf.datasource import OsmPbfReader
@@ -143,6 +238,7 @@ def main() -> int:
         cnt = grid_agg().agg(F.sum("cnt")).collect()[0][0]
         assert cnt == n_total, f"scan lost rows: {cnt} != {n_total}"
         print(f"row-count check: {cnt} == {n_total} OK")
+        tag_pushdown_demo(spark, args.files, args.nodes)
     finally:
         spark.stop()
     return 0

@@ -64,7 +64,7 @@ DEFAULT_SET = [
     "q_er_fuzzy_scaleb", "q_attribution", "q_histogram", "q_skyline",
     "q_trend_ols", "q_resample_interp", "q_twap", "q_corr",
     "q_text_bm25", "q_sample_topk_group", "q_fd_check", "q_sort_global",
-    "q_corpus_shuffle", "q_split_hash",
+    "q_corpus_shuffle", "q_split_hash", "q_compact_files",
     # PBF geometry family: timed against a K-times key-shifted synthetic
     # PBF (build_pbf below) instead of a scaled sf dir
     "q_pbf_way_area", "q_pbf_way_geom", "q_pbf_multipolygon",
@@ -74,6 +74,66 @@ DEFAULT_SET = [
     "s_dedup_near_stream", "s_dedup_embed_stream", "s_pbf_stream",
     "s_session_append", "s_dedup_append",
 ]
+
+# Write-inclusive DuckDB arms for the rank-write queries (r13 verdict
+# Next #2): q_sort_global / q_corpus_shuffle materialize the sorted
+# corpus to parquet INSIDE the timed Spark query (that write IS the
+# product), while their registered oracles only compute ROW_NUMBER over
+# a sort — so the per-query bench ratio carries a write asymmetry. The
+# fair arm makes DuckDB do the same work: COPY (ORDER BY ...) TO
+# parquet, then derive the rank from the WRITTEN file and aggregate it
+# (full read-back materialization, no Python fetch of the corpus).
+_SORT_GLOBAL_SCORE = (
+    "CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT)"
+    " * 100000 + n_chars"
+)
+_SHUFFLE_KEY = (
+    "('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+    "::BIGINT"
+)
+ORACLE_WRITE_ARMS = {
+    "q_sort_global": (
+        f"SELECT doc_id, {_SORT_GLOBAL_SCORE} AS score"
+        " FROM read_parquet('{src}/documents.parquet')"
+        " ORDER BY score DESC, doc_id",
+        "SELECT COUNT(*), SUM(rk), SUM(score) FROM ("
+        "  SELECT CAST(ROW_NUMBER() OVER () AS BIGINT) AS rk, score"
+        "  FROM read_parquet('{out}'))",
+    ),
+    "q_corpus_shuffle": (
+        f"SELECT doc_id, {_SHUFFLE_KEY} AS shuffle_key"
+        " FROM read_parquet('{src}/documents.parquet')"
+        " ORDER BY shuffle_key, doc_id",
+        "SELECT COUNT(*), SUM(rk), SUM(shuffle_key) FROM ("
+        "  SELECT CAST(ROW_NUMBER() OVER () AS BIGINT) AS rk, shuffle_key"
+        "  FROM read_parquet('{out}'))",
+    ),
+}
+
+
+def duck_write_arm(q: str, src_dir: str, runs: int = 2) -> float:
+    """Time DuckDB's write-inclusive twin of a rank-write query on the
+    same parquet: ordered COPY TO parquet + rank-from-the-written-file
+    read-back. 1 warmup + min-of-N, the K=100 protocol."""
+    import duckdb
+
+    copy_sql, rank_sql = ORACLE_WRITE_ARMS[q]
+    out = f"/tmp/duck_write_arm_{q}.parquet"
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        con = duckdb.connect()
+        con.execute(
+            f"COPY ({copy_sql.format(src=src_dir)}) TO '{out}'"
+            " (FORMAT PARQUET)"
+        )
+        con.execute(rank_sql.format(out=out)).fetchone()
+        con.close()
+        return time.perf_counter() - t0
+
+    once()  # warm (page cache on the input parquet)
+    return round(min(once() for _ in range(runs)), 3)
+
 
 # queries that read the PBF fixture, not the sf parquet dir
 PBF_SET = {"q_pbf_way_area", "q_pbf_way_geom", "q_pbf_multipolygon"}
@@ -327,7 +387,7 @@ def main() -> None:
     # the sweep under control and the floor is noise at that magnitude
     warmups, timed_runs = (2, 3) if K <= 10 else (1, 2)
 
-    def mat(df):
+    def mat(df) -> bool:
         # Retry-once on the local-mode broadcast/memory race: in ONE
         # shared JVM the driver's runtime-broadcast build and the
         # executors' external sorts contend for the same unified memory
@@ -338,24 +398,42 @@ def main() -> None:
         # pessimized for this — see dedup._jaccard_pairs). clearCache +
         # full GC releases prior queries' broadcast residue; a retry
         # that then succeeds proves the failure was environmental. The
-        # retry is LOGGED so a timing that absorbed one is never silent.
+        # retry is LOGGED so a timing that absorbed one is never silent,
+        # and the return value tells a TIMED caller the window is
+        # tainted (it includes the failed attempt + clearCache + full GC
+        # + re-run) so t_of can discard and re-time cleanly.
         try:
             df.write.format("noop").mode("overwrite").save()
+            return False
         except Exception as exc:
             head = (str(exc).splitlines() or [repr(exc)])[0]
             print(f"mat: retrying after local-mode failure: {head[:120]}")
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
             df.write.format("noop").mode("overwrite").save()
+            return True
 
     def t_of(q: str, sf_dir: str) -> float:
         for _ in range(warmups):
             mat(qs[q](spark, sf_dir))
         ts = []
         for _ in range(timed_runs):
-            t0 = time.perf_counter()
-            mat(qs[q](spark, sf_dir))
-            ts.append(time.perf_counter() - t0)
+            # a window whose mat() absorbed a retry measured the failure
+            # + GC + re-run, not the plan (r13 review) — discard it and
+            # re-time cleanly; if the clean re-time ALSO retries, keep
+            # the number but mark it loudly rather than looping forever
+            for attempt in range(2):
+                t0 = time.perf_counter()
+                retried = mat(qs[q](spark, sf_dir))
+                t = time.perf_counter() - t0
+                if not retried:
+                    break
+                if attempt == 0:
+                    print(f"t_of: {q}: discarding retry-tainted window")
+                else:
+                    print(f"t_of: {q}: RETRY-TAINTED timing recorded "
+                          f"({round(t, 3)}s includes a failed attempt)")
+            ts.append(t)
         return round(min(ts), 3)
 
     def t_of_pbf(q: str, pbf_path) -> float:
@@ -495,6 +573,16 @@ def main() -> None:
         results.append((q, a, b))
         peak_shuffle = max(peak_shuffle, _blockmgr_bytes())
         print(f"{q}: sf0.1={a}s {K}x={b}s ratio={round(b / a, 2)}")
+        if q in ORACLE_WRITE_ARMS:
+            # fair (write-inclusive) oracle arm for the rank-write
+            # queries: DuckDB also pays the ordered COPY TO parquet +
+            # read-back rank (r13 verdict Next #2)
+            da, db = duck_write_arm(q, SRC), duck_write_arm(q, OUT)
+            print(
+                f"{q}: duck_write sf0.1={da}s {K}x={db}s "
+                f"fair_vs_duck@sf0.1={round(a / da, 2)} "
+                f"fair_vs_duck@{K}x={round(b / db, 2)}"
+            )
         # Broadcast/shuffle cleanup in Spark is GC-DRIVEN (ContextCleaner
         # acts on weak references; spark.cleaner.periodicGC defaults to
         # 30min) — a 20-minute suite can finish without one full GC, so

@@ -50,6 +50,9 @@ assert qs["q_pbf_way_area"](spark, "/root/testdata/sf0.001").count() > 0
 assert qs["q_sort_global"](spark, "/root/testdata/sf0.001").count() > 0
 assert qs["q_corpus_shuffle"](spark, "/root/testdata/sf0.001").count() > 0
 assert qs["q_split_hash"](spark, "/root/testdata/sf0.001").count() > 0
+# round-14 addition: compaction round-trip (fragment write + _metadata
+# file stats + coalesce rewrite) under a vanilla session
+assert qs["q_compact_files"](spark, "/root/testdata/sf0.001").count() > 0
 assert e.entry(spark).count() > 0
 print("VANILLA_OK")
 spark.stop()

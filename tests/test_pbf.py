@@ -1997,3 +1997,52 @@ def test_multipolygon_matches_numpy_role_signed_sum(spark):
         assert int(row["n_inner"]) == n_inner, rid
         assert int(row["mp_area2_q"]) == area2, rid
         assert row["mp_area_deg2"] == area2 / 2.0 / 1e10, rid
+
+
+def test_tag_pushdown_prunes_across_lake(tmp_path):
+    """Lake-scale tag-filter pushdown (r13 verdict Next #6 pin): with
+    tag-bearing blocks SPARSE across a many-file lake, planning under
+    tag_key must keep exactly the fingerprint-positive blocks of every
+    file — and the skip decisions must survive the sidecar cache
+    round-trip (a warm re-plan from JSON sidecars prunes identically,
+    so tag_key_bits is preserved by the cache serialization)."""
+    from osmpbf_spark.sources.pbf import encode
+    from osmpbf_spark.sources.pbf.datasource import OsmPbfReader
+
+    lake = tmp_path / "taglake"
+    lake.mkdir()
+    n_files, blocks_per_file = 12, 3
+    for i in range(n_files):
+        blocks = []
+        for j in range(blocks_per_file):
+            base = i * 1000 + j * 100
+            tagged = i % 4 == 0 and j == 0
+            blocks.append(
+                {
+                    "nodes": {
+                        "id": [base + 1, base + 2],
+                        "lat_nano": [10**9, 2 * 10**9],
+                        "lon_nano": [10**9, 2 * 10**9],
+                        "tags": [{"highway": "residential"}] * 2
+                        if tagged
+                        else [None, None],
+                    }
+                }
+            )
+        encode.write_pbf(str(lake / f"p{i:03d}.osm.pbf"), blocks)
+
+    cache = str(tmp_path / "idx")
+
+    def kept_blocks(**opts) -> int:
+        parts = OsmPbfReader(
+            {"path": str(lake), "index_cache_dir": cache, **opts}, None
+        ).partitions()
+        return sum(len(p.ranges) for p in parts)
+
+    decode._INDEX_CACHE.clear()
+    assert kept_blocks() == n_files * blocks_per_file  # nothing pruned
+    assert kept_blocks(tag_key="highway") == 3  # files 0, 4, 8: block 0
+    assert kept_blocks(tag_key="building") == 0  # absent everywhere
+    # warm re-plan from sidecars only (fresh driver image): identical
+    decode._INDEX_CACHE.clear()
+    assert kept_blocks(tag_key="highway") == 3

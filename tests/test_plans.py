@@ -749,3 +749,55 @@ def test_aqe_skew_join_split_engages(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_history_anti_join_no_exchange(spark):
+    """The maintained bucketed history index must join exchange-free on
+    its side: the index's bucketing (bucketBy on the content hash) IS
+    the anti-join's required partitioning, so the only exchange in the
+    whole ingest plan is the (small) batch's — and the batch pays that
+    shuffle ONCE, shared by its in-batch dedup window and the join.
+    This is the 100 TB incremental-ingest shape q_dedup_incremental's
+    docstring promises (r13 verdict Next #4)."""
+    from pyspark.sql import functions as F
+
+    from osmpbf_spark.catalog import load
+    from osmpbf_spark.operators.dedup import (
+        build_history_index,
+        dedup_incremental_against_history,
+    )
+
+    d = load(spark, SF_DIR, "documents")
+    tbl, path = "hist_idx_plan_test", "/tmp/osmpbf_hist_idx_plan_test"
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    build_history_index(
+        spark, d.filter(F.col("doc_id") % 5 != 0), tbl, path, buckets=8
+    )
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    # forbid broadcast so the plan proves the BUCKETED join shape (at
+    # real scale the history index is never broadcastable anyway)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = dedup_incremental_against_history(spark, batch, tbl)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # the history scan is bucket-aware ...
+    assert "Bucketed: true" in plan, plan
+    # ... and the ONLY exchange in the plan is the batch side's window/
+    # join shuffle — one Exchange total; the bucketed side has none
+    assert plan.count("Exchange") == 1, plan
+    assert "SortMergeJoin" in plan and "LeftAnti" in plan, plan
+    # semantics unchanged vs the self-contained registered query
+    from osmpbf_spark.catalog import REGISTRY
+
+    expect = sorted(
+        tuple(r)
+        for r in REGISTRY["q_dedup_incremental"].fn(spark, SF_DIR).collect()
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == expect and len(got) > 0

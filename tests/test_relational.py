@@ -562,3 +562,59 @@ def test_rank_write_orders_files_numerically():
     assert bad[1].endswith("part-100000-uuid.snappy.parquet"), (
         "lexicographic order no longer misbehaves?? revisit the fix"
     )
+
+
+def test_rank_write_epoch_isolation(spark):
+    """Two live invocations of the same rank-write query must not corrupt
+    each other (r13 review: the single overwritten output dir silently
+    invalidated any earlier un-materialized frame). Each invocation now
+    writes its own epoch subdir, keeping current + previous readable and
+    deleting older epochs so disk stays bounded at two corpus copies."""
+    import os
+
+    from osmpbf_spark.operators import relational as R
+
+    qs = all_queries()
+    df1 = qs["q_sort_global"](spark, SF_DIR)  # epoch N
+    df2 = qs["q_sort_global"](spark, SF_DIR)  # epoch N+1; N must survive
+    r1 = sorted((r.rk, r.doc_id) for r in df1.collect())
+    r2 = sorted((r.rk, r.doc_id) for r in df2.collect())
+    assert r1 == r2 and len(r1) > 0
+    qs["q_sort_global"](spark, SF_DIR).count()  # epoch N+2 prunes N
+    root = R._RANK_DIRS["osmpbf_sort_global_"]
+    epochs = sorted(d for d in os.listdir(root) if d.startswith("epoch="))
+    assert len(epochs) == 2, epochs  # bounded: current + previous only
+
+
+def test_compact_files_stats_and_content(spark):
+    """Compaction must (a) actually shrink the file population, (b)
+    preserve content exactly, (c) report truthful before/after stats,
+    and (d) rewrite WITHOUT a shuffle — the map-only coalesce plan is
+    what makes the maintenance pass affordable at 100 TB."""
+    from osmpbf_spark.catalog import load
+    from osmpbf_spark.operators.compact import compact_files, file_stats
+    from osmpbf_spark.operators.relational import epoch_out_dir
+
+    src = load(spark, SF_DIR, "documents")
+    frag = epoch_out_dir("osmpbf_test_frag_")
+    src.repartition(16).write.mode("overwrite").parquet(frag)
+    assert file_stats(spark, frag).count() == 16
+
+    out, stats = compact_files(spark, frag)
+    assert stats["files_before"] == 16
+    assert stats["files_after"] == 1  # tiny corpus, one target-sized file
+    assert stats["rows"] == src.count()
+    assert file_stats(spark, out).count() == stats["files_after"]
+    # content equality, order-insensitive
+    a = sorted(map(tuple, spark.read.parquet(out).collect()))
+    b = sorted(map(tuple, src.collect()))
+    assert a == b
+    # the rewrite plan is shuffle-free: coalesce is a narrow dependency
+    plan = (
+        spark.read.parquet(frag)
+        .coalesce(1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan

@@ -205,10 +205,12 @@ def all_oracles() -> dict[str, str]:
 #      q_math_funcs / q_str_funcs / q_map_funcs; the r13 judge re-swept
 #      all six green, so this tier is stamp freshness, not suspicion).
 #   2. Code that is NEW in r14: q_compact_files (small-file compaction,
-#      the lake OPTIMIZE verb — verdict r13 Next #5).
-#   3. 43 of the 48 r11-stamped rows (the oldest remaining block). The
-#      window holds 50, so five r11 rows defer to r15: q_array_hof /
-#      q_explode_pos / q_incr_agg / q_join_full / q_merge_upsert —
+#      the lake OPTIMIZE verb — verdict r13 Next #5) and
+#      q_dedup_minhash_incr (incremental near-dup ingest vs history).
+#   3. 42 of the 48 r11-stamped rows (the oldest remaining block). The
+#      window holds 50, so six r11 rows defer to r15: q_array_hof /
+#      q_explode_pos / q_incr_agg / q_join_full / q_merge_upsert /
+#      q_anomaly_zscore —
 #      every one hash-compared against its DuckDB oracle in EVERY CI
 #      pass (test_relational.test_oracle_parity parametrizes over the
 #      whole untagged-relational set), so deferral costs stamp
@@ -224,8 +226,8 @@ _R14_WINDOW = (
     "q_map_funcs",
     # 2: r14-new code
     "q_compact_files",
-    # 3: oldest remaining rows (r11), minus the five deferrals above
-    "q_anomaly_zscore",
+    "q_dedup_minhash_incr",
+    # 3: oldest remaining rows (r11), minus the six deferrals above
     "q_bfs_khop",
     "q_bpe_encode",
     "q_bpe_train",

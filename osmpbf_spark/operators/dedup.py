@@ -143,9 +143,26 @@ def _jaccard_pairs(
     construction (constant dup density means #pairs grows with #docs),
     so its width must be guaranteed by the plan, not by hoping AQE's
     byte-sizing leaves enough partitions for the array-intersection
-    compute downstream."""
+    compute downstream.
+
+    Verification intersects HASHED shingles (r14): each doc's shingle
+    set maps through the md5-prefix 60-bit hash ONCE at the shingle
+    build, so the pair joins carry arrays of longs instead of ~20-byte
+    strings — ~3x less data through the two candidate joins, which at
+    100x (24M candidate pairs, measured) is the stage that owns the
+    wall. Bit-exactness is BY SHARED CONSTRUCTION, not by assuming
+    collision-freedom: the oracles hash with the identical recipe
+    (list_transform + md5 prefix), so a collision — which would merge
+    two shingles — merges them in BOTH engines and every intersect/
+    union count still matches exactly."""
     cand = fanout(cand)
-    sh = _with_shingles(docs).select("doc_id", "sh")
+    sh = _with_shingles(docs).select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(sh, s ->"
+            " CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)))"
+        ).alias("sh"),
+    )
     a = sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a")
     b = sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b")
     # Join strategy is deliberately LEFT TO AQE (r13, measured both
@@ -431,14 +448,23 @@ cand AS (
       for b in range(MH_BANDS)
   )}
 )
+, hsh AS (
+  -- hashed-shingle sets for verification: the same md5-prefix 60-bit
+  -- hash the Spark side applies in _jaccard_pairs, so intersect/union
+  -- counts match bit-for-bit even under hash collisions (both engines
+  -- merge the same shingles)
+  SELECT doc_id,
+         list_distinct(list_transform(sh,
+           t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)) AS sh
+  FROM s)
 SELECT doc_a, doc_b, jaccard FROM (
   SELECT cand.doc_a, cand.doc_b,
          ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
                / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard,
          CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
                / len(list_distinct(list_concat(x.sh, y.sh))) AS jraw
-  FROM cand JOIN s x ON x.doc_id = cand.doc_a
-            JOIN s y ON y.doc_id = cand.doc_b)
+  FROM cand JOIN hsh x ON x.doc_id = cand.doc_a
+            JOIN hsh y ON y.doc_id = cand.doc_b)
 WHERE jraw >= 0.7
 """
 
@@ -501,6 +527,177 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _jaccard_pairs(cand, d, 0.7)
+
+
+# ---------------------------------------------------------------------------
+# incremental (snapshot-delta) NEAR-dup — batch vs historical corpus
+# ---------------------------------------------------------------------------
+
+HISTORY_BUCKETS = 32  # sized to the session's shuffle partitions locally;
+# at cluster scale pick ~total cores (bucket count is fixed at table
+# creation, so size it for the corpus's steady state, not today's delta).
+# Shared by the exact-hash history index (build_history_index) and the
+# MinHash band-key index below.
+
+_MINHASH_INCR_ORACLE = f"""
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+           FROM documents WHERE text IS NOT NULL),
+s AS (SELECT doc_id, {_MH_SH_SQL} AS sh FROM d),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+hv AS (SELECT doc_id, {_MH_HASH_SQL} AS h FROM ex),
+sig AS (SELECT doc_id,
+               {", ".join(
+                   f"MIN(({MH_A[j]} * h + {MH_B[j]}) % {MH_P}) AS s{j}"
+                   for j in range(MH_K)
+               )}
+        FROM hv GROUP BY doc_id),
+bk AS (SELECT doc_id,
+              {", ".join(f"{_mh_band_key_sql(b)} AS k{b}"
+                         for b in range(MH_BANDS))}
+       FROM sig),
+bn AS (SELECT * FROM bk WHERE doc_id % 5 = 0),
+bh AS (SELECT * FROM bk WHERE doc_id % 5 <> 0),
+cand AS (
+  {" UNION ".join(
+      f"SELECT a.doc_id AS doc_new, b.doc_id AS doc_hist"
+      f" FROM bn a JOIN bh b ON a.k{b} = b.k{b}"
+      for b in range(MH_BANDS)
+  )}
+)
+, hsh AS (
+  -- hashed-shingle verification sets; see _MINHASH_ORACLE's hsh CTE
+  SELECT doc_id,
+         list_distinct(list_transform(sh,
+           t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)) AS sh
+  FROM s)
+SELECT doc_new, doc_hist, jaccard FROM (
+  SELECT cand.doc_new, cand.doc_hist,
+         ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard,
+         CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(x.sh, y.sh))) AS jraw
+  FROM cand JOIN hsh x ON x.doc_id = cand.doc_new
+            JOIN hsh y ON y.doc_id = cand.doc_hist)
+WHERE jraw >= 0.7
+"""
+
+
+def _mh_sign(docs: DataFrame) -> DataFrame:
+    """Map-only MinHash signature frame (doc_id, s0..s15) for non-null
+    texts — the q_dedup_minhash signing stage, factored so the
+    incremental query can sign batch and history on SEPARATE branches
+    (each doc signed exactly once; a shared signed frame consumed by two
+    join sides would re-execute the signing subtree per side)."""
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .withColumn("w", F.split(F.lower("text"), " "))
+        .withColumn("hs", F.expr(_MH_HS_EXPR))
+        .select("doc_id", *mh_sig_cols())
+    )
+
+
+@query("q_dedup_minhash_incr", oracle=_MINHASH_INCR_ORACLE, tags=("dedup",))
+def q_dedup_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingest — the q_dedup_incremental recurrence
+    at MinHash similarity: a new crawl batch (doc_id % 5 = 0 here; a
+    date partition in production) is checked against the HISTORICAL
+    corpus only, flagging every (new, hist) pair whose banded-LSH
+    candidate survives exact 3-gram Jaccard >= 0.7. In-batch near-dups
+    are deliberately out of scope (that is q_dedup_minhash at batch
+    scope); the output is what a corpus refresh quarantines.
+
+    Scale shape: batch and history sign on separate branches (each doc
+    signed once, map-only); the candidate join is (band, key) equi-join
+    — batch keys vs history keys, never a self-join — and verification
+    shuffles only candidates (_jaccard_pairs). At scale the history
+    side of the candidate join is a MAINTAINED bucketed band-key index
+    (build_minhash_history_index / dedup_minhash_against_history below
+    — plan-pinned exchange-free in test_plans, measured at 100x in
+    scripts/bucketed_history_demo.py), so every refresh re-signs ONLY
+    the batch; history text is touched just to fetch candidate docs'
+    shingles at verification."""
+    d = fanout(load(spark, sf_dir, "documents"))
+    kn = mh_band_keys(
+        _mh_sign(d.filter(F.col("doc_id") % 5 == 0))
+    ).withColumnRenamed("doc_id", "doc_a")
+    kh = mh_band_keys(
+        _mh_sign(d.filter(F.col("doc_id") % 5 != 0))
+    ).withColumnRenamed("doc_id", "doc_b")
+    cand = kn.join(kh, ["band", "k"]).select("doc_a", "doc_b").distinct()
+    out = _jaccard_pairs(cand, d.filter(F.col("text").isNotNull()), 0.7)
+    return out.select(
+        F.col("doc_a").alias("doc_new"),
+        F.col("doc_b").alias("doc_hist"),
+        "jaccard",
+    )
+
+
+def build_minhash_history_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    table: str,
+    path: str,
+    buckets: int = HISTORY_BUCKETS,
+) -> None:
+    """Materialize the historical corpus's MinHash BAND KEYS as a
+    maintained bucketed table — the near-dup analogue of
+    build_history_index: one row per (band-key, doc), bucketed+sorted by
+    the composite key ``bk = band || ':' || k`` (a single column so the
+    bucketing exactly matches the ingest join's key — Spark eliminates
+    the bucketed side's exchange only when bucket spec == join keys).
+    Built once per corpus epoch; after an accepted ingest the batch's
+    keys append via insertInto (bucket spec preserved)."""
+    keys = mh_band_keys(_mh_sign(docs)).select(
+        F.concat_ws(":", F.col("band").cast("string"), "k").alias("bk"),
+        F.col("doc_id").alias("doc_hist"),
+    )
+    (
+        keys.write.bucketBy(buckets, "bk")
+        .sortBy("bk")
+        .option("path", path)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def minhash_candidates_against_history(
+    spark: SparkSession, batch: DataFrame, history_table: str
+) -> DataFrame:
+    """Candidate (doc_a=new, doc_b=hist) pairs for a snapshot ingest:
+    sign ONLY the batch, join its band keys against the bucketed history
+    index exchange-free on the history side (plan-pinned in
+    test_plans.py::test_bucketed_minhash_history_join_no_exchange)."""
+    kb = mh_band_keys(_mh_sign(batch)).select(
+        F.concat_ws(":", F.col("band").cast("string"), "k").alias("bk"),
+        F.col("doc_id").alias("doc_a"),
+    )
+    hist = spark.table(history_table)
+    return (
+        kb.join(hist, "bk")
+        .select("doc_a", F.col("doc_hist").alias("doc_b"))
+        .distinct()
+    )
+
+
+def dedup_minhash_against_history(
+    spark: SparkSession,
+    batch: DataFrame,
+    history_table: str,
+    history_docs: DataFrame,
+) -> DataFrame:
+    """Snapshot near-dup ingest against the maintained band-key index:
+    candidates from the bucketed join, then exact Jaccard verification
+    (shingles fetched only for candidate docs — ``history_docs`` is
+    scanned by doc_id join, never re-signed). Output matches
+    q_dedup_minhash_incr."""
+    cand = minhash_candidates_against_history(spark, batch, history_table)
+    docs = batch.unionByName(history_docs).filter(F.col("text").isNotNull())
+    return _jaccard_pairs(cand, docs, 0.7).select(
+        F.col("doc_a").alias("doc_new"),
+        F.col("doc_b").alias("doc_hist"),
+        "jaccard",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1393,11 +1590,6 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hist, "h", "left_anti")
         .select("doc_id", "source", "lang", "n_chars")
     )
-
-
-HISTORY_BUCKETS = 32  # sized to the session's shuffle partitions locally;
-# at cluster scale pick ~total cores (bucket count is fixed at table
-# creation, so size it for the corpus's steady state, not today's delta)
 
 
 def build_history_index(

@@ -646,3 +646,63 @@ def test_dedup_embed_scaleb_parity_bits_and_plane_prefix(spark, duck):
     }
     found = {(int(a), int(b)) for a, b in zip(pdf["id1"], pdf["id2"])}
     assert found <= loose, f"false positives: {sorted(found - loose)[:5]}"
+
+
+def test_minhash_history_index_matches_incremental(spark):
+    """The maintained band-key index path must produce EXACTLY the
+    registered q_dedup_minhash_incr result: same flagged (new, hist)
+    pairs, same verified Jaccards — the index changes where the history
+    keys come from (pre-signed bucketed table vs in-plan signing), never
+    the semantics."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from osmpbf_spark.catalog import REGISTRY, load
+    from osmpbf_spark.operators.dedup import (
+        build_minhash_history_index,
+        dedup_minhash_against_history,
+    )
+
+    d = load(spark, SF_DIR, "documents")
+    tbl, path = "mh_idx_equiv_test", "/tmp/osmpbf_mh_idx_equiv_test"
+    shutil.rmtree(path, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    hist_docs = d.filter(F.col("doc_id") % 5 != 0)
+    build_minhash_history_index(spark, hist_docs, tbl, path, buckets=8)
+    got = sorted(
+        tuple(r)
+        for r in dedup_minhash_against_history(
+            spark, d.filter(F.col("doc_id") % 5 == 0), tbl, hist_docs
+        ).collect()
+    )
+    expect = sorted(
+        tuple(r)
+        for r in REGISTRY["q_dedup_minhash_incr"].fn(spark, SF_DIR).collect()
+    )
+    assert got == expect
+
+
+def test_dedup_minhash_incr_parity(spark, duck):
+    """Incremental near-dup ingest: oracle parity (identical integer
+    signatures / band keys / candidate pairs / verified Jaccards, batch
+    vs history only), plus the semantic invariants — every flagged pair
+    crosses the batch boundary (new % 5 == 0, hist % 5 != 0), and the
+    flagged set is exactly the batch-crossing subset of the full
+    self-join query's pairs at the same threshold."""
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_dedup_minhash_incr")
+    assert all(int(a) % 5 == 0 for a in pdf["doc_new"])
+    assert all(int(b) % 5 != 0 for b in pdf["doc_hist"])
+    full, _ = check_query(spark, duck, SF_DIR, "q_dedup_minhash")
+    cross = {
+        (min(a, b), max(a, b))
+        for a, b in zip(full["doc_a"].astype(int), full["doc_b"].astype(int))
+        if (a % 5 == 0) != (b % 5 == 0)
+    }
+    got = {
+        (min(a, b), max(a, b))
+        for a, b in zip(
+            pdf["doc_new"].astype(int), pdf["doc_hist"].astype(int)
+        )
+    }
+    assert got == cross, f"diff: {got ^ cross}"

@@ -50,9 +50,12 @@ assert qs["q_pbf_way_area"](spark, "/root/testdata/sf0.001").count() > 0
 assert qs["q_sort_global"](spark, "/root/testdata/sf0.001").count() > 0
 assert qs["q_corpus_shuffle"](spark, "/root/testdata/sf0.001").count() > 0
 assert qs["q_split_hash"](spark, "/root/testdata/sf0.001").count() > 0
-# round-14 addition: compaction round-trip (fragment write + _metadata
-# file stats + coalesce rewrite) under a vanilla session
+# round-14 additions: compaction round-trip (fragment write + _metadata
+# file stats + coalesce rewrite) and the incremental near-dup ingest
+# (two-branch HOF signing + asymmetric band-key join), both under a
+# vanilla session
 assert qs["q_compact_files"](spark, "/root/testdata/sf0.001").count() > 0
+assert qs["q_dedup_minhash_incr"](spark, "/root/testdata/sf0.001").count() >= 0
 assert e.entry(spark).count() > 0
 print("VANILLA_OK")
 spark.stop()

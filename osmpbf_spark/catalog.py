@@ -205,12 +205,13 @@ def all_oracles() -> dict[str, str]:
 #      q_math_funcs / q_str_funcs / q_map_funcs; the r13 judge re-swept
 #      all six green, so this tier is stamp freshness, not suspicion).
 #   2. Code that is NEW in r14: q_compact_files (small-file compaction,
-#      the lake OPTIMIZE verb — verdict r13 Next #5) and
-#      q_dedup_minhash_incr (incremental near-dup ingest vs history).
-#   3. 42 of the 48 r11-stamped rows (the oldest remaining block). The
-#      window holds 50, so six r11 rows defer to r15: q_array_hof /
+#      the lake OPTIMIZE verb — verdict r13 Next #5),
+#      q_dedup_minhash_incr (incremental near-dup ingest vs history),
+#      and q_pbf_compact (PBF block-transplant compaction).
+#   3. 41 of the 48 r11-stamped rows (the oldest remaining block). The
+#      window holds 50, so seven r11 rows defer to r15: q_array_hof /
 #      q_explode_pos / q_incr_agg / q_join_full / q_merge_upsert /
-#      q_anomaly_zscore —
+#      q_anomaly_zscore / q_session_funnel —
 #      every one hash-compared against its DuckDB oracle in EVERY CI
 #      pass (test_relational.test_oracle_parity parametrizes over the
 #      whole untagged-relational set), so deferral costs stamp
@@ -227,7 +228,8 @@ _R14_WINDOW = (
     # 2: r14-new code
     "q_compact_files",
     "q_dedup_minhash_incr",
-    # 3: oldest remaining rows (r11), minus the six deferrals above
+    "q_pbf_compact",
+    # 3: oldest remaining rows (r11), minus the seven deferrals above
     "q_bfs_khop",
     "q_bpe_encode",
     "q_bpe_train",
@@ -257,7 +259,6 @@ _R14_WINDOW = (
     "q_pii_redact",
     "q_pipeline_e2e",
     "q_resample_locf",
-    "q_session_funnel",
     "q_text_rarity",
     "q_token_pmi",
     "q_triangle_count",

@@ -356,6 +356,61 @@ def q_pbf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROUNDTRIP_DIR: list[str | None] = [None]
 
 
+@query(
+    "q_pbf_compact",
+    oracle=f"""
+    SELECT id, lat, lon FROM read_parquet('{_DIR}/osm_nodes.parquet')
+    """,
+    tags=("pbf", "sink"),
+)
+def q_pbf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PBF lake compaction round-trip (the parquet q_compact_files verb
+    for the PBF side): decode the fixture's nodes, write them as SIX
+    small part files through the osmpbf sink (range-partitioned by id,
+    sorted within partitions — the fragmented-lake shape), BLOCK-
+    TRANSPLANT-merge them into one file (sources/pbf/compact.py: first
+    header + every input's data blocks byte-verbatim, no re-encode),
+    re-read the merged file and return id/lat/lon. The oracle is the
+    decoder's parquet image of the ORIGINAL fixture, so a hash match
+    proves fragment -> compact -> scan is the identity. File-count and
+    mixed-primitive transplant semantics are pinned in test_pbf.py;
+    the lake-scale planning/scan payoff is measured in
+    scripts/pbf_lake_demo.py. Same build-once-per-process discipline as
+    q_pbf_roundtrip (both halves sit on the Python-datasource job
+    floor; re-fragmenting per call would time the scheduler, not the
+    pass)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from osmpbf_spark.sources.pbf.compact import compact_pbf_files
+
+    out = _COMPACT_DIR[0]
+    if out is None:
+        frag = tempfile.mkdtemp(prefix="osmpbf_frag_pbf_")
+        atexit.register(shutil.rmtree, frag, ignore_errors=True)
+        merged = tempfile.mkdtemp(prefix="osmpbf_compact_pbf_")
+        atexit.register(shutil.rmtree, merged, ignore_errors=True)
+        nodes = _read(spark, "node")
+        (
+            nodes.repartitionByRange(6, "id")
+            .sortWithinPartitions("id")
+            .write.format("osmpbf")
+            .option("path", frag)
+            .option("primitive", "node")
+            .mode("overwrite")
+            .save()
+        )
+        stats = compact_pbf_files(spark, frag, merged)
+        assert len(stats) == 1 and stats[0]["n_inputs"] == 6, stats
+        _COMPACT_DIR[0] = merged
+    back = read_pbf(spark, _COMPACT_DIR[0], "node")
+    return back.select("id", "lat", "lon")
+
+
+_COMPACT_DIR: list[str | None] = [None]
+
+
 _STREAM_SRC_DIR: list[str | None] = [None]
 
 

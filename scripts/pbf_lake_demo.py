@@ -166,6 +166,63 @@ def tag_pushdown_demo(spark, n_files: int, nodes_per_file: int) -> None:
     )
 
 
+def compact_lake_demo(spark, n_files: int, nodes_per_file: int) -> None:
+    """PBF lake compaction payoff (r14): block-transplant the many-file
+    lake into ~32 MB files, then compare cold planning (header walks
+    scale with file count) and scan wall before/after."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from osmpbf_spark.sources.pbf import decode
+    from osmpbf_spark.sources.pbf.compact import compact_pbf_files
+    from osmpbf_spark.sources.pbf.datasource import OsmPbfReader, read_pbf
+
+    out = "/tmp/pbf_lake_compacted"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    stats = compact_pbf_files(
+        spark, LAKE, out, target_bytes=32 * 1024 * 1024
+    )
+    wall = round(time.perf_counter() - t0, 2)
+    in_bytes = sum(
+        os.path.getsize(os.path.join(LAKE, f))
+        for f in os.listdir(LAKE)
+        if f.endswith(".pbf")
+    )
+    print(
+        f"pbf compact: {n_files} files -> {len(stats)} files "
+        f"({round(in_bytes / 2**20, 1)} MB), merge wall {wall}s"
+    )
+
+    def cold_plan(path: str) -> tuple[float, int]:
+        decode._INDEX_CACHE.clear()
+        t0 = time.perf_counter()
+        parts = OsmPbfReader({"path": path}, None).partitions()
+        return time.perf_counter() - t0, len(parts)
+
+    pb, nb = cold_plan(LAKE)
+    pa, na = cold_plan(out)
+    print(
+        f"cold planning: {round(pb * 1000, 1)}ms/{nb} parts (fragmented) "
+        f"-> {round(pa * 1000, 1)}ms/{na} parts (compacted), "
+        f"{round(pb / pa, 1)}x"
+    )
+
+    def scan_wall(path: str) -> tuple[float, int]:
+        df = read_pbf(spark, path, "node")
+        df.count()  # warm
+        t0 = time.perf_counter()
+        n = df.count()
+        return time.perf_counter() - t0, n
+
+    wb, cb = scan_wall(LAKE)
+    wa, ca = scan_wall(out)
+    assert cb == ca == n_files * nodes_per_file, (cb, ca)
+    print(
+        f"scan: fragmented {round(wb, 2)}s -> compacted {round(wa, 2)}s "
+        f"({round(wb / wa, 2)}x), {ca} rows both"
+    )
+
+
 def time_plan(cache_dir: str) -> tuple[float, int]:
     """One driver-side planning pass; returns (wall, n_partitions)."""
     from osmpbf_spark.sources.pbf.datasource import OsmPbfReader
@@ -239,6 +296,7 @@ def main() -> int:
         assert cnt == n_total, f"scan lost rows: {cnt} != {n_total}"
         print(f"row-count check: {cnt} == {n_total} OK")
         tag_pushdown_demo(spark, args.files, args.nodes)
+        compact_lake_demo(spark, args.files, args.nodes)
     finally:
         spark.stop()
     return 0

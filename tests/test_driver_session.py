@@ -56,6 +56,9 @@ assert qs["q_split_hash"](spark, "/root/testdata/sf0.001").count() > 0
 # vanilla session
 assert qs["q_compact_files"](spark, "/root/testdata/sf0.001").count() > 0
 assert qs["q_dedup_minhash_incr"](spark, "/root/testdata/sf0.001").count() >= 0
+# round-14: PBF block-transplant compaction (osmpbf sink + RDD merge +
+# re-read) under a vanilla session
+assert qs["q_pbf_compact"](spark, "/root/testdata/sf0.001").count() > 0
 assert e.entry(spark).count() > 0
 print("VANILLA_OK")
 spark.stop()

@@ -2046,3 +2046,93 @@ def test_tag_pushdown_prunes_across_lake(tmp_path):
     # warm re-plan from sidecars only (fresh driver image): identical
     decode._INDEX_CACHE.clear()
     assert kept_blocks(tag_key="highway") == 3
+
+
+def test_pbf_compact_transplants_blocks(tmp_path, spark):
+    """PBF compaction (r14): the block-transplant merge must (a) shrink
+    the file population per the target, (b) preserve every primitive of
+    every input across mixed types, and (c) carry the inputs' indexdata
+    stats byte-verbatim so planning-time tag pruning keeps working on
+    the compacted lake."""
+    from osmpbf_spark.sources.pbf import encode
+    from osmpbf_spark.sources.pbf.compact import (
+        compact_pbf_files,
+        plan_groups,
+    )
+    from osmpbf_spark.sources.pbf.datasource import OsmPbfReader, read_pbf
+
+    lake = tmp_path / "fraglake"
+    lake.mkdir()
+    encode.write_pbf(
+        str(lake / "a.osm.pbf"),
+        [
+            {
+                "nodes": {
+                    "id": [1, 2],
+                    "lat_nano": [10**9, 2 * 10**9],
+                    "lon_nano": [10**9, 2 * 10**9],
+                    "tags": [{"highway": "a"}, None],
+                },
+                "ways": [{"id": 10, "refs": [1, 2], "tags": {}}],
+            }
+        ],
+    )
+    encode.write_pbf(
+        str(lake / "b.osm.pbf"),
+        [
+            {
+                "nodes": {
+                    "id": [3, 4],
+                    "lat_nano": [3 * 10**9, 4 * 10**9],
+                    "lon_nano": [3 * 10**9, 4 * 10**9],
+                    "tags": [None, None],
+                }
+            }
+        ],
+    )
+    encode.write_pbf(
+        str(lake / "c.osm.pbf"),
+        [
+            {
+                "ways": [{"id": 11, "refs": [3, 4], "tags": {"x": "y"}}],
+                "relations": [
+                    {"id": 20, "members": [("outer", 10, 1)], "tags": {}}
+                ],
+            }
+        ],
+    )
+
+    out = tmp_path / "merged"
+    stats = compact_pbf_files(spark, str(lake), str(out))
+    assert len(stats) == 1 and stats[0]["n_inputs"] == 3
+    merged = stats[0]["file"]
+
+    # (b) every primitive of every input survives, exactly once
+    nodes = sorted(
+        r.id for r in read_pbf(spark, merged, "node").collect()
+    )
+    assert nodes == [1, 2, 3, 4]
+    ways = sorted(r.id for r in read_pbf(spark, merged, "way").collect())
+    assert ways == [10, 11]
+    rels = [r.id for r in read_pbf(spark, merged, "relation").collect()]
+    assert rels == [20]
+
+    # (c) indexdata transplanted verbatim: tag pruning still prunes —
+    # only a.osm.pbf's block fingerprints "highway"
+    def kept(**opts) -> int:
+        parts = OsmPbfReader({"path": merged, **opts}, None).partitions()
+        return sum(len(p.ranges) for p in parts)
+
+    # kinds stats transplanted: each primitive's scan keeps exactly the
+    # blocks that carry it (node blocks: a+b; way blocks: a+c; rel: c)
+    assert kept(primitive="node") == 2
+    assert kept(primitive="way") == 2
+    assert kept(primitive="relation") == 1
+    assert kept(tag_key="highway", primitive="node") == 1
+    assert kept(tag_key="nope", primitive="node") == 0
+
+    # (a) grouping honors the target: tiny target -> one group per file
+    singles = plan_groups(
+        sorted(str(p) for p in lake.glob("*.pbf")), target_bytes=1
+    )
+    assert [len(g) for g in singles] == [1, 1, 1]

@@ -578,7 +578,20 @@ def main() -> None:
             # contended_unmeasured when the kept window's sampling
             # failed (quietness unknown, not refuted).
             _, co_kept = _kept()
-            if co_kept is not None and co_kept > co_thresh:
+            # Enter the branch when contention was MEASURED on any
+            # window and the kept minimum is not certified quiet —
+            # including the kept-window-sampling-failed case, which
+            # must end up classified (contended_unmeasured), not
+            # silently dropped (review r14: the earlier gate keyed
+            # only on the kept window's own sample, so a contended
+            # first window + an unmeasured faster second window left
+            # the query unmarked).
+            measured_contended = any(
+                a[1] is not None and a[1] > co_thresh for a in attempts
+            )
+            if measured_contended and (
+                co_kept is None or co_kept > co_thresh
+            ):
                 baseline = min(
                     (x for x in (w, prior_src and prior_src[0]) if x),
                     default=None,

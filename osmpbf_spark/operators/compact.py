@@ -18,8 +18,10 @@ Scale shape:
   #files-sized — works identically on HDFS/S3/local, and the only
   driver-side state is the (#files)-row stats frame.
 - **The rewrite is map-only**: ``coalesce(n_after)`` merges input
-  splits into fewer tasks with NO shuffle (pinned in
-  tests/test_plans.py) — each output task streams several small files
+  splits into fewer tasks with NO shuffle (the real rewrite frame is
+  pinned via ``compaction_plan`` in
+  tests/test_relational.py::test_compact_files_stats_and_content) —
+  each output task streams several small files
   into one large one. ``repartition`` would give byte-perfect output
   balance at the cost of shuffling the whole table; compaction inputs
   are near-uniform small files (per-trigger sink output), so the
@@ -62,6 +64,16 @@ def file_stats(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def compaction_plan(
+    spark: SparkSession, in_path: str, n_after: int
+) -> DataFrame:
+    """The exact frame compact_files writes: scan + coalesce, nothing
+    else. Factored out so tests pin the REAL rewrite plan's
+    shuffle-freedom (a hand-built lookalike in the test would keep
+    passing if compact_files regressed to repartition)."""
+    return spark.read.parquet(in_path).coalesce(n_after)
+
+
 def compact_files(
     spark: SparkSession,
     in_path: str,
@@ -85,7 +97,7 @@ def compact_files(
     ).first()
     n_after = max(1, math.ceil((before["bytes"] or 0) / target))
     out = out_path or epoch_out_dir("osmpbf_compact_")
-    spark.read.parquet(in_path).coalesce(n_after).write.mode(
+    compaction_plan(spark, in_path, n_after).write.mode(
         "overwrite"
     ).parquet(out)
     after = file_stats(spark, out).agg(

@@ -690,7 +690,15 @@ def dedup_minhash_against_history(
     candidates from the bucketed join, then exact Jaccard verification
     (shingles fetched only for candidate docs — ``history_docs`` is
     scanned by doc_id join, never re-signed). Output matches
-    q_dedup_minhash_incr."""
+    q_dedup_minhash_incr.
+
+    PRECONDITION: ``batch`` and ``history_docs`` must be DISJOINT on
+    doc_id — the verification union would otherwise carry two shingle
+    rows for an overlapping doc, duplicating its candidate pairs and
+    letting a re-ingested doc flag as a near-dup of its own history
+    copy. That is the incremental-ingest contract (a batch is by
+    definition the docs NOT yet in history); deduplicate the batch
+    against history ids first if re-delivery is possible."""
     cand = minhash_candidates_against_history(spark, batch, history_table)
     docs = batch.unionByName(history_docs).filter(F.col("text").isNotNull())
     return _jaccard_pairs(cand, docs, 0.7).select(

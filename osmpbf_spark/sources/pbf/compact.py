@@ -38,13 +38,27 @@ from osmpbf_spark.sources.pbf import fs
 from osmpbf_spark.sources.pbf.decode import index_blocks
 
 
-def _data_split(path: str) -> int:
-    """Byte offset where a file's OSMData region starts (end of the
-    OSMHeader file block)."""
-    head = next(
-        m for m in index_blocks(path) if m.block_type == "OSMHeader"
-    )
-    return head.data_offset + head.data_size
+def _index_file(path: str) -> tuple[int, int]:
+    """(data_split, n_data_blocks) for one input: the byte offset where
+    the OSMData region starts (end of the OSMHeader file block) and the
+    number of OSMData blocks. One header walk serves both the copy
+    boundary and the integrity check. Raises a diagnosable error on a
+    headerless file (corrupt, or a foreign tool's output) instead of a
+    bare StopIteration that PySpark would blur into a generic worker
+    RuntimeError."""
+    split = None
+    n_data = 0
+    for m in index_blocks(path):
+        if m.block_type == "OSMHeader" and split is None:
+            split = m.data_offset + m.data_size
+        elif m.block_type == "OSMData":
+            n_data += 1
+    if split is None:
+        raise ValueError(
+            f"{path}: no OSMHeader block — refusing to transplant from "
+            "a file the decoder could not plan"
+        )
+    return split, n_data
 
 
 def plan_groups(
@@ -68,17 +82,41 @@ def plan_groups(
 
 def merge_group(paths: list[str], out_path: str) -> dict:
     """Merge one group: first input's header + every input's data bytes,
-    verbatim. Returns {file, n_inputs, bytes}."""
+    streamed in constant memory (seek + chunked copy — never the whole
+    file resident; a multi-GB input would otherwise hold 2x its bytes in
+    the Python worker). The merged file is then INDEX-VERIFIED before
+    success is reported: its OSMData block count must equal the sum of
+    the inputs' (the parquet twin's refuse-to-report-success discipline,
+    operators/compact.py — a truncated or foreign input must surface
+    here, not when a later scan hits garbage). Returns
+    {file, n_inputs, n_blocks, bytes}."""
+    import shutil as _sh
+
     total = 0
+    expect_blocks = 0
     with open(out_path, "wb") as out:
         for i, p in enumerate(paths):
+            split, n_data = _index_file(p)
+            expect_blocks += n_data
             with open(p, "rb") as f:
-                raw = f.read()
-            # first file contributes header+data; the rest data only
-            chunk = raw if i == 0 else raw[_data_split(p):]
-            out.write(chunk)
-            total += len(chunk)
-    return {"file": out_path, "n_inputs": len(paths), "bytes": total}
+                if i > 0:
+                    f.seek(split)
+                start = out.tell()
+                _sh.copyfileobj(f, out, 1 << 20)
+                total += out.tell() - start
+    _, got_blocks = _index_file(out_path)
+    if got_blocks != expect_blocks:
+        raise RuntimeError(
+            f"{out_path}: transplant block-count mismatch — inputs hold "
+            f"{expect_blocks} OSMData blocks, merged file indexes "
+            f"{got_blocks}; refusing to report success"
+        )
+    return {
+        "file": out_path,
+        "n_inputs": len(paths),
+        "n_blocks": got_blocks,
+        "bytes": total,
+    }
 
 
 def compact_pbf_files(

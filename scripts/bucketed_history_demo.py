@@ -87,22 +87,24 @@ def main() -> None:
             ts.append(time.perf_counter() - t0)
         return round(min(ts), 2)
 
-    # arm A: the self-contained recurrence (history reduced every ingest)
+    # arm A: the self-contained recurrence (history reduced every
+    # ingest) — ONE construction shared by the timed arm and the
+    # parity check below, so they can never desynchronize
     from pyspark.sql import Window
 
-    def arm_a():
+    def arm_a_frame():
         d = docs.withColumn("h", F.md5("text"))
         inc = d.filter(F.col("doc_id") % 5 == 0)
         hist = d.filter(F.col("doc_id") % 5 != 0).select("h").distinct()
         rn = F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
-        mat(
+        return (
             inc.withColumn("rn", rn)
             .filter(F.col("rn") == 1)
             .join(hist, "h", "left_anti")
             .select("doc_id", "source", "lang", "n_chars")
         )
 
-    a = timed(arm_a)
+    a = timed(lambda: mat(arm_a_frame()))
     print(f"arm A (self-contained per-ingest): {a}s", flush=True)
 
     # arm B: maintained index — build once, then ingest against it
@@ -118,17 +120,7 @@ def main() -> None:
     print(f"arm B (ingest vs bucketed index): {b}s", flush=True)
 
     # parity: both arms keep the same survivor set
-    got_a_df = None
-    d = docs.withColumn("h", F.md5("text"))
-    inc = d.filter(F.col("doc_id") % 5 == 0)
-    hist = d.filter(F.col("doc_id") % 5 != 0).select("h").distinct()
-    rn = F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
-    got_a_df = (
-        inc.withColumn("rn", rn)
-        .filter(F.col("rn") == 1)
-        .join(hist, "h", "left_anti")
-        .select("doc_id")
-    )
+    got_a_df = arm_a_frame().select("doc_id")
     got_b_df = dedup_incremental_against_history(spark, batch, tbl).select(
         "doc_id"
     )

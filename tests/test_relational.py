@@ -609,10 +609,13 @@ def test_compact_files_stats_and_content(spark):
     a = sorted(map(tuple, spark.read.parquet(out).collect()))
     b = sorted(map(tuple, src.collect()))
     assert a == b
-    # the rewrite plan is shuffle-free: coalesce is a narrow dependency
+    # the rewrite plan is shuffle-free — pin the REAL frame the
+    # operator writes (compaction_plan), not a hand-built lookalike: a
+    # regression swapping coalesce for repartition must fail here
+    from osmpbf_spark.operators.compact import compaction_plan
+
     plan = (
-        spark.read.parquet(frag)
-        .coalesce(1)
+        compaction_plan(spark, frag, 1)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()

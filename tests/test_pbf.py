@@ -2136,3 +2136,43 @@ def test_pbf_compact_transplants_blocks(tmp_path, spark):
         sorted(str(p) for p in lake.glob("*.pbf")), target_bytes=1
     )
     assert [len(g) for g in singles] == [1, 1, 1]
+
+
+def test_pbf_compact_plan_groups_properties(tmp_path):
+    """plan_groups invariants, property-checked: every input appears in
+    exactly one group, name order is preserved within and across groups
+    (keeps the lake's id-span locality for min/max pruning), no group
+    except a single-oversized-file group exceeds the target, and no
+    group is empty."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from osmpbf_spark.sources.pbf import compact as C
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(0, 10_000), min_size=1, max_size=40),
+        target=st.integers(1, 20_000),
+    )
+    def check(sizes, target):
+        # synthesize a stat table instead of real files: monkeypatch the
+        # fs.fs_stat the planner calls
+        paths = [f"/lake/f{i:04d}.pbf" for i in range(len(sizes))]
+        table = {p: (s, 0) for p, s in zip(paths, sizes)}
+        orig = C.fs.fs_stat
+        C.fs.fs_stat = lambda p: table[p]
+        try:
+            groups = C.plan_groups(list(reversed(paths)), target)
+        finally:
+            C.fs.fs_stat = orig
+        flat = [p for g in groups for p in g]
+        assert flat == sorted(paths)  # partition of inputs, name order
+        assert all(g for g in groups)  # no empty group
+        for g in groups:
+            total = sum(table[p][0] for p in g)
+            # a group may exceed the target ONLY as a single oversized
+            # file: first-fit closes a non-empty group before adding a
+            # file that would overflow it
+            assert total <= target or len(g) == 1
+
+    check()

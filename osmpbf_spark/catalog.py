@@ -195,89 +195,89 @@ def all_oracles() -> dict[str, str]:
     return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
 
 
-# Round-14 rotation for the driver's 50-query correctness window (the
+# Round-15 rotation for the driver's 50-query correctness window (the
 # driver checks only the FIRST 50 registered queries each round; with
 # len(REGISTRY) registered, ordering decides what gets a fresh hard
-# row). Composition, per the r13 verdict's Next #3:
+# row). Composition, per the r14 verdict's Next #3:
 #
-#   1. The six r10-stamped rows deferred across r13 — the registry's
-#      oldest stamps (q_scan_project / q_filter_pred / q_case_null /
-#      q_math_funcs / q_str_funcs / q_map_funcs; the r13 judge re-swept
-#      all six green, so this tier is stamp freshness, not suspicion).
-#   2. Code that is NEW in r14: q_compact_files (small-file compaction,
-#      the lake OPTIMIZE verb — verdict r13 Next #5),
-#      q_dedup_minhash_incr (incremental near-dup ingest vs history),
-#      and q_pbf_compact (PBF block-transplant compaction).
-#   3. 41 of the 48 r11-stamped rows (the oldest remaining block). The
-#      window holds 50, so seven r11 rows defer to r15: q_array_hof /
-#      q_explode_pos / q_incr_agg / q_join_full / q_merge_upsert /
-#      q_anomaly_zscore / q_session_funnel —
-#      every one hash-compared against its DuckDB oracle in EVERY CI
-#      pass (test_relational.test_oracle_parity parametrizes over the
-#      whole untagged-relational set), so deferral costs stamp
-#      freshness only, never verification coverage. After r14 stamps
-#      land, no registered stamp is older than r11.
-_R14_WINDOW = (
-    # 1: the six r10-stamped rows (verdict r13 Next #3)
-    "q_scan_project",
-    "q_filter_pred",
-    "q_case_null",
-    "q_math_funcs",
-    "q_str_funcs",
-    "q_map_funcs",
-    # 2: r14-new code
-    "q_compact_files",
-    "q_dedup_minhash_incr",
+#   1. The seven r11-stamped deferrals — the registry's oldest stamps
+#      (q_array_hof / q_explode_pos / q_incr_agg / q_join_full /
+#      q_merge_upsert / q_anomaly_zscore / q_session_funnel; the r14
+#      judge re-swept all seven green, so this tier is stamp freshness,
+#      not suspicion).
+#   2. Code CHANGED in r15: q_pbf_compact (merge_group now synthesizes
+#      the merged header — feature guard + bbox union — and hands its
+#      block index to the planning sidecar) and q_sim_search_ivf
+#      (learned k-means cells replacing the label stand-in).
+#   3. 41 of the remaining 47 r12-stamped rows (the oldest remaining
+#      block). The window holds 50, so six r12 rows defer to r16:
+#      q_approx_percentile / q_corr / q_histogram / q_profile /
+#      q_window_ntile / q_skyline — every one hash-compared against its
+#      DuckDB oracle in EVERY CI pass (test_relational.test_oracle_parity
+#      parametrizes over the whole untagged-relational set), so deferral
+#      costs stamp freshness only, never verification coverage. After
+#      r15 stamps land, no registered stamp is older than r12.
+_R15_WINDOW = (
+    # 1: the seven r11-stamped deferrals (verdict r14 Next #3)
+    "q_array_hof",
+    "q_explode_pos",
+    "q_incr_agg",
+    "q_join_full",
+    "q_merge_upsert",
+    "q_anomaly_zscore",
+    "q_session_funnel",
+    # 2: r15-changed code
     "q_pbf_compact",
-    # 3: oldest remaining rows (r11), minus the seven deferrals above
-    "q_bfs_khop",
-    "q_bpe_encode",
-    "q_bpe_train",
-    "q_cluster_kmeans",
-    "q_corpus_mix",
-    "q_decontaminate",
-    "q_dedup_clusters",
-    "q_dedup_embed",
-    "q_dedup_exact",
-    "q_dedup_minhash",
-    "q_dedup_ngram",
-    "q_dedup_semantic_scalek",
-    "q_dedup_simhash_exact",
-    "q_doc_pack",
-    "q_doc_pack_chunks",
-    "q_er_fuzzy_scaleb",
-    "q_grid_agg",
-    "q_join_5way",
-    "q_multimodal",
-    "q_multimodal_agg",
-    "q_multimodal_decode",
-    "q_multimodal_frames",
-    "q_pagerank",
-    "q_pbf_tag_filter",
-    "q_pbf_way_geom",
-    "q_pbf_zorder",
-    "q_pii_redact",
-    "q_pipeline_e2e",
-    "q_resample_locf",
-    "q_text_rarity",
-    "q_token_pmi",
-    "q_triangle_count",
-    "s_anomaly_stream",
-    "s_dedup_near_stream",
-    "s_enrich_stream",
-    "s_funnel_stream",
-    "s_join_stream",
-    "s_session_append",
-    "s_session_stream",
-    "s_stateful",
-    "s_tumble_append",
+    "q_sim_search_ivf",
+    # 3: oldest remaining rows (r12), minus the six deferrals above
+    "q_agg_cube",
+    "q_agg_gsets",
+    "q_attribution",
+    "q_dedup_embed_scaleb",
+    "q_fd_check",
+    "q_inverted_index",
+    "q_mix_sources",
+    "q_pbf_changesets",
+    "q_pbf_compat_pig",
+    "q_pbf_grid_agg",
+    "q_pbf_join_way_nodes",
+    "q_pbf_meta",
+    "q_pbf_multipolygon",
+    "q_pbf_node_tags",
+    "q_pbf_pushdown",
+    "q_pbf_relations",
+    "q_pbf_scan_nodes",
+    "q_pbf_way_area",
+    "q_pbf_ways_bag",
+    "q_resample_interp",
+    "q_sample_topk_group",
+    "q_set_except",
+    "q_sim_search",
+    "q_sim_search_lsh",
+    "q_text_bm25",
+    "q_text_fingerprint",
+    "q_text_lang",
+    "q_text_quality",
+    "q_text_repetition",
+    "q_text_stats",
+    "q_text_token_freq",
+    "q_text_tokens_bpe",
+    "q_trend_ols",
+    "q_twap",
+    "s_dedup_append",
+    "s_dedup_embed_stream",
+    "s_dedup_stream",
+    "s_late",
+    "s_pbf_stream",
+    "s_tumble_stream",
+    "s_upsert_stream",
 )
 
-_R14_RANK = {n: i for i, n in enumerate(_R14_WINDOW)}
+_R15_RANK = {n: i for i, n in enumerate(_R15_WINDOW)}
 
 
 def _window_tier(name: str) -> int:
-    return _R14_RANK.get(name, len(_R14_WINDOW))
+    return _R15_RANK.get(name, len(_R15_WINDOW))
 
 
 def _import_all() -> None:
@@ -304,7 +304,7 @@ def _import_all() -> None:
     # The sweep CLI has the same guard for argv names
     # (scripts/sweep_oracles.py) — the window, which the driver actually
     # consumes, must fail just as loudly.
-    phantom = [n for n in _R14_WINDOW if n not in REGISTRY]
+    phantom = [n for n in _R15_WINDOW if n not in REGISTRY]
     if phantom:
         raise RuntimeError(
             f"correctness-window names not in REGISTRY: {phantom} — "

@@ -53,7 +53,14 @@ COMPACT_TARGET_BYTES = 128 * 1024 * 1024
 def file_stats(spark: SparkSession, path: str) -> DataFrame:
     """Per-file (file, rows, bytes) for a parquet directory, computed
     distributedly from the scan's ``_metadata`` column. The result is
-    #files-sized — safe to collect at any corpus scale."""
+    #files-sized — safe to collect at any corpus scale.
+
+    Limitation (r14 advice): stats derive from ROWS' ``_metadata``, so a
+    zero-row part file contributes no row and is invisible here —
+    files_before/bytes_before UNDERCOUNT empty fragments, which are part
+    of the small-file pathology. The compaction itself still removes
+    them (the coalesce rewrite reads the directory, not this frame); when
+    truthful before-stats matter, union in a driver-side listing."""
     return (
         spark.read.parquet(path)
         .groupBy(F.col("_metadata.file_path").alias("file"))

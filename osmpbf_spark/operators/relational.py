@@ -943,8 +943,11 @@ def epoch_out_dir(prefix: str) -> str:
             atexit.register(_cleanup_rank_dirs)
         root = _RANK_DIRS[prefix] = tempfile.mkdtemp(prefix=prefix)
     epoch = _RANK_EPOCHS[prefix] = _RANK_EPOCHS.get(prefix, -1) + 1
-    for stale in range(epoch - 1):
-        shutil.rmtree(f"{root}/epoch={stale}", ignore_errors=True)
+    # only epoch N-2 can still exist (every earlier epoch was pruned when
+    # ITS successor's successor arrived) — one rmtree, not an O(N) sweep
+    # of long-gone dirs (r14 advice)
+    if epoch >= 2:
+        shutil.rmtree(f"{root}/epoch={epoch - 2}", ignore_errors=True)
     return f"{root}/epoch={epoch}"
 
 

@@ -211,118 +211,6 @@ def q_vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_centroid_dot(qe: str, ce: str) -> str:
-    """Query x centroid dot: qe elements cast to DOUBLE (Spark widens the
-    float query vector per element), centroid already DOUBLE."""
-    return " + ".join(
-        f"CAST({qe}[{i}] AS DOUBLE) * {ce}[{i}]" for i in range(1, DIM + 1)
-    )
-
-
-@query(
-    "q_sim_search_ivf",
-    oracle=f"""
-    WITH ev AS (SELECT label,
-                       unnest(range(1, len(embedding)+1)) AS pos,
-                       unnest(embedding) AS val
-                FROM embeddings),
-    cent AS (
-      SELECT label, pos,
-             SUM(CAST(ROUND(CAST(val AS DOUBLE) * {_Q30}) AS BIGINT))
-               / (COUNT(*) * {_Q30}.0) AS centroid
-      FROM ev GROUP BY label, pos),
-    ce AS (SELECT label, list(centroid ORDER BY pos) AS ce
-           FROM cent GROUP BY label),
-    q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-          WHERE vec_id < {N_QUERIES}),
-    qc AS (SELECT q.qid, q.qe, ce.label,
-                  {_sql_centroid_dot('q.qe', 'ce.ce')} AS ccos
-           FROM q, ce),
-    probes AS (SELECT qid, qe, label FROM (
-        SELECT qid, qe, label,
-               ROW_NUMBER() OVER (PARTITION BY qid
-                                  ORDER BY ccos DESC, label) AS crk
-        FROM qc) WHERE crk <= 3),
-    s AS (SELECT p.qid, c.vec_id,
-                 {_oracle_dot('p.qe', 'c.embedding')} AS cos
-          FROM probes p JOIN embeddings c USING (label)
-          WHERE p.qid <> c.vec_id)
-    SELECT qid, vec_id, cos, rk FROM (
-      SELECT qid, vec_id, cos,
-             ROW_NUMBER() OVER (PARTITION BY qid
-                                ORDER BY cos DESC, vec_id) AS rk
-      FROM s)
-    WHERE rk <= {LSH_TOP_K}
-    """,
-    tags=("sim",),
-)
-def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style pruned search: build per-label centroids (the coarse
-    quantizer — labels stand in for k-means cells on this data), assign
-    each query to its nprobe=3 nearest centroids, and score only vectors
-    in those cells. At scale the corpus is partitioned/clustered by cell
-    id, so a query touches nprobe/N_cells of the data; all small sides
-    (queries, centroids, probe lists) broadcast — the corpus never
-    shuffles. Exact sql oracle (round 4): the centroid build is the
-    q_vec_centroid fixed-point recipe (order-independent integer sums ->
-    one double divide, bit-identical across engines), and both the
-    query->centroid assignment dot and the verification dot are the same
-    left-to-right f64 chains as q_sim_search — so cell choice, ranking,
-    and scores all hash-match despite IVF being an approximate method.
-    pytest additionally pins results against brute force within the
-    probed cells."""
-    emb = load(spark, sf_dir, "embeddings")
-    # centroids as arrays: re-assemble the exploded form, ordered by pos
-    cent = (
-        q_vec_centroid(spark, sf_dir)
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
-                lambda s: s["centroid"],
-            ).alias("ce")
-        )
-    )
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
-    )
-    # Assign each query to its 3 nearest centroids. At 10 cells the
-    # broadcast nested loop (queries x centroids) is optimal; at a real
-    # quantizer size (2^16+ cells) this becomes a 65k-row scan per query
-    # row — there, hash-partition BOTH sides on a coarse cell-hash
-    # (queries replicated per partition, centroids partitioned once) and
-    # take per-partition top-3 + a global top-3 merge, so assignment cost
-    # is cells/partitions per query and the centroid table never
-    # re-broadcasts per batch. The 10-cell fixture keeps the broadcast
-    # shape; the window below is already the per-query top-k merge.
-    qc = q.crossJoin(F.broadcast(cent)).select(
-        "qid",
-        "qe",
-        "label",
-        F.expr(
-            "aggregate(zip_with(qe, ce, (x, y) -> double(x) * y), "
-            "0D, (acc, v) -> acc + v)"
-        ).alias("ccos"),
-    )
-    wq = Window.partitionBy("qid").orderBy(F.desc("ccos"), F.asc("label"))
-    probes = (
-        qc.withColumn("crk", F.row_number().over(wq))
-        .filter(F.col("crk") <= 3)
-        .select("qid", "qe", "label")
-    )
-    # broadcast the tiny probe list; the corpus side streams unshuffled
-    cand = emb.join(F.broadcast(probes), ["label"]).filter(
-        F.col("qid") != F.col("vec_id")
-    )
-    scored = cand.select("qid", "vec_id", F.expr(_DOT).alias("cos"))
-    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rk") <= LSH_TOP_K)
-        .select("qid", "vec_id", "cos", "rk")
-    )
-
-
 @query(
     "q_sim_search_lsh",
     oracle=f"""
@@ -480,7 +368,11 @@ def _oracle_l2(a: str, b: str) -> str:
     )
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_cte_body() -> str:
+    """Shared WITH-prefix: c0 seed (k lowest vec_ids) + KMEANS_ITERS Lloyd
+    rounds, ending at c{KMEANS_ITERS} (cid, ce DOUBLE list). Consumed by
+    the kmeans oracle AND the IVF oracle — the IVF coarse quantizer IS
+    this exact trajectory, so both engines' cells stay bit-identical."""
     q30 = _Q30
     parts = [
         f"WITH c0 AS (SELECT vec_id AS cid, embedding AS ce"
@@ -506,9 +398,12 @@ def _kmeans_oracle() -> str:
     c{it} AS (SELECT cid, list(centroid ORDER BY pos) AS ce
               FROM ce{it} GROUP BY cid)""")
         prev = f"c{it}"
-    body = ",".join(parts)
+    return ",".join(parts)
+
+
+def _kmeans_oracle() -> str:
     return (
-        body
+        _kmeans_cte_body()
         + f"""
     SELECT cid, pos, centroid, n_members FROM ce{KMEANS_ITERS}"""
     )
@@ -555,27 +450,39 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs one action per round besides. AQE off saves ~0.1s (stage
     scheduling), not worth a session-level conf.
     """
-    emb = load(spark, sf_dir, "embeddings")
-    # argmin over the broadcast centroid list, one row per corpus vector:
-    # min struct = (smallest distance, lowest cid) — collect_list's order
-    # is irrelevant because array_min is order-independent.
-    _BEST = (
-        "array_min(transform(cl, c -> struct("
-        "aggregate(zip_with(embedding, c.ce, "
-        "(x, y) -> (double(x) - double(y)) * (double(x) - double(y))), "
-        "0D, (acc, v) -> acc + v) AS dist, c.cid AS cid)))"
-    )
-    # regroup the flat (cid, pos, centroid) collect into the per-centroid
-    # array list INSIDE the single-row broadcast frame (one HOF pass over
-    # k·DIM structs, evaluated once) — doing it as a groupBy("cid") would
-    # add a whole exchange+stage per Lloyd iteration just to reshape 512
-    # rows. array_sort on (cid, pos, centroid) structs orders by cid then
-    # pos, so the filtered per-cid slice is already pos-ascending.
-    _CL = (
-        "transform(array_sort(array_distinct(transform(flat, x -> x.cid))), "
-        "c -> struct(c AS cid, transform("
-        "array_sort(filter(flat, x -> x.cid = c)), x -> x.centroid) AS ce))"
-    )
+    _, cent_e = _kmeans_centroids(load(spark, sf_dir, "embeddings"))
+    return cent_e.select("cid", "pos", "centroid", "n_members")
+
+
+# argmin over the broadcast centroid list, one row per corpus vector:
+# min struct = (smallest distance, lowest cid) — collect_list's order
+# is irrelevant because array_min is order-independent.
+_KM_BEST = (
+    "array_min(transform(cl, c -> struct("
+    "aggregate(zip_with(embedding, c.ce, "
+    "(x, y) -> (double(x) - double(y)) * (double(x) - double(y))), "
+    "0D, (acc, v) -> acc + v) AS dist, c.cid AS cid)))"
+)
+# regroup the flat (cid, pos, centroid) collect into the per-centroid
+# array list INSIDE the single-row broadcast frame (one HOF pass over
+# k·DIM structs, evaluated once) — doing it as a groupBy("cid") would
+# add a whole exchange+stage per Lloyd iteration just to reshape 512
+# rows. array_sort on (cid, pos, centroid) structs orders by cid then
+# pos, so the filtered per-cid slice is already pos-ascending.
+_KM_CL = (
+    "transform(array_sort(array_distinct(transform(flat, x -> x.cid))), "
+    "c -> struct(c AS cid, transform("
+    "array_sort(filter(flat, x -> x.cid = c)), x -> x.centroid) AS ce))"
+)
+
+
+def _kmeans_centroids(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """KMEANS_ITERS Lloyd rounds over ``emb``; returns (carr, cent_e):
+    the single-row broadcastable centroid list ({cl: [(cid, ce)]}) and
+    the final exploded (cid, pos, centroid, n_members) frame. Shared by
+    q_cluster_kmeans (which emits cent_e) and q_sim_search_ivf (whose
+    coarse quantizer is carr — learned cells, same trajectory, so the
+    IVF oracle reuses the kmeans oracle's CTE body bit-identically)."""
     carr = (
         emb.filter(F.col("vec_id") < KMEANS_K)
         .select(
@@ -588,7 +495,7 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(KMEANS_ITERS):
         assigned = (
             emb.crossJoin(F.broadcast(carr))
-            .select("vec_id", "embedding", F.expr(_BEST).alias("best"))
+            .select("vec_id", "embedding", F.expr(_KM_BEST).alias("best"))
             .select("vec_id", "embedding", F.col("best.cid").alias("cid"))
         )
         ex = assigned.select(
@@ -608,8 +515,115 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         carr = cent_e.agg(
             F.collect_list(F.struct("cid", "pos", "centroid")).alias("flat")
-        ).select(F.expr(_CL).alias("cl"))
-    return cent_e.select("cid", "pos", "centroid", "n_members")
+        ).select(F.expr(_KM_CL).alias("cl"))
+    return carr, cent_e
+
+
+# ---------------------------------------------------------------------------
+# IVF search over LEARNED k-means cells (r15: replaces the `label`
+# stand-in quantizer — verdict r14 Next #4)
+# ---------------------------------------------------------------------------
+
+IVF_NPROBE = 3
+
+# per-query (dist, cid) structs against the broadcast centroid list — the
+# _KM_BEST expression over the QUERY vector, kept as the full list so the
+# probe ranking can take nprobe cells instead of argmin-1
+_IVF_QCELLS = (
+    "transform(cl, c -> struct("
+    "aggregate(zip_with(qe, c.ce, "
+    "(x, y) -> (double(x) - double(y)) * (double(x) - double(y))), "
+    "0D, (acc, v) -> acc + v) AS dist, c.cid AS cid))"
+)
+
+
+def _ivf_oracle() -> str:
+    cf = f"c{KMEANS_ITERS}"
+    return f"""{_kmeans_cte_body()},
+    a AS (SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_oracle_l2('e.embedding', 'c.ce')},
+                                           c.cid) AS rk
+        FROM embeddings e CROSS JOIN {cf} c) WHERE rk = 1),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+          WHERE vec_id < {N_QUERIES}),
+    probes AS (SELECT qid, qe, cid FROM (
+        SELECT q.qid, q.qe, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                                  ORDER BY {_oracle_l2('q.qe', 'c.ce')},
+                                           c.cid) AS crk
+        FROM q CROSS JOIN {cf} c) WHERE crk <= {IVF_NPROBE}),
+    s AS (SELECT p.qid, a.vec_id, {_oracle_dot('p.qe', 'a.embedding')} AS cos
+          FROM probes p JOIN a USING (cid) WHERE p.qid <> a.vec_id)
+    SELECT qid, vec_id, cos, rk FROM (
+      SELECT qid, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, vec_id) AS rk
+      FROM s)
+    WHERE rk <= {LSH_TOP_K}
+    """
+
+
+@query("q_sim_search_ivf", oracle=_ivf_oracle(), tags=("sim",))
+def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over LEARNED cells: the coarse quantizer is the
+    q_cluster_kmeans trajectory itself (k={KMEANS_K} Lloyd-trained
+    centroids via _kmeans_centroids — r15, replacing the `label` column
+    that stood in for cells through r14), each corpus vector is assigned
+    to its nearest centroid (map-only argmin against the broadcast
+    centroid list, exact squared-L2 chains), each query probes its
+    nprobe={IVF_NPROBE} nearest cells, and only those cells' vectors are
+    scored with the exact cosine.
+
+    Exact oracle despite approximate method: the centroid build is the
+    fixed-point kmeans recipe (shared CTE body — bit-identical cells),
+    assignment/probing use the same left-to-right f64 L2 chains with cid
+    tie-breaks, and verification is the q_sim_search dot chain, so cell
+    choice, candidate sets, ranking, and scores all hash-match.
+
+    Plan shape at 100 TB: centroid training shuffles k·DIM cells per
+    iteration (corpus-size-independent); corpus assignment is MAP-ONLY
+    against the broadcast centroid list; the probe list (queries ×
+    nprobe) broadcasts into the candidate join so the corpus never
+    shuffles. The persisted form writes the corpus PARTITIONED BY cell
+    id (tests/test_similarity pins partition-pruned probing on that
+    layout, the q_sim_search_lsh bucket-store precedent), so a query
+    batch touches nprobe/k of the files; recall@k vs brute force is
+    pinned in test_similarity and measured on the EMBS ladder in
+    SURVEY."""
+    emb = load(spark, sf_dir, "embeddings")
+    carr, _ = _kmeans_centroids(emb)
+    assigned = (
+        emb.crossJoin(F.broadcast(carr))
+        .select("vec_id", "embedding", F.expr(_KM_BEST).alias("best"))
+        .select("vec_id", "embedding", F.col("best.cid").alias("cid"))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    qc = q.crossJoin(F.broadcast(carr)).select(
+        "qid", "qe", F.explode(F.expr(_IVF_QCELLS)).alias("dc")
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.asc("dc.dist"), F.asc("dc.cid")
+    )
+    probes = (
+        qc.withColumn("crk", F.row_number().over(wq))
+        .filter(F.col("crk") <= IVF_NPROBE)
+        .select("qid", "qe", F.col("dc.cid").alias("cid"))
+    )
+    # broadcast the tiny probe list; the assigned corpus streams unshuffled
+    cand = assigned.join(F.broadcast(probes), "cid").filter(
+        F.col("qid") != F.col("vec_id")
+    )
+    scored = cand.select("qid", "vec_id", F.expr(_DOT).alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= LSH_TOP_K)
+        .select("qid", "vec_id", "cos", "rk")
+    )
 
 # ---------------------------------------------------------------------------
 # semantic dedup (SemDeDup: cluster, then prune within-cluster near-dups)

@@ -12,10 +12,12 @@ The merge is a BYTE-LEVEL BLOCK TRANSPLANT: a PBF file is one OSMHeader
 file block followed by self-contained OSMData file blocks (string tables
 and delta chains restart per block — osmformat.proto; the reference
 decodes each block independently, OsmPbfRecordReader.java:188-200), so
-an output file is the first input's header bytes followed by every
-input's data-block bytes copied verbatim. No decode, no re-encode, no
-re-compress — pure sequential I/O at wire speed, the recipe bench.py's
-20M-node stitcher proved and test_pbf pins for mixed primitives.
+an output file is a freshly synthesized header (inputs' required
+features checked for compatibility, bboxes unioned — r14 advice) followed
+by every input's data-block bytes copied verbatim. No decode, no
+re-encode, no re-compress of DATA — pure sequential I/O at wire speed,
+the recipe bench.py's 20M-node stitcher proved and test_pbf pins for
+mixed primitives.
 BlobHeader.indexdata rides inside the copied bytes, so planning-time
 block pruning (kinds / id ranges / tag fingerprints) keeps working on
 the compacted lake unchanged.
@@ -35,30 +37,41 @@ from __future__ import annotations
 import os
 
 from osmpbf_spark.sources.pbf import fs
-from osmpbf_spark.sources.pbf.decode import index_blocks
+from osmpbf_spark.sources.pbf.decode import (
+    decode_header_block,
+    index_blocks,
+    index_blocks_cached,
+    read_block_payload,
+)
+from osmpbf_spark.sources.pbf.encode import _file_block, encode_header_block
 
 
-def _index_file(path: str) -> tuple[int, int]:
-    """(data_split, n_data_blocks) for one input: the byte offset where
-    the OSMData region starts (end of the OSMHeader file block) and the
-    number of OSMData blocks. One header walk serves both the copy
-    boundary and the integrity check. Raises a diagnosable error on a
-    headerless file (corrupt, or a foreign tool's output) instead of a
+def _index_file(path: str) -> tuple[int, int, dict]:
+    """(data_split, n_data_blocks, header) for one input: the byte offset
+    where the OSMData region starts (end of the OSMHeader file block), the
+    number of OSMData blocks, and the decoded HeaderBlock metadata
+    (required_features / bbox — merge_group refuses on feature mismatch
+    and unions bboxes). One header walk serves the copy boundary, the
+    integrity check, and the header compare. Raises a diagnosable error on
+    a headerless file (corrupt, or a foreign tool's output) instead of a
     bare StopIteration that PySpark would blur into a generic worker
     RuntimeError."""
     split = None
     n_data = 0
+    header: dict | None = None
     for m in index_blocks(path):
         if m.block_type == "OSMHeader" and split is None:
             split = m.data_offset + m.data_size
+            with fs.fs_open(path, "rb") as f:
+                header = decode_header_block(read_block_payload(f, m))
         elif m.block_type == "OSMData":
             n_data += 1
-    if split is None:
+    if split is None or header is None:
         raise ValueError(
             f"{path}: no OSMHeader block — refusing to transplant from "
             "a file the decoder could not plan"
         )
-    return split, n_data
+    return split, n_data, header
 
 
 def plan_groups(
@@ -72,7 +85,12 @@ def plan_groups(
     for p in sorted(paths):
         st = fs.fs_stat(p)
         size = st[0] if st else 0
-        if not groups or acc + size > target_bytes and acc > 0:
+        # close the open group only when it is NON-EMPTY and the next
+        # file would overflow it (r14 verdict: gating on `acc > 0` let a
+        # zero-byte file open a group that then absorbed an oversized
+        # file — hypothesis found sizes=[0,2], target=1, now @example-
+        # pinned in test_pbf_compact_plan_groups_properties)
+        if not groups or (groups[-1] and acc + size > target_bytes):
             groups.append([])
             acc = 0
         groups[-1].append(p)
@@ -80,31 +98,91 @@ def plan_groups(
     return [g for g in groups if g]
 
 
-def merge_group(paths: list[str], out_path: str) -> dict:
-    """Merge one group: first input's header + every input's data bytes,
-    streamed in constant memory (seek + chunked copy — never the whole
-    file resident; a multi-GB input would otherwise hold 2x its bytes in
-    the Python worker). The merged file is then INDEX-VERIFIED before
-    success is reported: its OSMData block count must equal the sum of
-    the inputs' (the parquet twin's refuse-to-report-success discipline,
+def _union_bbox(headers: list[dict]) -> dict | None:
+    """Union of the inputs' HeaderBBoxes (nanodegrees), or None when no
+    input declares one. An input WITHOUT a bbox contributes nothing: our
+    writer omits the bbox exactly when a file holds no nodes
+    (encode._blocks_bbox), so the union over declared boxes still covers
+    every coordinate in the merged data."""
+    boxes = [h["bbox"] for h in headers if h.get("bbox")]
+    boxes = [
+        b for b in boxes if all(b.get(k) is not None for k in
+                                ("left", "right", "top", "bottom"))
+    ]
+    if not boxes:
+        return None
+    return {
+        "left": min(b["left"] for b in boxes),
+        "right": max(b["right"] for b in boxes),
+        "top": max(b["top"] for b in boxes),
+        "bottom": min(b["bottom"] for b in boxes),
+    }
+
+
+def merge_group(
+    paths: list[str], out_path: str, index_cache_dir: str | None = None
+) -> dict:
+    """Merge one group: a synthesized merged header + every input's data
+    bytes, streamed in constant memory (seek + chunked copy — never the
+    whole file resident; a multi-GB input would otherwise hold 2x its
+    bytes in the Python worker).
+
+    Header semantics (r14 advice): transplanting the FIRST input's header
+    verbatim silently dropped later inputs' declarations, so the merge
+    now (a) REFUSES when a later input requires a feature the first does
+    not declare — a reader honoring required_features could mishandle the
+    transplanted blocks — and (b) writes a fresh OSMHeader whose bbox is
+    the UNION of the inputs' bboxes, so the merged header still covers
+    all the data. Data blocks remain a pure byte transplant.
+
+    The merged file is then INDEX-VERIFIED before success is reported:
+    its OSMData block count must equal the sum of the inputs' (the
+    parquet twin's refuse-to-report-success discipline,
     operators/compact.py — a truncated or foreign input must surface
-    here, not when a later scan hits garbage). Returns
-    {file, n_inputs, n_blocks, bytes}."""
+    here, not when a later scan hits garbage). With ``index_cache_dir``
+    set, the verification walk doubles as the sidecar hand-off: it runs
+    through index_blocks_cached, persisting the merged file's block index
+    into the planning cache at write time so a freshly compacted lake
+    plans WARM — zero header walks on its first plan (r14 verdict Next
+    #6). Returns {file, n_inputs, n_blocks, bytes}."""
     import shutil as _sh
 
+    infos = [(p, *_index_file(p)) for p in paths]
+    first_hdr = infos[0][3]
+    declared = set(first_hdr["required_features"])
+    for p, _split, _n, hdr in infos[1:]:
+        extra = set(hdr["required_features"]) - declared
+        if extra:
+            raise ValueError(
+                f"{p}: requires features {sorted(extra)} not declared by "
+                f"the merged header ({sorted(declared)}); refusing to "
+                "transplant — a reader honoring required_features could "
+                "mishandle these blocks"
+            )
+    header_bytes = _file_block(
+        "OSMHeader",
+        encode_header_block(
+            required=first_hdr["required_features"],
+            bbox=_union_bbox([i[3] for i in infos]),
+        ),
+        True,
+    )
     total = 0
     expect_blocks = 0
     with open(out_path, "wb") as out:
-        for i, p in enumerate(paths):
-            split, n_data = _index_file(p)
+        out.write(header_bytes)
+        for p, split, n_data, _hdr in infos:
             expect_blocks += n_data
             with open(p, "rb") as f:
-                if i > 0:
-                    f.seek(split)
+                f.seek(split)
                 start = out.tell()
                 _sh.copyfileobj(f, out, 1 << 20)
                 total += out.tell() - start
-    _, got_blocks = _index_file(out_path)
+    if index_cache_dir:
+        blocks = index_blocks_cached(out_path, index_cache_dir)
+    else:
+        blocks = index_blocks(out_path)
+    got_blocks = sum(1 for b in blocks if b.block_type == "OSMData")
     if got_blocks != expect_blocks:
         raise RuntimeError(
             f"{out_path}: transplant block-count mismatch — inputs hold "
@@ -124,11 +202,19 @@ def compact_pbf_files(
     in_dir: str,
     out_dir: str,
     target_bytes: int = 256 * 1024 * 1024,
+    index_cache_dir: str | None = None,
 ) -> list[dict]:
     """Compact every ``*.osm.pbf``/``*.pbf`` under ``in_dir`` into
     ~target-sized merged files in ``out_dir``. Group plan on the driver
-    (one listing), one Spark task per output file. Returns the per-file
-    stats list (#outputs-sized)."""
+    (one listing), one Spark task per output file. REFUSES in-place
+    compaction (r14 advice): the engine's sink and this pass both name
+    files ``part-*.osm.pbf``, so out_dir == in_dir would make group 0's
+    output truncate input part-00000.osm.pbf before its bytes are read —
+    any planned output path colliding with an input is rejected before a
+    single byte is written. With ``index_cache_dir`` set, each merged
+    file's block index is persisted into the planning sidecar at write
+    time (see merge_group). Returns the per-file stats list
+    (#outputs-sized)."""
     paths = sorted(
         os.path.join(in_dir, f)
         for f in os.listdir(in_dir)
@@ -136,14 +222,26 @@ def compact_pbf_files(
     )
     if not paths:
         raise ValueError(f"no PBF files under {in_dir}")
+    if os.path.realpath(out_dir) == os.path.realpath(in_dir):
+        raise ValueError(
+            f"refusing in-place compaction: out_dir == in_dir ({in_dir}) "
+            "would truncate inputs named part-*.osm.pbf before they are "
+            "read — write to a fresh directory, then swap"
+        )
     os.makedirs(out_dir, exist_ok=True)
     groups = plan_groups(paths, target_bytes)
-    jobs = [
-        (g, os.path.join(out_dir, f"part-{i:05d}.osm.pbf"))
-        for i, g in enumerate(groups)
-    ]
+    in_real = {os.path.realpath(p) for p in paths}
+    jobs = []
+    for i, g in enumerate(groups):
+        out_path = os.path.join(out_dir, f"part-{i:05d}.osm.pbf")
+        if os.path.realpath(out_path) in in_real:
+            raise ValueError(
+                f"refusing compaction: output {out_path} resolves to an "
+                "input file — writing it would destroy input data"
+            )
+        jobs.append((g, out_path))
     return (
         spark.sparkContext.parallelize(jobs, len(jobs))
-        .map(lambda j: merge_group(j[0], j[1]))
+        .map(lambda j: merge_group(j[0], j[1], index_cache_dir))
         .collect()
     )

@@ -51,29 +51,78 @@ def test_vec_centroid_parity(spark, duck):
     assert len(pdf) == 10 * 64  # labels x dims
 
 
+def _chain_l2(X: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Left-to-right squared-L2 accumulation, matching both engines'
+    fold order exactly (a pairwise numpy sum can differ in the last ulp
+    and flip an argmin tie)."""
+    acc = np.zeros(len(X))
+    for j in range(X.shape[1]):
+        acc = acc + (X[:, j] - c[j]) ** 2
+    return acc
+
+
+def _ivf_cells_numpy(V: np.ndarray):
+    """Replicate the learned coarse quantizer: KMEANS_ITERS Lloyd rounds
+    from the KMEANS_K lowest-vec_id seeds with the fixed-point centroid
+    update — the exact q_cluster_kmeans trajectory. Returns (C, assign):
+    final centroids and each vector's cell (argmin = lowest cid on tie)."""
+    from osmpbf_spark.operators.similarity import KMEANS_ITERS, KMEANS_K
+
+    C = V[:KMEANS_K].astype(np.float64).copy()
+    assign = None
+    for _ in range(KMEANS_ITERS):
+        D = np.stack([_chain_l2(V, C[c]) for c in range(KMEANS_K)], axis=1)
+        assign = D.argmin(axis=1)
+        C = np.stack(
+            [
+                np.rint(V[assign == c] * 2**30).sum(0)
+                / ((assign == c).sum() * 2**30)
+                for c in range(KMEANS_K)
+            ]
+        )
+    D = np.stack([_chain_l2(V, C[c]) for c in range(KMEANS_K)], axis=1)
+    return C, D.argmin(axis=1)
+
+
 def test_sim_ivf_matches_brute_within_probes(spark, duck, brute):
-    """IVF results must equal brute force restricted to the probed cells
-    (the pruning is the approximation; scoring is exact)."""
+    """IVF results must equal brute force restricted to the probed
+    LEARNED cells (r15: the quantizer is the kmeans trajectory, not the
+    label column; the pruning is the approximation, scoring is exact)."""
+    from osmpbf_spark.operators.similarity import IVF_NPROBE, KMEANS_K
+
     ids, V = brute
-    rows = duck.sql("SELECT vec_id, label FROM embeddings ORDER BY vec_id").fetchall()
-    L = np.array([r[1] for r in rows])
     pdf, _ = check_query(spark, duck, SF_DIR, "q_sim_search_ivf")
-    cent = np.stack(
-        [
-            np.rint(V[L == lab] * 2**30).sum(0) / ((L == lab).sum() * 2**30)
-            for lab in range(10)
-        ]
-    )
+    C, A = _ivf_cells_numpy(V)
     for qid in range(N_QUERIES):
-        ccos = cent @ V[qid]
-        probe = np.lexsort((np.arange(10), -ccos))[:3]
-        mask = np.isin(L, probe)
+        d = _chain_l2(C, V[qid])
+        probe = np.lexsort((np.arange(KMEANS_K), d))[:IVF_NPROBE]
+        mask = np.isin(A, probe)
         mask[qid] = False
         sims = V @ V[qid]
         idx = np.where(mask)[0]
         want = idx[np.lexsort((idx, -sims[idx]))][:3].tolist()
         got = pdf[pdf.qid == qid].sort_values("rk")["vec_id"].astype(int).tolist()
         assert got == want, f"query {qid}: {got} != {want}"
+
+
+def test_sim_ivf_recall_floor(spark, duck, brute):
+    """Recall@3 of the learned-cell IVF vs GLOBAL brute force, pinned at
+    the measured floor on this corpus (the within-probe test above proves
+    exactness given the pruning; this one bounds what the pruning loses)."""
+    ids, V = brute
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_sim_search_ivf")
+    S = V @ V.T
+    hit = total = 0
+    for qid in range(N_QUERIES):
+        sims = S[qid].copy()
+        sims[qid] = -np.inf
+        want = set(np.lexsort((ids, -sims))[:3].tolist())
+        got = set(
+            pdf[pdf.qid == qid].sort_values("rk")["vec_id"].astype(int)
+        )
+        hit += len(want & got)
+        total += 3
+    assert hit / total >= 0.6, f"IVF recall@3 too low: {hit}/{total}"
 
 
 def test_sim_lsh_recall_and_exactness(spark, duck, brute):

@@ -1413,6 +1413,14 @@ def q_dedup_embed_scaleb(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECON_NG = 8  # shingle width: 8-word grams, the usual eval-decontam unit
 DECON_STOP_DF = 100  # drop shingles in > this many docs (boilerplate guard)
 DECON_THRESH = 0.5  # containment floor to report
+# Eval-index broadcast budget, in bench-side shingle rows (pre-stop upper
+# bound). Above this the broadcast-eval plan would ship an oversized hash
+# table to every executor, so q_decontaminate dispatches to the r03 shuffle
+# shape instead (the BPE_DRIVER_VOCAB_MAX escape-hatch pattern — r14
+# verdict Next #5 made the docstring recipe real code). 20M hashed
+# shingles ≈ 8-byte keys + offsets ≈ low hundreds of MB broadcast — the
+# usual 8 GB-executor comfort ceiling.
+DECON_BROADCAST_MAX = 20_000_000
 
 _DECON_SH = f"""CASE WHEN size(w) >= {DECON_NG}
   THEN array_distinct(transform(sequence(0, size(w) - {DECON_NG}),
@@ -1473,11 +1481,18 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings in every hash table (collision odds ~n^2/2^65; checked exact
     against the string-keyed oracle at sf0.01). The exploded corpus is
     localCheckpoint'ed once (at 100 TB: the persisted shingle table both
-    aggregations and the join read). If the eval side ever exceeds the
-    broadcast budget, fall back to the r03 shape: one shared
-    hash-exchange on shingle feeding stop-agg and a shuffle join
-    (2.1-2.7s recorded at sf0.1 vs this plan's measured 1.4-1.6s, ~1.8x
-    DuckDB's 0.8s; the delta is two fewer stage barriers)."""
+    aggregations and the join read).
+
+    Oversized-eval escape hatch (r15, verdict r14 Next #5 — now CODE,
+    dispatched per run): the bench side's pre-stop shingle count is one
+    cheap job over the checkpointed table; above DECON_BROADCAST_MAX the
+    broadcast-eval plan would ship an oversized hash table to every
+    executor, so _decon_containment runs WITHOUT the broadcast hint and
+    the containment join becomes a shuffle join on the hashed shingle
+    key (the r03 shape: 2.1-2.7s recorded at sf0.1 vs this plan's
+    measured 1.4-1.6s, ~1.8x DuckDB's 0.8s; the delta is two fewer
+    stage barriers). pytest forces the fallback on a tiny budget and
+    asserts value parity with both the broadcast plan and the oracle."""
     d = fanout(load(spark, sf_dir, "documents")).withColumn(
         "w", F.split(F.lower("text"), " ")
     )
@@ -1486,9 +1501,19 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.xxhash64("sh").alias("shingle"))
         .localCheckpoint(eager=True)
     )
+    n_eval = ex.filter(F.col("doc_id") % 10 == 0).count()
+    return _decon_containment(ex, broadcast_eval=n_eval <= DECON_BROADCAST_MAX)
+
+
+def _decon_containment(ex, broadcast_eval: bool):
+    """Containment-scoring tail shared by both q_decontaminate regimes:
+    ``broadcast_eval=True`` ships the stop-filtered eval index map-side
+    (the default; eval sets are small by definition), ``False`` is the
+    oversized-eval shuffle join on the hashed shingle key."""
     # (doc_id, shingle) pairs are distinct (array_distinct per doc), so
     # count(*) == document frequency. The stop-list is the frequent-item
-    # set — tiny by definition — so it broadcasts into an anti-join.
+    # set — tiny by definition in EITHER regime — so it broadcasts into
+    # an anti-join.
     stop = (
         ex.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -1519,8 +1544,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_n = bench.withColumn(
         "n_bench", F.count("*").over(Window.partitionBy("bench_id"))
     )
+    eval_side = F.broadcast(bench_n) if broadcast_eval else bench_n
     return (
-        train.join(F.broadcast(bench_n), "shingle")
+        train.join(eval_side, "shingle")
         .groupBy("bench_id", "train_id")
         .agg(
             F.count("*").alias("shared"),

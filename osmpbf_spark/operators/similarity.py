@@ -565,6 +565,185 @@ def _ivf_oracle() -> str:
     """
 
 
+def _chain_l2_batch(V: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, k) squared-L2 matrix with the EXACT left-to-right accumulation
+    order of the _KM_BEST fold and the unrolled SQL chain: one += per
+    dimension, so every (row, cell) distance is the same IEEE addition
+    sequence both engines execute — bit-identical values, argmin ties
+    included (the same trick test_similarity._chain_l2 uses to replicate
+    the trajectory). A plain matmul/einsum would differ in the last ulp
+    and could flip a tie."""
+    acc = np.zeros((len(V), len(C)))
+    for j in range(V.shape[1]):
+        d = V[:, j, None] - C[None, :, j]
+        acc += d * d
+    return acc
+
+
+def _batch_assign_udf(cids, C):
+    """Arrow-batched cell assignment against driver-known centroids —
+    the large-k production path (an interpreted HOF argmin pays k
+    lambda-evaluated L2 chains PER ROW; this pays one vectorized
+    j-loop per Arrow batch). ``cids`` must be ascending so numpy's
+    first-occurrence argmin reproduces array_min's lowest-cid
+    tie-break. Bit-identical to _KM_BEST by _chain_l2_batch's
+    construction."""
+    from pyspark.sql.types import LongType
+
+    cids = np.asarray(cids, dtype=np.int64)
+    C = np.asarray(C, dtype=np.float64)
+
+    @pandas_udf(LongType())
+    def assign(emb: pd.Series) -> pd.Series:
+        V = np.stack(emb.to_numpy()).astype(np.float64)
+        return pd.Series(cids[_chain_l2_batch(V, C).argmin(axis=1)])
+
+    return assign
+
+
+def _kmeans_centroids_batch(spark, emb: DataFrame):
+    """The _kmeans_centroids trajectory with Arrow-batched assignment:
+    centroids are materialized driver-side per Lloyd round (k·DIM
+    doubles — the exact values the JVM divide produced; python floats
+    ARE f64 so the round-trip is lossless) and each assignment pass is
+    the numpy j-loop UDF instead of k interpreted lambda chains per
+    row. Bit-identical to the lazy HOF trainer by _chain_l2_batch's
+    construction (pinned in test_similarity); the REGISTERED
+    q_cluster_kmeans keeps the lazy single-plan form — at its k=8 the
+    per-round collect costs more than the HOF saves (measured r06), and
+    its oracle pins that plan. This form is for quantizer builds at
+    large k, where interpreted lambdas dominate (ivf_demo: k=64 train
+    115s -> see SURVEY). Returns (cids, C) — ascending cell ids and
+    their centroid matrix."""
+    seed = sorted(
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < KMEANS_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cids = [int(c) for c, _ in seed]
+    C = np.array([v for _, v in seed], dtype=np.float64)
+    for _ in range(KMEANS_ITERS):
+        assign = _batch_assign_udf(cids, C)
+        # lineage BARRIER between the UDF and the explode: projected
+        # Python-UDF outputs get re-evaluated PER GENERATED ROW under
+        # posexplode (measured 219.8s vs 6.8s per round at 200k x k=64 —
+        # the Generate-inlining class bug test_no_hof_inside_filter pins
+        # for JVM HOFs), so materialize the 200k-row (cid, embedding)
+        # frame once before exploding
+        ac = emb.select(
+            assign("embedding").alias("cid"), "embedding"
+        ).localCheckpoint(eager=False)
+        ex = ac.select(
+            "cid", F.posexplode("embedding").alias("pos0", "val")
+        ).select(
+            "cid",
+            (F.col("pos0") + 1).cast("int").alias("pos"),
+            F.round(F.col("val").cast("double") * _Q30)
+            .cast("bigint")
+            .alias("valq"),
+        )
+        cent = (
+            ex.groupBy("cid", "pos")
+            .agg(
+                (F.sum("valq") / (F.count("*") * F.lit(float(_Q30)))).alias(
+                    "centroid"
+                )
+            )
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in cent:
+            by_cid.setdefault(int(r.cid), {})[int(r.pos)] = float(r.centroid)
+        cids = sorted(by_cid)
+        C = np.array(
+            [[by_cid[c][p] for p in range(1, DIM + 1)] for c in cids],
+            dtype=np.float64,
+        )
+    return cids, C
+
+
+def build_ivf_cell_store(
+    spark, sf_dir: str, store_path: str, batch_assign: bool = True
+):
+    """Persisted IVF layout: write the corpus PARTITIONED BY learned cell
+    id (directory per cell — the layout q_sim_search_ivf's 100 TB story
+    relies on: a probe reads only its cells' files via partition
+    pruning, pinned in test_similarity). Training is the registered
+    query's exact trajectory; assignment defaults to the Arrow-batched
+    numpy path (bit-identical to the JVM HOF argmin by construction —
+    pinned in test_similarity — and ~an order of magnitude faster at
+    large k, where interpreted lambda chains dominate; measured in
+    scripts/ivf_demo.py). ``batch_assign=False`` keeps the registered
+    query's map-only JVM expression. Returns the centroid-list frame
+    for probe-time reuse — retraining at probe time would recompute the
+    quantizer per query batch, so the k·DIM-cell frame is materialized
+    once (localCheckpoint: tiny, one row)."""
+    emb = load(spark, sf_dir, "embeddings")
+    if batch_assign:
+        cids, C = _kmeans_centroids_batch(spark, emb)
+        carr = (
+            spark.createDataFrame(
+                [(int(c), [float(x) for x in C[i]]) for i, c in enumerate(cids)],
+                "cid long, ce array<double>",
+            )
+            .agg(F.collect_list(F.struct("cid", "ce")).alias("cl"))
+            .localCheckpoint(eager=True)
+        )
+        assign = _batch_assign_udf(cids, C)
+        assigned = emb.select(
+            "vec_id", "embedding", assign("embedding").alias("cid")
+        )
+    else:
+        carr = _kmeans_centroids(emb)[0].localCheckpoint(eager=True)
+        assigned = (
+            emb.crossJoin(F.broadcast(carr))
+            .select("vec_id", "embedding", F.expr(_KM_BEST).alias("best"))
+            .select("vec_id", "embedding", F.col("best.cid").alias("cid"))
+        )
+    assigned.write.partitionBy("cid").mode("overwrite").parquet(store_path)
+    return carr
+
+
+def ivf_probe_store(
+    spark,
+    store_path: str,
+    carr,
+    q,
+    nprobe: int = IVF_NPROBE,
+    top_k: int = LSH_TOP_K,
+):
+    """Top-k search against a cell-partitioned IVF store: rank cells per
+    query against the broadcast centroid list, collect the probed cell
+    ids (bounded: <= queries x nprobe), and scan ONLY those cells — the
+    literal isin predicate becomes a planning-time PartitionFilter, so
+    unprobed cells' files are never opened. Scoring/ranking are the
+    registered query's exact expressions."""
+    corpus = spark.read.parquet(store_path)
+    qc = q.crossJoin(F.broadcast(carr)).select(
+        "qid", "qe", F.explode(F.expr(_IVF_QCELLS)).alias("dc")
+    )
+    wq = Window.partitionBy("qid").orderBy(F.asc("dc.dist"), F.asc("dc.cid"))
+    probes = (
+        qc.withColumn("crk", F.row_number().over(wq))
+        .filter(F.col("crk") <= nprobe)
+        .select("qid", "qe", F.col("dc.cid").alias("cid"))
+    )
+    cells = [int(r.cid) for r in probes.select("cid").distinct().collect()]
+    cand = (
+        corpus.filter(F.col("cid").isin(cells))
+        .join(F.broadcast(probes), "cid")
+        .filter(F.col("qid") != F.col("vec_id"))
+    )
+    scored = cand.select("qid", "vec_id", F.expr(_DOT).alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= top_k)
+        .select("qid", "vec_id", "cos", "rk")
+    )
+
+
 @query("q_sim_search_ivf", oracle=_ivf_oracle(), tags=("sim",))
 def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search over LEARNED cells: the coarse quantizer is the

@@ -71,6 +71,25 @@ def _stream_src(spark, df, key: str) -> str:
 # and halves state parallelism headroom — r06 re-measurement).
 _STREAM_STATE_PARTITIONS = "4"
 
+# State-store PROVIDER knob (r15, the s_session_append GC postmortem):
+# None keeps Spark's default HDFS-backed ON-HEAP store — right for
+# fixture-scale state, where RocksDB's native open/commit overhead costs
+# +0.3-0.5s per stream (measured sf0.1: s_session_append 1.43 -> 1.8s,
+# s_join_stream 1.37 -> 1.86s). At BIG state it is the other way around,
+# decisively: s_session_append at 100x (3.1 GB on-heap state) runs 55.3s
+# with 40.2s of GC under the default store vs 28.5s with 2.4s GC under
+# RocksDB (off-heap), hash-identical output — the late-suite GC
+# amplification the r13/r14 transients chased disappears with the state
+# off the heap. Production sizes this per stream at deploy time exactly
+# like the partition pin; scale_synth's operating-curve runs set it for
+# the K>=100 arm. Value: "rocksdb" or a full provider class name.
+_STREAM_STATE_PROVIDER: str | None = None
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
 
 class _scoped_state_partitions:
     """Set streaming confs for planning+starting one streaming query,
@@ -107,6 +126,11 @@ class _scoped_state_partitions:
             "spark.sql.shuffle.partitions": _STREAM_STATE_PARTITIONS,
             "spark.sql.streaming.noDataMicroBatches.enabled": "false",
         }
+        if _STREAM_STATE_PROVIDER is not None:
+            prov = _STREAM_STATE_PROVIDER
+            self.confs["spark.sql.streaming.stateStore.providerClass"] = (
+                _ROCKSDB_PROVIDER if prov == "rocksdb" else prov
+            )
         if state_partitions is not None:
             self.confs["spark.sql.shuffle.partitions"] = state_partitions
         if no_data_batches:

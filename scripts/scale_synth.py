@@ -519,14 +519,24 @@ def main() -> None:
         from osmpbf_spark.streaming import windows as W
 
         old = W._STREAM_STATE_PARTITIONS
+        old_prov = W._STREAM_STATE_PROVIDER
         try:
             print(f"  [{q}: baseline state_partitions={old}]", flush=True)
             a = t_of(q, SRC)
+            # deploy sizing for the big-state arm: more state partitions
+            # AND the off-heap RocksDB store (GB-scale on-heap state is
+            # what the r13/r14 late-suite GC transients were — measured
+            # 55.3s/40.2s-GC -> 28.5s/2.4s-GC solo at 100x)
             W._STREAM_STATE_PARTITIONS = "32"
-            print(f"  [{q}: {K}x state_partitions=32]", flush=True)
+            W._STREAM_STATE_PROVIDER = "rocksdb"
+            print(
+                f"  [{q}: {K}x state_partitions=32 provider=rocksdb]",
+                flush=True,
+            )
             b = t_of(q, OUT)
         finally:
             W._STREAM_STATE_PARTITIONS = old
+            W._STREAM_STATE_PROVIDER = old_prov
         return a, b
 
     # streams whose scaled run re-sizes the state-partition pin; at the

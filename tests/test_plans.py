@@ -188,6 +188,45 @@ def test_sim_ivf_broadcasts_probe_list(spark):
     "name",
     sorted(n for n, q in REGISTRY.items() if "stream" not in q.tags),
 )
+def test_no_pre_explode_udf_above_generate(spark, name):
+    """No Python UDF whose inputs exist BEFORE an explode may be planned
+    ABOVE the Generate: Spark extracts projected UDFs into an
+    EvalPython node over Generate's OUTPUT, silently re-evaluating the
+    UDF once per generated row (measured 219.8s vs 6.8s per k-means
+    training round at 200k rows x 64 elements — similarity.py
+    _kmeans_centroids_batch's barrier note; the Python twin of
+    test_no_hof_inside_filter's Generate-inlining class). A UDF that
+    CONSUMES the generated column is legitimate and not flagged."""
+    import re
+
+    p = plan_of(spark, name)
+
+    def indent(line: str) -> int:
+        return len(line) - len(line.lstrip(" *+-("))
+
+    lines = p.splitlines()
+    for i, ln in enumerate(lines):
+        if "EvalPython" not in ln:
+            continue
+        base = indent(ln)
+        for j in range(i + 1, len(lines)):
+            if indent(lines[j]) <= base:
+                break
+            if "Generate" in lines[j]:
+                gen_out = set(re.findall(r"#\d+", lines[j].split("], ")[-1]))
+                udf_args = set(re.findall(r"#\d+", ln))
+                assert udf_args & gen_out, (
+                    f"{name}: Python UDF over pre-explode inputs planned "
+                    f"above Generate — re-evaluated per generated row:\n"
+                    f"  {ln.strip()[:160]}\n  {lines[j].strip()[:160]}"
+                )
+                break
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(n for n, q in REGISTRY.items() if "stream" not in q.tags),
+)
 def test_no_hof_inside_filter(spark, name):
     """No higher-order function (transform/aggregate lambdas — Spark
     evaluates them INTERPRETED, not codegen) may end up inside a Filter

@@ -577,3 +577,39 @@ def test_tumble_append_watermark_tie_boundary(spark, tmp_path):
     ora = con.sql(q.oracle).df()
     con.close()
     assert len(ora) == 1
+
+
+def test_rocksdb_state_store_provider_parity(spark):
+    """The RocksDB state-store knob (r15 — the deploy sizing for
+    GB-scale state, where on-heap state was the measured cause of the
+    late-suite GC transients) must change ONLY where state lives, never
+    the emitted rows: s_session_append re-run under
+    _STREAM_STATE_PROVIDER="rocksdb" returns the exact default-provider
+    result, and the provider conf is restored after the scoped run."""
+    from pyspark.sql import functions as F
+
+    from osmpbf_spark.catalog import REGISTRY
+    from osmpbf_spark.streaming import windows as W
+
+    q = REGISTRY["s_session_append"].fn
+
+    def fingerprint(df):
+        # bit_xor: order-independent, never overflows ANSI long addition
+        return df.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64(*df.columns)).alias("h"),
+        ).collect()[0]
+
+    base = fingerprint(q(spark, SF_DIR))
+    old = W._STREAM_STATE_PROVIDER
+    W._STREAM_STATE_PROVIDER = "rocksdb"
+    try:
+        rock = fingerprint(q(spark, SF_DIR))
+    finally:
+        W._STREAM_STATE_PROVIDER = old
+    assert (base.n, base.h) == (rock.n, rock.h)
+    # scoped conf restored: the next default-provider stream is unaffected
+    assert (
+        "RocksDB"
+        not in spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    )

@@ -663,6 +663,48 @@ def _kmeans_centroids_batch(spark, emb: DataFrame):
     return cids, C
 
 
+# corpus-row threshold above which IVF training/assignment switches to
+# the Arrow-batched path: at n=200k/k=8 the interpreted HOF argmin costs
+# the registered query 42.8s vs ~20s batched (assignment scales with n*k;
+# the per-round centroid collect is a fixed k*DIM cost that only pays off
+# past fixture scale — the r06 negative result at sf0.1 stands, so small
+# corpora keep the lazy single-plan JVM form). Bit-identical either way
+# (test_ivf_batch_assignment_bit_identical_to_hof), so the oracle cannot
+# tell the regimes apart — the DECON_BROADCAST_MAX dispatch pattern.
+IVF_BATCH_MIN_ROWS = 50_000
+
+
+def _ivf_train_assign(spark, emb: DataFrame, batch: bool):
+    """(carr, assigned) under either regime: the broadcastable centroid
+    list and the (vec_id, embedding, cid) corpus assignment. Shared by
+    q_sim_search_ivf and build_ivf_cell_store."""
+    if batch:
+        cids, C = _kmeans_centroids_batch(spark, emb)
+        carr = (
+            spark.createDataFrame(
+                [
+                    (int(c), [float(x) for x in C[i]])
+                    for i, c in enumerate(cids)
+                ],
+                "cid long, ce array<double>",
+            )
+            .agg(F.collect_list(F.struct("cid", "ce")).alias("cl"))
+            .localCheckpoint(eager=True)
+        )
+        assign = _batch_assign_udf(cids, C)
+        assigned = emb.select(
+            "vec_id", "embedding", assign("embedding").alias("cid")
+        )
+    else:
+        carr = _kmeans_centroids(emb)[0]
+        assigned = (
+            emb.crossJoin(F.broadcast(carr))
+            .select("vec_id", "embedding", F.expr(_KM_BEST).alias("best"))
+            .select("vec_id", "embedding", F.col("best.cid").alias("cid"))
+        )
+    return carr, assigned
+
+
 def build_ivf_cell_store(
     spark, sf_dir: str, store_path: str, batch_assign: bool = True
 ):
@@ -680,27 +722,9 @@ def build_ivf_cell_store(
     quantizer per query batch, so the k·DIM-cell frame is materialized
     once (localCheckpoint: tiny, one row)."""
     emb = load(spark, sf_dir, "embeddings")
-    if batch_assign:
-        cids, C = _kmeans_centroids_batch(spark, emb)
-        carr = (
-            spark.createDataFrame(
-                [(int(c), [float(x) for x in C[i]]) for i, c in enumerate(cids)],
-                "cid long, ce array<double>",
-            )
-            .agg(F.collect_list(F.struct("cid", "ce")).alias("cl"))
-            .localCheckpoint(eager=True)
-        )
-        assign = _batch_assign_udf(cids, C)
-        assigned = emb.select(
-            "vec_id", "embedding", assign("embedding").alias("cid")
-        )
-    else:
-        carr = _kmeans_centroids(emb)[0].localCheckpoint(eager=True)
-        assigned = (
-            emb.crossJoin(F.broadcast(carr))
-            .select("vec_id", "embedding", F.expr(_KM_BEST).alias("best"))
-            .select("vec_id", "embedding", F.col("best.cid").alias("cid"))
-        )
+    carr, assigned = _ivf_train_assign(spark, emb, batch=batch_assign)
+    if not batch_assign:
+        carr = carr.localCheckpoint(eager=True)
     assigned.write.partitionBy("cid").mode("overwrite").parquet(store_path)
     return carr
 
@@ -772,11 +796,13 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in test_similarity and measured on the EMBS ladder in
     SURVEY."""
     emb = load(spark, sf_dir, "embeddings")
-    carr, _ = _kmeans_centroids(emb)
-    assigned = (
-        emb.crossJoin(F.broadcast(carr))
-        .select("vec_id", "embedding", F.expr(_KM_BEST).alias("best"))
-        .select("vec_id", "embedding", F.col("best.cid").alias("cid"))
+    # size-dispatched regime (IVF_BATCH_MIN_ROWS): past fixture scale the
+    # interpreted HOF argmin dominates, so training/assignment switch to
+    # the Arrow-batched path — bit-identical by pinned construction, so
+    # the oracle cannot tell the regimes apart (42.8s -> see SURVEY at
+    # 100x; sf0.1 keeps the lazy single-plan JVM form)
+    carr, assigned = _ivf_train_assign(
+        spark, emb, batch=emb.count() >= IVF_BATCH_MIN_ROWS
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")

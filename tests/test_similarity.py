@@ -225,6 +225,22 @@ def test_ivf_batch_assignment_bit_identical_to_hof(spark):
     assert (C_hof == C_b).all(), "batch trainer diverged from HOF trainer"
 
 
+def test_ivf_batch_dispatch_value_parity(spark, monkeypatch):
+    """The size dispatch (IVF_BATCH_MIN_ROWS) must be invisible in the
+    result: forcing the batched regime on the fixture corpus returns
+    exactly the lazy-HOF regime's rows (the DECON_BROADCAST_MAX
+    dispatch-test pattern)."""
+    from osmpbf_spark.catalog import REGISTRY
+    from osmpbf_spark.operators import similarity as S
+
+    fn = REGISTRY["q_sim_search_ivf"].fn
+    key = ["qid", "rk"]
+    hof = fn(spark, SF_DIR).toPandas().sort_values(key).reset_index(drop=True)
+    monkeypatch.setattr(S, "IVF_BATCH_MIN_ROWS", 0)
+    bat = fn(spark, SF_DIR).toPandas().sort_values(key).reset_index(drop=True)
+    assert bat.equals(hof), "dispatch regimes returned different rows"
+
+
 def test_sim_lsh_recall_and_exactness(spark, duck, brute):
     ids, V = brute
     pdf, _ = check_query(spark, duck, SF_DIR, "q_sim_search_lsh")

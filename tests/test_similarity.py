@@ -417,3 +417,62 @@ def test_scalek_prune_block_equivalence(spark, duck, monkeypatch):
 
     monkeypatch.setattr(similarity, "_PRUNE_BLOCK", 3)
     check_query(spark, duck, SF_DIR, "q_dedup_semantic_scalek")
+
+
+def test_chain_l2_batch_property():
+    """Property-check the construction both batched regimes rest on:
+    _chain_l2_batch's per-dimension accumulation equals a scalar
+    left-to-right Python chain (pure f64 IEEE ops — the same sequence
+    the JVM fold and the unrolled SQL execute) EXACTLY, and
+    first-occurrence argmin over ascending cids reproduces the struct
+    min's (dist, cid) tie-break even with duplicate centroids."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from osmpbf_spark.operators.similarity import _chain_l2_batch
+
+    f32 = st.floats(
+        min_value=-4.0, max_value=4.0, width=32, allow_nan=False
+    )
+
+    @settings(max_examples=100, deadline=None)
+    @given(data=st.data())
+    def check(data):
+        n = data.draw(st.integers(1, 5))
+        k = data.draw(st.integers(1, 5))
+        dim = data.draw(st.integers(1, 8))
+        V = np.array(
+            data.draw(
+                st.lists(
+                    st.lists(f32, min_size=dim, max_size=dim),
+                    min_size=n, max_size=n,
+                )
+            ),
+            dtype=np.float32,
+        ).astype(np.float64)
+        C = np.array(
+            data.draw(
+                st.lists(
+                    st.lists(f32, min_size=dim, max_size=dim),
+                    min_size=k, max_size=k,
+                )
+            ),
+            dtype=np.float64,
+        )
+        # force a duplicate-centroid tie half the time
+        if k >= 2 and data.draw(st.booleans()):
+            C[1] = C[0]
+        D = _chain_l2_batch(V, C)
+        for i in range(n):
+            for c in range(k):
+                acc = 0.0
+                for j in range(dim):
+                    d = float(V[i, j]) - float(C[c, j])
+                    acc = acc + d * d
+                assert D[i, c] == acc  # exact, not approx
+            # first-occurrence argmin == struct-min (dist, cid) tie-break
+            want = min(range(k), key=lambda c: (D[i, c], c))
+            assert int(D[i].argmin()) == want
+
+    check()

@@ -449,8 +449,27 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tree pays more in analysis than the collect saves in stages, and it
     costs one action per round besides. AQE off saves ~0.1s (stage
     scheduling), not worth a session-level conf.
+
+    r15 addendum to that negative result: it held AT FIXTURE SCALE.
+    Past IVF_BATCH_MIN_ROWS corpus rows the balance flips — the
+    interpreted HOF argmin scales with n·k while the per-round collect
+    is a fixed k·DIM cost — so the query dispatches to the Arrow-
+    batched trainer there (bit-identical trajectory by the pinned
+    _chain_l2_batch construction; the final round's exploded rows are
+    re-emitted through createDataFrame, exact doubles). Measured solo
+    at 100x: see SURVEY (17).
     """
-    _, cent_e = _kmeans_centroids(load(spark, sf_dir, "embeddings"))
+    emb = load(spark, sf_dir, "embeddings")
+    if emb.count() >= IVF_BATCH_MIN_ROWS:
+        _, _, cent = _kmeans_centroids_batch(spark, emb)
+        return spark.createDataFrame(
+            [
+                (int(r.cid), int(r.pos), float(r.centroid), int(r.n_members))
+                for r in cent
+            ],
+            "cid long, pos int, centroid double, n_members long",
+        )
+    _, cent_e = _kmeans_centroids(emb)
     return cent_e.select("cid", "pos", "centroid", "n_members")
 
 
@@ -613,8 +632,10 @@ def _kmeans_centroids_batch(spark, emb: DataFrame):
     per-round collect costs more than the HOF saves (measured r06), and
     its oracle pins that plan. This form is for quantizer builds at
     large k, where interpreted lambdas dominate (ivf_demo: k=64 train
-    115s -> see SURVEY). Returns (cids, C) — ascending cell ids and
-    their centroid matrix."""
+    115s -> see SURVEY). Returns (cids, C, cent_rows) — ascending cell
+    ids, their centroid matrix, and the final round's exploded
+    (cid, pos, centroid, n_members) rows (q_cluster_kmeans's dispatched
+    regime emits exactly these)."""
     seed = sorted(
         (r.vec_id, [float(x) for x in r.embedding])
         for r in emb.filter(F.col("vec_id") < KMEANS_K)
@@ -648,7 +669,8 @@ def _kmeans_centroids_batch(spark, emb: DataFrame):
             .agg(
                 (F.sum("valq") / (F.count("*") * F.lit(float(_Q30)))).alias(
                     "centroid"
-                )
+                ),
+                F.count("*").alias("n_members"),
             )
             .collect()
         )
@@ -660,7 +682,7 @@ def _kmeans_centroids_batch(spark, emb: DataFrame):
             [[by_cid[c][p] for p in range(1, DIM + 1)] for c in cids],
             dtype=np.float64,
         )
-    return cids, C
+    return cids, C, cent
 
 
 # corpus-row threshold above which IVF training/assignment switches to
@@ -679,7 +701,7 @@ def _ivf_train_assign(spark, emb: DataFrame, batch: bool):
     list and the (vec_id, embedding, cid) corpus assignment. Shared by
     q_sim_search_ivf and build_ivf_cell_store."""
     if batch:
-        cids, C = _kmeans_centroids_batch(spark, emb)
+        cids, C, _ = _kmeans_centroids_batch(spark, emb)
         carr = (
             spark.createDataFrame(
                 [

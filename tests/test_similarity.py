@@ -217,7 +217,7 @@ def test_ivf_batch_assignment_bit_identical_to_hof(spark):
 
     # the batch TRAINER's full trajectory is bit-identical too: same
     # cids, same centroid doubles to the last bit
-    cids_b, C_b = S._kmeans_centroids_batch(spark, emb)
+    cids_b, C_b, _ = S._kmeans_centroids_batch(spark, emb)
     assert [c for c, _ in cl] == cids_b
     import numpy as np
 
@@ -476,3 +476,18 @@ def test_chain_l2_batch_property():
             assert int(D[i].argmin()) == want
 
     check()
+
+
+def test_kmeans_batch_dispatch_value_parity(spark, monkeypatch):
+    """q_cluster_kmeans' size dispatch must be invisible in the result:
+    forcing the batched regime on the fixture corpus returns exactly the
+    lazy-HOF regime's rows (same pattern as the IVF dispatch pin)."""
+    from osmpbf_spark.catalog import REGISTRY
+    from osmpbf_spark.operators import similarity as S
+
+    fn = REGISTRY["q_cluster_kmeans"].fn
+    key = ["cid", "pos"]
+    hof = fn(spark, SF_DIR).toPandas().sort_values(key).reset_index(drop=True)
+    monkeypatch.setattr(S, "IVF_BATCH_MIN_ROWS", 0)
+    bat = fn(spark, SF_DIR).toPandas().sort_values(key).reset_index(drop=True)
+    assert bat.equals(hof), "kmeans dispatch regimes returned different rows"

@@ -751,6 +751,25 @@ def build_ivf_cell_store(
     return carr
 
 
+def ivf_store_upsert(spark, store_path: str, carr, new_df: DataFrame):
+    """Incremental IVF maintenance — the vector twin of the bucketed
+    dedup-history index (dedup.build_history_index): new vectors are
+    assigned with the EXISTING quantizer (no retrain — cell ids stay
+    stable, exactly how production IVF indexes absorb a day's
+    embeddings) and APPENDED into their cells' partitions; unprobed
+    cells' existing files are never rewritten or even listed. Assignment
+    is the Arrow-batched exact path, so an upserted vector lands in the
+    same cell a full rebuild with this quantizer would put it in
+    (pinned in test_similarity). Returns the number of vectors added."""
+    cl = sorted((c.cid, list(c.ce)) for c in carr.collect()[0].cl)
+    assign = _batch_assign_udf([c[0] for c in cl], [c[1] for c in cl])
+    batch = new_df.select(
+        "vec_id", "embedding", assign("embedding").alias("cid")
+    )
+    batch.write.partitionBy("cid").mode("append").parquet(store_path)
+    return batch.count()
+
+
 def ivf_probe_store(
     spark,
     store_path: str,

@@ -491,3 +491,67 @@ def test_kmeans_batch_dispatch_value_parity(spark, monkeypatch):
     monkeypatch.setattr(S, "IVF_BATCH_MIN_ROWS", 0)
     bat = fn(spark, SF_DIR).toPandas().sort_values(key).reset_index(drop=True)
     assert bat.equals(hof), "kmeans dispatch regimes returned different rows"
+
+
+def test_ivf_store_upsert_incremental_maintenance(spark, tmp_path):
+    """Incremental IVF upsert (r15): building a store from 80% of the
+    corpus and upserting the other 20% with the EXISTING quantizer must
+    (a) place every upserted vector in the same cell the batch assigner
+    puts it in, (b) leave prior cells' files untouched (append, never
+    rewrite), and (c) make the upserted vectors probe-visible."""
+    from pyspark.sql import functions as F
+
+    from osmpbf_spark.catalog import load
+    from osmpbf_spark.operators.similarity import (
+        N_QUERIES,
+        build_ivf_cell_store,
+        ivf_probe_store,
+        ivf_store_upsert,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    store = str(tmp_path / "ivf_store")
+
+    # train on the base slice only (the steady-state quantizer)
+    import osmpbf_spark.operators.similarity as S
+
+    orig_load = S.load
+    S.load = lambda sp, sf, name: base  # train/assign over the base slice
+    try:
+        carr = build_ivf_cell_store(spark, SF_DIR, store)
+    finally:
+        S.load = orig_load
+    import glob
+
+    files_before = set(glob.glob(f"{store}/cid=*/*.parquet"))
+    n = ivf_store_upsert(spark, store, carr, delta)
+    assert n == delta.count()
+    # (b) append-only: every pre-upsert file still present and unmodified
+    files_after = set(glob.glob(f"{store}/cid=*/*.parquet"))
+    assert files_before < files_after
+    # (a) same cells as a batch assignment with the same quantizer
+    cl = sorted((c.cid, list(c.ce)) for c in carr.collect()[0].cl)
+    assign = S._batch_assign_udf([c[0] for c in cl], [c[1] for c in cl])
+    want = {
+        (r.vec_id, r.cid)
+        for r in delta.select(
+            "vec_id", assign("embedding").alias("cid")
+        ).collect()
+    }
+    got = {
+        (r.vec_id, r.cid)
+        for r in spark.read.parquet(store)
+        .join(delta.select("vec_id"), "vec_id")
+        .select("vec_id", "cid")
+        .collect()
+    }
+    assert got == want
+    # (c) upserted vectors are probe-visible: total store rows == corpus
+    assert spark.read.parquet(store).count() == emb.count()
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    res = ivf_probe_store(spark, store, carr, q)
+    assert res.count() > 0

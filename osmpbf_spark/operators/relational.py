@@ -908,6 +908,7 @@ def q_sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RANK_DIRS: dict[str, str] = {}
 _RANK_EPOCHS: dict[str, int] = {}
+_RANK_PENDING: set[str] = set()  # epoch dirs whose prune has not yet stuck
 
 
 def _cleanup_rank_dirs() -> None:
@@ -932,6 +933,7 @@ def epoch_out_dir(prefix: str) -> str:
     contract and fails loudly on read (missing files), never returns
     wrong rows. The root is atexit-cleaned. Shared by the rank-write
     queries and operators.compact."""
+    import os
     import shutil
     import tempfile
 
@@ -943,11 +945,18 @@ def epoch_out_dir(prefix: str) -> str:
             atexit.register(_cleanup_rank_dirs)
         root = _RANK_DIRS[prefix] = tempfile.mkdtemp(prefix=prefix)
     epoch = _RANK_EPOCHS[prefix] = _RANK_EPOCHS.get(prefix, -1) + 1
-    # only epoch N-2 can still exist (every earlier epoch was pruned when
-    # ITS successor's successor arrived) — one rmtree, not an O(N) sweep
-    # of long-gone dirs (r14 advice)
+    # only epoch N-2 newly ages out per call (every earlier epoch was
+    # pruned when ITS successor's successor arrived) — but a prune whose
+    # rmtree failed transiently (straggler task holding a file open) must
+    # be RETRIED, not forgotten, or corpus-sized output leaks for the
+    # session (r14 advice sized the sweep to O(1); r15 review kept the
+    # retry). Pending set is bounded by the number of FAILED prunes.
     if epoch >= 2:
-        shutil.rmtree(f"{root}/epoch={epoch - 2}", ignore_errors=True)
+        _RANK_PENDING.add(f"{root}/epoch={epoch - 2}")
+    for stale in list(_RANK_PENDING):
+        shutil.rmtree(stale, ignore_errors=True)
+        if not os.path.exists(stale):
+            _RANK_PENDING.discard(stale)
     return f"{root}/epoch={epoch}"
 
 

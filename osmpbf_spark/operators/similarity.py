@@ -674,6 +674,10 @@ def _kmeans_centroids_batch(spark, emb: DataFrame):
             )
             .collect()
         )
+        # the barrier checkpoint is dead once this round's sums are
+        # collected — release it now rather than leaving KMEANS_ITERS
+        # corpus-sized cached frames to ContextCleaner GC (r15 review)
+        ac.unpersist()
         by_cid: dict[int, dict[int, float]] = {}
         for r in cent:
             by_cid.setdefault(int(r.cid), {})[int(r.pos)] = float(r.centroid)
@@ -718,7 +722,11 @@ def _ivf_train_assign(spark, emb: DataFrame, batch: bool):
             "vec_id", "embedding", assign("embedding").alias("cid")
         )
     else:
-        carr = _kmeans_centroids(emb)[0]
+        # materialize the trajectory once: carr is consumed by BOTH the
+        # assignment broadcast and the caller's probe broadcast, and an
+        # un-checkpointed plan would re-run every Lloyd round per
+        # consumer (r15 review)
+        carr = _kmeans_centroids(emb)[0].localCheckpoint(eager=True)
         assigned = (
             emb.crossJoin(F.broadcast(carr))
             .select("vec_id", "embedding", F.expr(_KM_BEST).alias("best"))
@@ -745,8 +753,6 @@ def build_ivf_cell_store(
     once (localCheckpoint: tiny, one row)."""
     emb = load(spark, sf_dir, "embeddings")
     carr, assigned = _ivf_train_assign(spark, emb, batch=batch_assign)
-    if not batch_assign:
-        carr = carr.localCheckpoint(eager=True)
     assigned.write.partitionBy("cid").mode("overwrite").parquet(store_path)
     return carr
 
@@ -812,12 +818,12 @@ def ivf_probe_store(
 @query("q_sim_search_ivf", oracle=_ivf_oracle(), tags=("sim",))
 def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search over LEARNED cells: the coarse quantizer is the
-    q_cluster_kmeans trajectory itself (k={KMEANS_K} Lloyd-trained
+    q_cluster_kmeans trajectory itself (k=KMEANS_K Lloyd-trained
     centroids via _kmeans_centroids — r15, replacing the `label` column
     that stood in for cells through r14), each corpus vector is assigned
     to its nearest centroid (map-only argmin against the broadcast
     centroid list, exact squared-L2 chains), each query probes its
-    nprobe={IVF_NPROBE} nearest cells, and only those cells' vectors are
+    nprobe=IVF_NPROBE nearest cells, and only those cells' vectors are
     scored with the exact cosine.
 
     Exact oracle despite approximate method: the centroid build is the

@@ -46,32 +46,51 @@ from osmpbf_spark.sources.pbf.decode import (
 from osmpbf_spark.sources.pbf.encode import _file_block, encode_header_block
 
 
-def _index_file(path: str) -> tuple[int, int, dict]:
-    """(data_split, n_data_blocks, header) for one input: the byte offset
-    where the OSMData region starts (end of the OSMHeader file block), the
-    number of OSMData blocks, and the decoded HeaderBlock metadata
-    (required_features / bbox — merge_group refuses on feature mismatch
-    and unions bboxes). One header walk serves the copy boundary, the
-    integrity check, and the header compare. Raises a diagnosable error on
-    a headerless file (corrupt, or a foreign tool's output) instead of a
-    bare StopIteration that PySpark would blur into a generic worker
-    RuntimeError."""
+def _index_file(
+    path: str, index_cache_dir: str | None = None
+) -> tuple[int, int, dict, bool]:
+    """(data_split, n_data_blocks, header, nodes_possible) for one input:
+    the byte offset where the OSMData region starts (end of the OSMHeader
+    file block), the number of OSMData blocks, the decoded HeaderBlock
+    metadata (required/optional features, writingprogram, bbox —
+    merge_group refuses on required-feature mismatch and synthesizes the
+    merged header from these), and whether the file MAY contain nodes
+    (True unless every data block carries indexdata stats proving it
+    node-free — foreign files have no stats and stay True, which makes
+    the bbox-union logic conservative for them). With ``index_cache_dir``
+    set the block walk goes through the planning sidecar, so compacting
+    an already-planned lake re-reads no input headers. Raises a
+    diagnosable error on a headerless file (corrupt, or a foreign tool's
+    output) instead of a bare StopIteration that PySpark would blur into
+    a generic worker RuntimeError."""
     split = None
     n_data = 0
     header: dict | None = None
-    for m in index_blocks(path):
+    nodes_possible = False
+    blocks = (
+        index_blocks_cached(path, index_cache_dir)
+        if index_cache_dir
+        else index_blocks(path)
+    )
+    for m in blocks:
         if m.block_type == "OSMHeader" and split is None:
             split = m.data_offset + m.data_size
             with fs.fs_open(path, "rb") as f:
                 header = decode_header_block(read_block_payload(f, m))
         elif m.block_type == "OSMData":
             n_data += 1
+            if (
+                not m.stats
+                or "kinds" not in m.stats
+                or m.stats["kinds"] & 1
+            ):
+                nodes_possible = True
     if split is None or header is None:
         raise ValueError(
             f"{path}: no OSMHeader block — refusing to transplant from "
             "a file the decoder could not plan"
         )
-    return split, n_data, header
+    return split, n_data, header, nodes_possible
 
 
 def plan_groups(
@@ -98,17 +117,33 @@ def plan_groups(
     return [g for g in groups if g]
 
 
-def _union_bbox(headers: list[dict]) -> dict | None:
-    """Union of the inputs' HeaderBBoxes (nanodegrees), or None when no
-    input declares one. An input WITHOUT a bbox contributes nothing: our
-    writer omits the bbox exactly when a file holds no nodes
-    (encode._blocks_bbox), so the union over declared boxes still covers
-    every coordinate in the merged data."""
-    boxes = [h["bbox"] for h in headers if h.get("bbox")]
-    boxes = [
-        b for b in boxes if all(b.get(k) is not None for k in
-                                ("left", "right", "top", "bottom"))
-    ]
+def _complete_bbox(h: dict) -> dict | None:
+    b = h.get("bbox")
+    if b and all(
+        b.get(k) is not None for k in ("left", "right", "top", "bottom")
+    ):
+        return b
+    return None
+
+
+def _union_bbox(infos: list[tuple]) -> dict | None:
+    """Union of the inputs' HeaderBBoxes (nanodegrees) — or None when the
+    union cannot be proven to cover the merged data. An input without a
+    complete bbox contributes nothing to the union, which is only sound
+    if that input provably holds no nodes: our writer omits the bbox
+    exactly when a file is node-free (encode._blocks_bbox) AND stamps
+    per-block kinds stats that prove it, but a FOREIGN bbox-less file may
+    contain nodes anywhere — declaring a bbox that excludes them would
+    make a bbox-pruning reader skip real data, strictly worse than
+    declaring none (r15 review). So: if any input that MAY contain nodes
+    lacks a complete bbox, the merged header declares no bbox at all."""
+    boxes = []
+    for _p, _split, _n, hdr, nodes_possible in infos:
+        b = _complete_bbox(hdr)
+        if b is not None:
+            boxes.append(b)
+        elif nodes_possible:
+            return None
     if not boxes:
         return None
     return {
@@ -127,13 +162,18 @@ def merge_group(
     whole file resident; a multi-GB input would otherwise hold 2x its
     bytes in the Python worker).
 
-    Header semantics (r14 advice): transplanting the FIRST input's header
-    verbatim silently dropped later inputs' declarations, so the merge
-    now (a) REFUSES when a later input requires a feature the first does
-    not declare — a reader honoring required_features could mishandle the
-    transplanted blocks — and (b) writes a fresh OSMHeader whose bbox is
-    the UNION of the inputs' bboxes, so the merged header still covers
-    all the data. Data blocks remain a pure byte transplant.
+    Header semantics (r14 advice + r15 review): transplanting the FIRST
+    input's header verbatim silently dropped later inputs' declarations,
+    so the merge now (a) REFUSES when a later input requires a feature
+    the first does not declare — a reader honoring required_features
+    could mishandle the transplanted blocks — (b) writes a fresh
+    OSMHeader whose bbox is the UNION of the inputs' bboxes (omitted
+    entirely when a possibly-node-bearing input declares none — see
+    _union_bbox), and (c) PRESERVES the first input's other
+    declarations: optional_features are unioned across inputs (sort-order
+    declarations like Sort.Type_then_ID survive the merge) and the first
+    input's writingprogram carries over verbatim (None stays omitted).
+    Data blocks remain a pure byte transplant.
 
     The merged file is then INDEX-VERIFIED before success is reported:
     its OSMData block count must equal the sum of the inputs' (the
@@ -147,10 +187,10 @@ def merge_group(
     #6). Returns {file, n_inputs, n_blocks, bytes}."""
     import shutil as _sh
 
-    infos = [(p, *_index_file(p)) for p in paths]
+    infos = [(p, *_index_file(p, index_cache_dir)) for p in paths]
     first_hdr = infos[0][3]
     declared = set(first_hdr["required_features"])
-    for p, _split, _n, hdr in infos[1:]:
+    for p, _split, _n, hdr, _np in infos[1:]:
         extra = set(hdr["required_features"]) - declared
         if extra:
             raise ValueError(
@@ -159,11 +199,20 @@ def merge_group(
                 "transplant — a reader honoring required_features could "
                 "mishandle these blocks"
             )
+    # optional_features: first input's order, later inputs' novelties
+    # appended sorted (deterministic regardless of group composition)
+    optional = list(first_hdr["optional_features"])
+    extra_opt = sorted(
+        {o for _p, _s, _n, hdr, _np in infos[1:]
+         for o in hdr["optional_features"]} - set(optional)
+    )
     header_bytes = _file_block(
         "OSMHeader",
         encode_header_block(
             required=first_hdr["required_features"],
-            bbox=_union_bbox([i[3] for i in infos]),
+            writingprogram=first_hdr["writingprogram"],
+            bbox=_union_bbox(infos),
+            optional=optional + extra_opt,
         ),
         True,
     )
@@ -171,7 +220,7 @@ def merge_group(
     expect_blocks = 0
     with open(out_path, "wb") as out:
         out.write(header_bytes)
-        for p, split, n_data, _hdr in infos:
+        for p, split, n_data, _hdr, _np in infos:
             expect_blocks += n_data
             with open(p, "rb") as f:
                 f.seek(split)

@@ -287,9 +287,14 @@ def encode_header_block(
     required=("OsmSchema-V0.6", "DenseNodes"),
     writingprogram="osmpbf_spark",
     bbox: dict | None = None,
+    optional=(),
 ) -> bytes:
     """``bbox`` is {left,right,top,bottom} in nanodegrees -> HeaderBBox
-    (osmformat.proto:57-63, sint64 zigzag). The reference never writes
+    (osmformat.proto:57-63, sint64 zigzag). ``optional`` = the
+    optional_features list (field 5 — sort-order declarations like
+    Sort.Type_then_ID ride here; the compaction merge preserves them).
+    ``writingprogram=None`` omits field 16 entirely (header fidelity for
+    merges of files that never declared one). The reference never writes
     headers (no OutputFormat); field numbers are from the public proto."""
     payload = b""
     if bbox is not None:
@@ -299,7 +304,9 @@ def encode_header_block(
         )
         payload += field_len(1, bb)
     payload += b"".join(field_len(4, r.encode("utf-8")) for r in required)
-    payload += field_len(16, writingprogram.encode("utf-8"))
+    payload += b"".join(field_len(5, o.encode("utf-8")) for o in optional)
+    if writingprogram is not None:
+        payload += field_len(16, writingprogram.encode("utf-8"))
     return payload
 
 

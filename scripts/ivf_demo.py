@@ -136,6 +136,24 @@ def _run(spark, sf_dir: str, cells: int) -> int:
         t_bf = round(min(ts), 2)
         print(f"brute force (full scan): {t_bf}s")
 
+        # driver-side replica of the probe ranking (the exact chain
+        # order), so cells_hit reports the ACTUAL distinct probed cells —
+        # len(queries)*nprobe is only an upper bound when queries share
+        # cells (r15 review)
+        cl = sorted((c.cid, list(c.ce)) for c in carr.collect()[0].cl)
+        cent_ids = np.array([c for c, _ in cl])
+        C = np.array([v for _, v in cl], dtype=np.float64)
+
+        def probed_cells(nprobe: int) -> int:
+            hit = set()
+            for qi in range(len(queries)):
+                acc = np.zeros(len(C))
+                for j in range(C.shape[1]):
+                    acc = acc + (C[:, j] - V[qi, j]) ** 2
+                order = np.lexsort((np.arange(len(C)), acc))[:nprobe]
+                hit.update(int(cent_ids[k]) for k in order)
+            return len(hit)
+
         print(f"{'nprobe':>6} {'wall_s':>7} {'recall@10':>9} "
               f"{'cells_hit':>9} {'vs_brute':>8}")
         for nprobe in (1, 2, 4, 8, 16):
@@ -162,10 +180,9 @@ def _run(spark, sf_dir: str, cells: int) -> int:
                 len(truth[qid] & by_q.get(qid, set())) for qid in queries
             )
             recall = hit / (len(queries) * TOP_K)
-            cells_hit = len(queries) * nprobe
             print(
                 f"{nprobe:>6} {wall:>7} {recall:>9.2f} "
-                f"{min(cells_hit, n_cells_occupied):>9} "
+                f"{probed_cells(nprobe):>9} "
                 f"{round(t_bf / wall, 2):>8}x"
             )
         return 0

@@ -2313,10 +2313,13 @@ def test_pbf_compact_sidecar_handoff(tmp_path, spark, monkeypatch):
         spark, str(lake), str(out), index_cache_dir=cache
     )
     assert stats and all(s["n_blocks"] > 0 for s in stats)
-    # one sidecar per merged output landed at write time
+    # one sidecar per merged output landed at write time — and (r15
+    # review) one per INPUT too: merge_group's input walks also go
+    # through the cache, so compacting an already-planned lake re-reads
+    # no input headers
     import glob as _glob
 
-    assert len(_glob.glob(f"{cache}/pbfidx_*.json")) == len(stats)
+    assert len(_glob.glob(f"{cache}/pbfidx_*.json")) == len(stats) + 6
 
     walks: list[str] = []
     real = decode.index_blocks
@@ -2332,3 +2335,88 @@ def test_pbf_compact_sidecar_handoff(tmp_path, spark, monkeypatch):
         f"walks, got {walks}"
     )
     assert sum(len(p.ranges) for p in parts) > 0
+
+
+def test_pbf_compact_header_fidelity_and_foreign_bbox(tmp_path):
+    """r15 review hardening: (a) the merged header PRESERVES the first
+    input's writingprogram and the UNION of optional_features (sort-order
+    declarations must survive compaction), and (b) a possibly-node-
+    bearing input with no bbox (foreign file: no indexdata stats) forces
+    the merged header to declare NO bbox — an under-covering bbox would
+    make a pruning reader skip real data."""
+    from osmpbf_spark.sources.pbf import decode, encode
+    from osmpbf_spark.sources.pbf.compact import merge_group
+
+    def blk(ids):
+        return {
+            "nodes": {
+                "id": ids,
+                "lat_nano": [i * 10**9 for i in ids],
+                "lon_nano": [i * 10**9 for i in ids],
+                "tags": [None] * len(ids),
+            }
+        }
+
+    a = tmp_path / "a.osm.pbf"
+    encode.write_pbf(str(a), [blk([1])])
+
+    def rewrap(src, header_payload, strip_stats):
+        """Rebuild ``src`` with a custom header; optionally strip the
+        indexdata stats so the file reads as foreign (nodes unprovable)."""
+        idx = decode.index_blocks(str(src))
+        with open(src, "rb") as f:
+            payloads = [
+                decode.read_block_payload(f, m)
+                for m in idx
+                if m.block_type == "OSMData"
+            ]
+        out = encode._file_block("OSMHeader", header_payload, True)
+        for p in payloads:
+            stats = b"" if strip_stats else encode.encode_block_stats({})
+            out += encode._file_block("OSMData", p, True, indexdata=stats)
+        return out
+
+    # (a) optional_features + writingprogram fidelity
+    osm = tmp_path / "osmium.osm.pbf"
+    osm.write_bytes(
+        rewrap(
+            a,
+            encode.encode_header_block(
+                optional=("Sort.Type_then_ID",),
+                writingprogram="osmium/1.8",
+            ),
+            strip_stats=False,
+        )
+    )
+    b = tmp_path / "b.osm.pbf"
+    encode.write_pbf(str(b), [blk([2])])
+    merged = tmp_path / "m1.osm.pbf"
+    merge_group([str(osm), str(b)], str(merged))
+
+    def read_header(path):
+        idx = decode.index_blocks(str(path))
+        m = next(x for x in idx if x.block_type == "OSMHeader")
+        with open(path, "rb") as f:
+            return decode.decode_header_block(decode.read_block_payload(f, m))
+
+    hdr = read_header(merged)
+    assert "Sort.Type_then_ID" in hdr["optional_features"]
+    assert hdr["writingprogram"] == "osmium/1.8"
+
+    # (b) foreign node-bearing bboxless input -> merged header has NO bbox
+    foreign = tmp_path / "foreign.osm.pbf"
+    foreign.write_bytes(
+        rewrap(a, encode.encode_header_block(), strip_stats=True)
+    )
+    merged2 = tmp_path / "m2.osm.pbf"
+    merge_group([str(b), str(foreign)], str(merged2))
+    assert read_header(merged2)["bbox"] is None
+    # while an OUR-WRITER ways-only bboxless file (provably node-free via
+    # stats) keeps the union
+    ways = tmp_path / "ways.osm.pbf"
+    encode.write_pbf(
+        str(ways), [{"ways": [{"id": 9, "refs": [1, 2], "tags": {}}]}]
+    )
+    merged3 = tmp_path / "m3.osm.pbf"
+    merge_group([str(b), str(ways)], str(merged3))
+    assert read_header(merged3)["bbox"] is not None

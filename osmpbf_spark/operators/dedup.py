@@ -30,8 +30,6 @@ below 2^31 so products stay inside uint64.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 
@@ -50,66 +48,54 @@ from osmpbf_spark.catalog import fanout, load, query
 MINHASH_K = 64
 LSH_BANDS = 16
 LSH_ROWS = 4  # K = BANDS * ROWS
-_rng = np.random.RandomState(42)
-# one independent 64-bit seed per MinHash function; mixing is splitmix64
-# (an affine (a*h+b) mod p family with 31-bit coefficients is NOT a valid
-# permutation family here: an element with a small base hash stays small
-# under every function, correlating all K mins and destroying the
-# P(min-equal) = jaccard property)
-_SEEDS = _rng.randint(0, 1 << 62, size=MINHASH_K).astype(np.uint64)
-
-
-def _splitmix64(h: np.ndarray) -> np.ndarray:
-    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return h ^ (h >> np.uint64(31))
+# q_dedup_near's 64 affine permutation coefficients — an independent draw
+# from q_dedup_minhash's 16 (seed 19 vs 17), same 2-universal
+# (a*h + b) mod 2^31-1 family over the md5-prefix base hash. r16: this
+# replaced the splitmix64-over-crc32 mix, which neither DuckDB function
+# set could replicate — the whole reason q_dedup_near carried a
+# rows-only oracle from r02 through r15. The affine family's integer
+# arithmetic is term-for-term SQL-replicable (the q_dedup_minhash
+# recipe), so the production 64-perm/16-band path now sits under the
+# driver's hard hash gate itself instead of borrowing its twin's.
+_near_rng = np.random.RandomState(19)
+NEAR_A = _near_rng.randint(1, 2147483647, size=MINHASH_K).tolist()
+NEAR_B = _near_rng.randint(0, 2147483647, size=MINHASH_K).tolist()
 
 
 def _shingles(text: str) -> set[str]:
+    """Word 3-gram shingle set — the Python spelling of _SHINGLES_EXPR,
+    kept as the tests' all-pairs ground-truth reference."""
     toks = text.lower().split()
     if len(toks) < 3:
         return set(toks) or {""}
     return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
 
 
-def _minhash(text: str) -> np.ndarray:
-    sh = _shingles(text)
-    h = np.fromiter(
-        (zlib.crc32(s.encode()) for s in sh), dtype=np.uint64, count=len(sh)
-    )
-    # (n,1) ^ (k,) -> (n,k) mixed values; min over shingles per function.
-    # uint64 multiply wraps mod 2^64 (intended, splitmix64 semantics).
-    with np.errstate(over="ignore"):
-        vals = _splitmix64(h[:, None] ^ _SEEDS)
-    return vals.min(axis=0).view(np.int64)
+def near_sig_udf():
+    """Arrow-batched 64-permutation MinHash over precomputed base-hash
+    arrays (column ``hs``, the JVM-codegen md5-prefix-mod-M expression
+    _MH_HS_EXPR): one vectorized (shingles x 64) affine pass per batch +
+    a segment-min — numpy does the K-wide arithmetic the interpreted HOF
+    path pays per-lambda for (16 HOF mins measured fine at K=16; at
+    K=64 the UDF is the production shape). Exact twin of the SQL
+    oracle: a*h < 2^31 * (1e9+7) ~ 2.1e18 stays inside int64 on every
+    engine, and min over a set is order-independent."""
+    A = np.asarray(NEAR_A, dtype=np.int64)
+    B = np.asarray(NEAR_B, dtype=np.int64)
 
+    @pandas_udf(ArrayType(LongType()))
+    def near_sig(hs: pd.Series) -> pd.Series:
+        if len(hs) == 0:
+            return pd.Series([], dtype=object)
+        segs = [np.asarray(x, dtype=np.int64) for x in hs]
+        lens = np.array([len(s) for s in segs], dtype=np.int64)
+        flat = np.concatenate(segs)
+        vals = (flat[:, None] * A + B) % MH_P  # (n_shingles, 64)
+        starts = np.zeros(len(lens), dtype=np.int64)
+        starts[1:] = np.cumsum(lens)[:-1]
+        return pd.Series(np.minimum.reduceat(vals, starts, axis=0).tolist())
 
-@pandas_udf(ArrayType(LongType()))
-def minhash_sig(texts: pd.Series) -> pd.Series:
-    return texts.map(_minhash)
-
-
-def _simhash(text: str) -> int:
-    toks = set(text.lower().split())
-    if not toks:
-        return 0
-    lo = np.fromiter((zlib.crc32(t.encode()) for t in toks), dtype=np.uint64)
-    hi = np.fromiter(
-        (zlib.crc32(t[::-1].encode()) for t in toks), dtype=np.uint64
-    )
-    h64 = (hi << np.uint64(32)) | lo
-    bits = (h64[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-    votes = bits.sum(axis=0).astype(np.int64) * 2 - len(toks)
-    out = 0
-    for i in range(64):
-        if votes[i] > 0:
-            out |= 1 << i
-    return out - (1 << 64) if out >= 1 << 63 else out
-
-
-@pandas_udf(LongType())
-def simhash_sig(texts: pd.Series) -> pd.Series:
-    return texts.map(_simhash)
+    return near_sig
 
 
 # shared Spark-side shingle expression (JVM, no UDF): word 3-grams, distinct
@@ -290,56 +276,6 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_near", oracle=None, tags=("dedup", "udf"))
-def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + banded LSH near-dup — the 100 TB path.
-
-    1. signatures: one pandas UDF pass (64 permutations, numpy-vectorized
-       per Arrow batch);
-    2. banding: explode into 16 bands, bucket key = hash of the band's
-       4-long signature slice; self-join per (band, key) bucket. A pair at
-       jaccard 0.9 lands in >=1 shared bucket with p ~= 1 - (1-0.9^4)^16
-       ~ 0.9998; cost is per-bucket, never N^2;
-    3. exact verification of surviving candidates (shingle Jaccard >= 0.7).
-
-    Rows-only oracle by design (LSH is probabilistic); pytest pins recall
-    against all-pairs ground truth at sf0.001.
-
-    The signature frame is localCheckpoint'ed before the self-join:
-    Catalyst cannot recognize the two differently-aliased join sides as
-    one exchange (no ReuseExchange), so without it the scan + pandas-UDF
-    signature pass executes once PER SIDE. Same precedent as
-    q_dedup_clusters; at 100 TB signatures are a persisted table anyway."""
-    d = fanout(load(spark, sf_dir, "documents"))
-    sig = d.select("doc_id", minhash_sig("text").alias("sig")).localCheckpoint(
-        eager=True
-    )
-    bands = sig.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band"),
-        F.col("sig"),
-    ).select(
-        "doc_id",
-        "band",
-        F.hash(F.expr(f"slice(sig, band * {LSH_ROWS} + 1, {LSH_ROWS})")).alias(
-            "bkey"
-        ),
-    )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), "band", "bkey"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), "band", "bkey"
-    )
-    cand = (
-        a.join(b, ["band", "bkey"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    return _jaccard_pairs(cand, d, 0.7)
-
-
 # ---------------------------------------------------------------------------
 # exact-oracle MinHash (JVM arithmetic twin of q_dedup_near's UDF path)
 # ---------------------------------------------------------------------------
@@ -425,7 +361,20 @@ def _mh_band_key_sql(b: int) -> str:
     return f"concat_ws(',', {cols})"
 
 
-_MINHASH_ORACLE = f"""
+def _banded_minhash_oracle(k: int, bands: int, rows: int,
+                           ca: list, cb: list) -> str:
+    """Shared MinHash-LSH oracle template: k affine permutations over the
+    md5-prefix base hash, ``bands`` x ``rows`` banding, UNION'd per-band
+    candidate joins, exact hashed-shingle Jaccard >= 0.7 verification.
+    Instantiated for q_dedup_minhash (16/4x4, coefficients MH_A/MH_B) and
+    q_dedup_near (64/16x4, NEAR_A/NEAR_B — r16, retiring its rows-only
+    oracle)."""
+
+    def band_key(b: int) -> str:
+        cols = ", ".join(f"s{j}" for j in range(b * rows, (b + 1) * rows))
+        return f"concat_ws(',', {cols})"
+
+    return f"""
 WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
            FROM documents),
 s AS (SELECT doc_id, {_MH_SH_SQL} AS sh FROM d),
@@ -433,19 +382,18 @@ ex AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
 hv AS (SELECT doc_id, {_MH_HASH_SQL} AS h FROM ex),
 sig AS (SELECT doc_id,
                {", ".join(
-                   f"MIN(({MH_A[j]} * h + {MH_B[j]}) % {MH_P}) AS s{j}"
-                   for j in range(MH_K)
+                   f"MIN(({ca[j]} * h + {cb[j]}) % {MH_P}) AS s{j}"
+                   for j in range(k)
                )}
         FROM hv GROUP BY doc_id),
 bk AS (SELECT doc_id,
-              {", ".join(f"{_mh_band_key_sql(b)} AS k{b}"
-                         for b in range(MH_BANDS))}
+              {", ".join(f"{band_key(b)} AS k{b}" for b in range(bands))}
        FROM sig),
 cand AS (
   {" UNION ".join(
       f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bk a JOIN bk b"
       f" ON a.k{b} = b.k{b} AND a.doc_id < b.doc_id"
-      for b in range(MH_BANDS)
+      for b in range(bands)
   )}
 )
 , hsh AS (
@@ -467,6 +415,75 @@ SELECT doc_a, doc_b, jaccard FROM (
             JOIN hsh y ON y.doc_id = cand.doc_b)
 WHERE jraw >= 0.7
 """
+
+
+_MINHASH_ORACLE = _banded_minhash_oracle(MH_K, MH_BANDS, MH_ROWS, MH_A, MH_B)
+_NEAR_ORACLE = _banded_minhash_oracle(
+    MINHASH_K, LSH_BANDS, LSH_ROWS, NEAR_A, NEAR_B
+)
+
+
+@query("q_dedup_near", oracle=_NEAR_ORACLE, tags=("dedup", "udf"))
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup — the 100 TB path, under a full
+    value oracle since r16 (verdict r15 Next #4: this carried a
+    rows-only `no_oracle` from r02 because its splitmix64-over-crc32 mix
+    had no DuckDB spelling; the permutation family is now the same
+    2-universal affine recipe its exact twin q_dedup_minhash pinned —
+    64 independent coefficients, md5-prefix base hash — so every
+    signature, band key, candidate, and verified Jaccard hash-matches).
+
+    1. base hashes: JVM codegen (_MH_HS_EXPR — one md5 per distinct
+       shingle, whole-stage);
+    2. signatures: ONE Arrow-batched pandas UDF pass computing all 64
+       affine mins as a vectorized (shingles x 64) numpy segment-min —
+       the production shape at K=64, where 64 interpreted HOF
+       array_min lambdas per row would dominate (the twin keeps the
+       HOF form at its K=16, where they don't);
+    3. banding: 16 bands x 4 rows; band key = comma-joined signature
+       slice; bucket-aggregate pair expansion (ONE exchange builds the
+       (band, key) buckets; pairs expand in-bucket — sum of bucket
+       sizes squared, never N^2). A pair at jaccard 0.9 lands in >=1
+       shared bucket with p ~= 1 - (1-0.9^4)^16 ~ 0.9998;
+    4. exact verification of surviving candidates (hashed-shingle
+       Jaccard >= 0.7, the _jaccard_pairs recipe).
+
+    Scale shape: signing is map-only (zero shuffles before banding);
+    the bucket aggregation shuffles 16 short string keys per doc;
+    verification joins shuffle only candidates. At 100 TB signatures
+    are a persisted table (build_minhash_index) and this query's
+    banding reads it instead of re-signing."""
+    d = fanout(load(spark, sf_dir, "documents"))
+    # null-text rows would sign as all-NULL and collide on one band key;
+    # the oracle's unnest drops them — mirror that here (the
+    # q_dedup_minhash precedent).
+    sig = (
+        d.filter(F.col("text").isNotNull())
+        .withColumn("w", F.split(F.lower("text"), " "))
+        .withColumn("hs", F.expr(_MH_HS_EXPR))
+        .select("doc_id", near_sig_udf()("hs").alias("sig"))
+    )
+    keys = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {LSH_BANDS - 1}), b -> "
+                f"array_join(transform(slice(sig, b * {LSH_ROWS} + 1, "
+                f"{LSH_ROWS}), x -> cast(x AS string)), ','))"
+            )
+        ).alias("band", "k"),
+    )
+    buckets = keys.groupBy("band", "k").agg(
+        F.collect_set("doc_id").alias("ids")
+    )
+    cand = (
+        buckets.filter(F.size("ids") > 1)
+        .select("ids", F.explode("ids").alias("doc_a"))
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+    return _jaccard_pairs(cand, d, 0.7)
 
 
 @query("q_dedup_minhash", oracle=_MINHASH_ORACLE, tags=("dedup",))
@@ -1003,18 +1020,136 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
-@query("q_dedup_simhash", oracle=None, tags=("dedup", "udf"))
+# q_dedup_simhash's 64-bit signature recipe (r16, replacing the
+# crc32/reversed-crc32 mix that kept it rows-only from r02): per-token
+# hash = two disjoint 60-bit md5-prefix integers (hex chars 1-15 and
+# 16-30 of one digest — one md5 per token, both engines); bit b of the
+# signature votes on bit b of h1 (b < 32) or bit b-32 of h2. Bit 63
+# makes the signature negative in two's complement — both engines store
+# BIGINT, and the chunk keys/hamming mask or xor the raw bit pattern,
+# so sign never leaks into semantics.
+SH64_BITS = 64
+SH64_HALF = 32
+SH64_CHUNKS = 4  # 4 x 16-bit chunks; pigeonhole: hamming<=3 -> equal chunk
+SH64_CHUNK_W = 16
+SH64_HAMMING = 3
+
+
+def simhash64_udf():
+    """Arrow-batched 64-bit SimHash: one md5 per distinct token, numpy
+    vote matrix per doc. Exact twin of the SQL oracle below — integer
+    bit tests and sign votes only, no float anywhere."""
+    import hashlib as _hl
+
+    from pyspark.sql.types import LongType as _Long
+
+    shifts1 = np.arange(SH64_HALF, dtype=np.int64)
+    shifts2 = np.arange(SH64_HALF, dtype=np.int64)
+
+    def one(text: str) -> int:
+        # DuckDB token set: list_distinct(string_split(lower(text), ' '))
+        toks = list(dict.fromkeys(text.lower().split(" ")))
+        digs = [_hl.md5(t.encode("utf-8")).hexdigest() for t in toks]
+        h1 = np.array([int(d[:15], 16) for d in digs], dtype=np.int64)
+        h2 = np.array([int(d[15:30], 16) for d in digs], dtype=np.int64)
+        bits = np.concatenate(
+            [
+                (h1[:, None] >> shifts1) & 1,
+                (h2[:, None] >> shifts2) & 1,
+            ],
+            axis=1,
+        )
+        votes = bits.sum(axis=0) * 2 - len(toks)
+        out = 0
+        for b in range(SH64_BITS):
+            if votes[b] > 0:
+                out |= 1 << b
+        return out - (1 << 64) if out >= 1 << 63 else out
+
+    @pandas_udf(_Long())
+    def simhash64(texts: pd.Series) -> pd.Series:
+        return texts.map(one)
+
+    return simhash64
+
+
+def _sh64_bit_sql(b: int) -> str:
+    return (
+        f"(h1 >> {b}) & 1"
+        if b < SH64_HALF
+        else f"(h2 >> {b - SH64_HALF}) & 1"
+    )
+
+
+def _sh64_bit_const(b: int) -> str:
+    # bit 63's weight does not fit positive BIGINT: spell it as the
+    # overflow-free two's-complement minimum
+    if b == 63:
+        return "(-9223372036854775807 - 1)"
+    return f"CAST({1 << b} AS BIGINT)"
+
+
+_SIMHASH64_ORACLE = f"""
+WITH d AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+           FROM documents),
+ex AS (SELECT doc_id, unnest(toks) AS token FROM d),
+hv AS (SELECT doc_id,
+              ('0x' || substr(md5(token), 1, 15))::BIGINT AS h1,
+              ('0x' || substr(md5(token), 16, 15))::BIGINT AS h2
+       FROM ex),
+v AS (SELECT doc_id,
+             {", ".join(
+                 f"CAST(SUM(CASE WHEN {_sh64_bit_sql(b)} = 1 THEN 1 ELSE -1 END)"
+                 f" AS BIGINT) AS v{b}"
+                 for b in range(SH64_BITS)
+             )}
+      FROM hv GROUP BY doc_id),
+sig AS (SELECT doc_id,
+               {" + ".join(
+                   f"(CASE WHEN v{b} > 0 THEN {_sh64_bit_const(b)}"
+                   f" ELSE 0 END)"
+                   for b in range(SH64_BITS)
+               )} AS sim
+        FROM v),
+cand AS (
+  {" UNION ".join(
+      f"SELECT a.doc_id AS doc_a, a.sim AS sim_a,"
+      f" b.doc_id AS doc_b, b.sim AS sim_b FROM sig a JOIN sig b"
+      f" ON ((a.sim >> {k * SH64_CHUNK_W}) & {(1 << SH64_CHUNK_W) - 1})"
+      f"  = ((b.sim >> {k * SH64_CHUNK_W}) & {(1 << SH64_CHUNK_W) - 1})"
+      f" AND a.doc_id < b.doc_id"
+      for k in range(SH64_CHUNKS)
+  )}
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= {SH64_HAMMING}
+"""
+
+
+@query("q_dedup_simhash", oracle=_SIMHASH64_ORACLE, tags=("dedup", "udf"))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit signature, blocked on 4 x 16-bit chunks
     (pigeonhole: hamming <= 3 implies at least one identical chunk), then
     hamming = bit_count(xor) <= 3 JVM-side. Output pairs + hamming.
 
+    Full value oracle since r16 (verdict r15 Next #4): the signature is
+    the exact twin q_dedup_simhash_exact's hashed-integer recipe widened
+    to 64 bits (md5-prefix token hashes, sign votes, chunk blocking —
+    every step integer arithmetic both engines run identically), but
+    computed as ONE Arrow-batched UDF pass per doc instead of the twin's
+    token explode + 48-column vote aggregation. That is the production
+    trade at scale: the UDF signs map-only with no (doc, token) shuffle;
+    the twin keeps the all-JVM plan that pins the blocking semantics.
+
     Signatures are localCheckpoint'ed before the self-join — without it
     the differently-aliased sides re-run the scan + signature UDF (the
     plan showed FOUR ArrowEvalPython nodes; 1.65s -> 1.0s at sf0.1)."""
     d = fanout(load(spark, sf_dir, "documents"))
-    sig = d.select("doc_id", simhash_sig("text").alias("simhash")).localCheckpoint(
-        eager=True
+    sig = (
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", simhash64_udf()("text").alias("simhash"))
+        .localCheckpoint(eager=True)
     )
     chunks = sig.select(
         "doc_id",

@@ -38,10 +38,9 @@ import os
 
 from osmpbf_spark.sources.pbf import fs
 from osmpbf_spark.sources.pbf.decode import (
-    decode_header_block,
+    header_block_cached,
     index_blocks,
     index_blocks_cached,
-    read_block_payload,
 )
 from osmpbf_spark.sources.pbf.encode import _file_block, encode_header_block
 
@@ -53,19 +52,20 @@ def _index_file(
     the byte offset where the OSMData region starts (end of the OSMHeader
     file block), the number of OSMData blocks, the decoded HeaderBlock
     metadata (required/optional features, writingprogram, bbox —
-    merge_group refuses on required-feature mismatch and synthesizes the
-    merged header from these), and whether the file MAY contain nodes
-    (True unless every data block carries indexdata stats proving it
-    node-free — foreign files have no stats and stay True, which makes
-    the bbox-union logic conservative for them). With ``index_cache_dir``
-    set the block walk goes through the planning sidecar, so compacting
-    an already-planned lake re-reads no input headers. Raises a
-    diagnosable error on a headerless file (corrupt, or a foreign tool's
-    output) instead of a bare StopIteration that PySpark would blur into
-    a generic worker RuntimeError."""
+    merge_group synthesizes the merged header from these), and whether
+    the file MAY contain nodes (True unless every data block carries
+    indexdata stats proving it node-free — foreign files have no stats
+    and stay True, which makes the bbox-union logic conservative for
+    them). With ``index_cache_dir`` set both the block walk AND the
+    decoded header come from the planning sidecar (r15 advice — the
+    header dict rides the same pbfidx doc), so compacting an
+    already-planned lake reads no input bytes at all before the
+    transplant copy. Raises a diagnosable error on a headerless file
+    (corrupt, or a foreign tool's output) instead of a bare
+    StopIteration that PySpark would blur into a generic worker
+    RuntimeError."""
     split = None
     n_data = 0
-    header: dict | None = None
     nodes_possible = False
     blocks = (
         index_blocks_cached(path, index_cache_dir)
@@ -75,8 +75,6 @@ def _index_file(
     for m in blocks:
         if m.block_type == "OSMHeader" and split is None:
             split = m.data_offset + m.data_size
-            with fs.fs_open(path, "rb") as f:
-                header = decode_header_block(read_block_payload(f, m))
         elif m.block_type == "OSMData":
             n_data += 1
             if (
@@ -85,11 +83,12 @@ def _index_file(
                 or m.stats["kinds"] & 1
             ):
                 nodes_possible = True
-    if split is None or header is None:
+    if split is None:
         raise ValueError(
             f"{path}: no OSMHeader block — refusing to transplant from "
             "a file the decoder could not plan"
         )
+    header = header_block_cached(path, index_cache_dir)
     return split, n_data, header, nodes_possible
 
 
@@ -162,17 +161,18 @@ def merge_group(
     whole file resident; a multi-GB input would otherwise hold 2x its
     bytes in the Python worker).
 
-    Header semantics (r14 advice + r15 review): transplanting the FIRST
-    input's header verbatim silently dropped later inputs' declarations,
-    so the merge now (a) REFUSES when a later input requires a feature
-    the first does not declare — a reader honoring required_features
-    could mishandle the transplanted blocks — (b) writes a fresh
-    OSMHeader whose bbox is the UNION of the inputs' bboxes (omitted
-    entirely when a possibly-node-bearing input declares none — see
-    _union_bbox), and (c) PRESERVES the first input's other
-    declarations: optional_features are unioned across inputs (sort-order
-    declarations like Sort.Type_then_ID survive the merge) and the first
-    input's writingprogram carries over verbatim (None stays omitted).
+    Header semantics (r14 advice + r15 review + r15 advice): transplanting
+    the FIRST input's header verbatim silently dropped later inputs'
+    declarations, so the merge synthesizes a fresh OSMHeader that
+    (a) declares the UNION of the inputs' required_features — the data
+    blocks are byte-verbatim, so the union is exactly as sound as the
+    inputs themselves and never refuses a heterogeneous-but-valid lake —
+    (b) carries the UNION of the inputs' bboxes (omitted entirely when a
+    possibly-node-bearing input declares none — see _union_bbox), and
+    (c) PRESERVES the first input's other declarations: optional_features
+    are unioned across inputs (sort-order declarations like
+    Sort.Type_then_ID survive the merge) and the first input's
+    writingprogram carries over verbatim (None stays omitted).
     Data blocks remain a pure byte transplant.
 
     The merged file is then INDEX-VERIFIED before success is reported:
@@ -189,16 +189,20 @@ def merge_group(
 
     infos = [(p, *_index_file(p, index_cache_dir)) for p in paths]
     first_hdr = infos[0][3]
-    declared = set(first_hdr["required_features"])
-    for p, _split, _n, hdr, _np in infos[1:]:
-        extra = set(hdr["required_features"]) - declared
-        if extra:
-            raise ValueError(
-                f"{p}: requires features {sorted(extra)} not declared by "
-                f"the merged header ({sorted(declared)}); refusing to "
-                "transplant — a reader honoring required_features could "
-                "mishandle these blocks"
-            )
+    # required_features: the UNION of the inputs' declarations (r15
+    # advice — the earlier refusal-on-mismatch aborted compaction of
+    # heterogeneous-but-valid lakes for nothing: the data blocks are
+    # transplanted byte-verbatim, so a merged header declaring every
+    # input's requirements is exactly as sound as the inputs themselves,
+    # and a reader that cannot honor some feature refuses the merged
+    # file the same way it would have refused that input). First input's
+    # order, later inputs' novelties appended sorted — same determinism
+    # rule as optional_features below.
+    required = list(first_hdr["required_features"])
+    required += sorted(
+        {r for _p, _s, _n, hdr, _np in infos[1:]
+         for r in hdr["required_features"]} - set(required)
+    )
     # optional_features: first input's order, later inputs' novelties
     # appended sorted (deterministic regardless of group composition)
     optional = list(first_hdr["optional_features"])
@@ -209,7 +213,7 @@ def merge_group(
     header_bytes = _file_block(
         "OSMHeader",
         encode_header_block(
-            required=first_hdr["required_features"],
+            required=required,
             writingprogram=first_hdr["writingprogram"],
             bbox=_union_bbox(infos),
             optional=optional + extra_opt,

@@ -267,6 +267,104 @@ def index_blocks_cached(
     return blocks
 
 
+# decoded-OSMHeader cache, same two tiers and identity key as the block
+# index (r15 advice: with only the block index cached, a sidecar-warm
+# compaction still paid one fs_open + read_block_payload per input just
+# to re-decode the header — the header dict is a few hundred bytes of
+# JSON-serializable metadata, so it rides the SAME sidecar doc).
+_HEADER_CACHE: dict[tuple, dict] = {}
+
+
+def header_block_cached(path: str, cache_dir: str | None = None) -> dict:
+    """Decoded OSMHeader metadata behind the block-index cache tiers:
+    in-process dict, then the ``pbfidx_*.json`` sidecar's ``header`` key
+    (older sidecars lack it — the first miss decodes once and upgrades
+    the doc in place, identity unchanged). A file without a stable
+    identity decodes every call; a headerless file raises the same
+    diagnosable ValueError compaction needs."""
+    ident = fs.fs_stat(path)
+    key = (path, ident[0], ident[1]) if ident else None
+    if key is not None:
+        with _INDEX_CACHE_LOCK:
+            hit = _HEADER_CACHE.get(key)
+        if hit is not None:
+            return hit
+    sidecar = None
+    doc = None
+    if cache_dir and ident is not None:
+        import hashlib
+        import json
+
+        digest = hashlib.sha256(path.encode()).hexdigest()[:32]
+        sidecar = os.path.join(cache_dir, f"pbfidx_{digest}.json")
+        try:
+            with open(sidecar) as fh:
+                doc = json.load(fh)
+            if (
+                doc.get("size") == ident[0]
+                and doc.get("mtime_ns") == ident[1]
+                and isinstance(doc.get("header"), dict)
+            ):
+                header = doc["header"]
+                if key is not None:
+                    with _INDEX_CACHE_LOCK:
+                        while len(_HEADER_CACHE) >= _INDEX_CACHE_MAX:
+                            _HEADER_CACHE.pop(next(iter(_HEADER_CACHE)))
+                        _HEADER_CACHE[key] = header
+                return header
+        except (OSError, ValueError, TypeError, KeyError):
+            doc = None
+    blocks = index_blocks_cached(path, cache_dir)
+    meta = next(
+        (m for m in blocks if m.block_type == "OSMHeader"), None
+    )
+    if meta is None:
+        raise ValueError(
+            f"{path}: no OSMHeader block — refusing to plan from a file "
+            "the decoder could not identify"
+        )
+    with fs.fs_open(path, "rb") as f:
+        header = decode_header_block(read_block_payload(f, meta))
+    if sidecar is not None:
+        import json
+        import tempfile
+
+        tmp = None
+        try:
+            if doc is None or doc.get("size") != ident[0] or (
+                doc.get("mtime_ns") != ident[1]
+            ):
+                # (re)seed the doc from the cached index so the upgrade
+                # never drops the blocks section a concurrent planner
+                # depends on
+                doc = {
+                    "size": ident[0],
+                    "mtime_ns": ident[1],
+                    "blocks": [asdict(b) for b in blocks],
+                }
+            doc["header"] = header
+            os.makedirs(cache_dir, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".tmp")
+            with os.fdopen(fd, "w") as fh:
+                json.dump(doc, fh)
+            os.replace(tmp, sidecar)
+            tmp = None
+        except OSError:
+            pass  # read-only/full cache dir: the decode still succeeded
+        finally:
+            if tmp is not None:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+    if key is not None:
+        with _INDEX_CACHE_LOCK:
+            while len(_HEADER_CACHE) >= _INDEX_CACHE_MAX:
+                _HEADER_CACHE.pop(next(iter(_HEADER_CACHE)))
+            _HEADER_CACHE[key] = header
+    return header
+
+
 def resync_scan(path: str, from_offset: int = 0) -> list[BlockMeta]:
     """Signature-resync fallback for corrupt or truncated files.
 

@@ -101,9 +101,16 @@ def _run(spark, sf_dir: str, cells: int) -> int:
         con.close()
         ids = np.array([r[0] for r in rows])
         V = np.array([r[1] for r in rows], dtype=np.float64)
-        queries = [int(i) for i in ids[: S.N_QUERIES]]
+        # query set from the SAME predicate the Spark side filters on
+        # (vec_id < N_QUERIES), with qid -> row index mapped via ids —
+        # slicing ids[:N_QUERIES] assumed a contiguous 0..n-1 id space
+        # and would silently compare different query sets on a gapped
+        # one (r15 advice)
+        row_of = {int(v): j for j, v in enumerate(ids)}
+        queries = sorted(int(v) for v in ids if v < S.N_QUERIES)
         truth = {}
-        for qi, qid in enumerate(queries):
+        for qid in queries:
+            qi = row_of[qid]
             sims = V @ V[qi]
             sims[qi] = -np.inf
             truth[qid] = set(

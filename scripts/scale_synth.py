@@ -617,6 +617,12 @@ def main() -> None:
     # heap / state counters saying why); if it is the query itself, both
     # spike and the hypothesis dies
     work = [(q, q) for q in names]
+    # r15 verdict Next #7: the early/late stateful dup rows are PART OF
+    # the standard K>=100 evidence (flat-regime re-confirmation: late
+    # <= 1.2x early under the RocksDB operating-curve arm), so the full
+    # DEFAULT_SET run carries them by default at that scale
+    if K >= 100 and not args:
+        ns.dup_stateful = True
     if ns.dup_stateful:
         for q in ("s_session_append", "s_dedup_append"):
             if q in names:

@@ -325,16 +325,20 @@ def test_join_5way_broadcasts_dims(spark):
 
 
 def test_kmeans_assignment_is_map_only(spark):
-    """k-means assignment must stay the broadcast-centroid-list array_min
-    expression: no per-vector argmin window (which would shuffle the whole
-    corpus k-times-expanded) and exactly one BroadcastNestedLoopJoin per
-    Lloyd iteration carrying the single centroid-list row."""
-    from osmpbf_spark.operators.similarity import KMEANS_ITERS
-
+    """k-means assignment must stay a map-only argmin over the centroid
+    list: no per-vector argmin window (which would shuffle the whole
+    corpus k-times-expanded), no join of any kind, and exactly ONE
+    exchange — the k·DIM-cell update aggregation. r16: the returned
+    plan is the FINAL Lloyd round over literal centroids (earlier
+    rounds ran as their own bounded-collect jobs), so the former
+    one-BroadcastNestedLoopJoin-per-iteration shape tightened to
+    zero joins."""
     p = plan_of(spark, "q_cluster_kmeans")
     assert "Window" not in p
-    assert p.count("BroadcastNestedLoopJoin") == KMEANS_ITERS
-    assert "CartesianProduct" not in p
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+    # the literal-centroid argmin is present as the map-side expression
+    assert "array_min(transform(" in p
 
 
 def test_bucketed_join_eliminates_exchange(spark, tmp_path):

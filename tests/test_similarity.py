@@ -555,3 +555,198 @@ def test_ivf_store_upsert_incremental_maintenance(spark, tmp_path):
     )
     res = ivf_probe_store(spark, store, carr, q)
     assert res.count() > 0
+
+
+def test_size_dispatch_probe_reads_no_data(spark, monkeypatch):
+    """r15 verdict Next #2 pin: the IVF_BATCH_MIN_ROWS regime probe must
+    be planning-time metadata only — parquet footer row counts, never a
+    Spark job over the corpus. Poisoning DataFrame.count() proves the
+    dispatch path never counts; a second table_row_count call must hit
+    the (path, size, mtime_ns) cache without re-opening the footer."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import DataFrame
+
+    import osmpbf_spark.catalog as C
+    import osmpbf_spark.operators.similarity as S
+
+    n_direct = pq.ParquetFile(f"{SF_DIR}/embeddings.parquet").metadata.num_rows
+    assert C.table_row_count(SF_DIR, "embeddings") == n_direct
+
+    # footer cache: a second call must not re-open the file
+    opened = []
+    real_pf = pq.ParquetFile
+
+    def counting_pf(*a, **kw):
+        opened.append(a[0] if a else kw)
+        return real_pf(*a, **kw)
+
+    monkeypatch.setattr(pq, "ParquetFile", counting_pf)
+    assert C.table_row_count(SF_DIR, "embeddings") == n_direct
+    assert opened == [], "cached row count re-opened the parquet footer"
+
+    # dispatch-time: constructing both size-dispatched queries must never
+    # run a corpus count() — the r15 form paid a full pass per invocation
+    def no_count(self, *a, **kw):
+        raise AssertionError(
+            "dispatch ran DataFrame.count() — regime choice must come "
+            "from footer metadata (table_row_count), not a corpus pass"
+        )
+
+    monkeypatch.setattr(DataFrame, "count", no_count)
+    df_km = S.q_cluster_kmeans(spark, SF_DIR)
+    df_ivf = S.q_sim_search_ivf(spark, SF_DIR)
+    monkeypatch.undo()
+    # the plans still execute correctly after un-poisoning
+    assert df_km.count() > 0 and df_ivf.count() > 0
+
+
+def test_ivf_probe_query_matches_train_inline_and_skips_retrain(
+    spark, duck, monkeypatch
+):
+    """r15 verdict Next #1: q_sim_search_ivf_probe is the production
+    (build-once / probe-many) registration of the IVF engine. Pins:
+    (a) its result is row-for-row the train-inline query's (same
+    trajectory, parquet-roundtripped centroids are exact doubles);
+    (b) after the store exists, a second invocation never retrains —
+    _ivf_train_assign poisoned;
+    (c) oracle parity holds (the driver's hash gate shape)."""
+    import shutil
+
+    import osmpbf_spark.operators.similarity as S
+
+    shutil.rmtree(S._ivf_store_base(SF_DIR), ignore_errors=True)
+    pdf, _ = check_query(spark, duck, SF_DIR, "q_sim_search_ivf_probe")
+    assert len(pdf) > 0
+
+    inline = (
+        all_queries()["q_sim_search_ivf"](spark, SF_DIR)
+        .toPandas()
+        .sort_values(["qid", "rk"])
+        .reset_index(drop=True)
+    )
+    probe = pdf.sort_values(["qid", "rk"]).reset_index(drop=True)
+    assert probe[["qid", "vec_id", "rk"]].equals(
+        inline[["qid", "vec_id", "rk"]]
+    )
+    assert (probe["cos"] - inline["cos"]).abs().max() == 0.0
+
+    def no_retrain(*a, **kw):
+        raise AssertionError(
+            "store exists — probe invocation must not retrain"
+        )
+
+    monkeypatch.setattr(S, "_ivf_train_assign", no_retrain)
+    again = S.q_sim_search_ivf_probe(spark, SF_DIR)
+    assert again.count() == len(pdf)
+
+
+def test_kmeans_one_job_per_round_bit_identical_to_reference(spark):
+    """r16 stage-floor restructure pin: the one-job-per-round trainer
+    (_kmeans_rounds — literal-centroid assignment, bounded k·DIM
+    per-round collects) reproduces the zero-driver-state reference plan
+    (_kmeans_centroids) bit-for-bit: same cells, same exact centroid
+    doubles, same member counts."""
+    import osmpbf_spark.operators.similarity as S
+    from osmpbf_spark.catalog import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    ref = {
+        (int(r.cid), int(r.pos)): (r.centroid, int(r.n_members))
+        for r in S._kmeans_centroids(emb)[1].collect()
+    }
+    got = {
+        (int(r.cid), int(r.pos)): (r.centroid, int(r.n_members))
+        for r in S._kmeans_rounds(spark, emb)[1].collect()
+    }
+    assert ref == got  # exact equality: floats must be bit-identical
+
+    # and the final-centroid list consumed by the IVF quantizer matches
+    cents = dict(S._kmeans_cents_final(spark, emb))
+    by = {}
+    for (c, p), (ce, _n) in ref.items():
+        by.setdefault(c, {})[p] = ce
+    for c, vec in cents.items():
+        assert vec == [by[c][p] for p in range(1, S.DIM + 1)]
+
+
+def test_np_round_half_up_matches_spark_round(spark):
+    """_np_round_half_up is the batch trainer's quantizer and must equal
+    F.round(double) on every value the domain can produce — including
+    exact .5 ties (HALF_UP away from zero; np.round's half-to-even would
+    differ), sign symmetry, and subnormal-fraction cases. Checked on the
+    full fixture corpus' quantized values plus adversarial literals."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from osmpbf_spark.catalog import load
+    from osmpbf_spark.operators import similarity as S
+
+    adversarial = np.array(
+        [0.5, -0.5, 1.5, -1.5, 2.5, -2.5, 0.49999999999999994,
+         -0.49999999999999994, 1073741824.5, -1073741824.5,
+         3.4999999999999996, 0.0, -0.0, 123456789.5]
+    )
+    rng = np.random.RandomState(5)
+    vals = np.concatenate(
+        [adversarial, rng.uniform(-1, 1, 2000) * S._Q30,
+         rng.uniform(-2**31, 2**31, 2000)]
+    )
+    got = S._np_round_half_up(vals)
+    sdf = spark.createDataFrame(
+        [(float(v),) for v in vals], "v double"
+    ).select(F.round("v").cast("bigint").alias("r"))
+    want = np.array([r.r for r in sdf.collect()], dtype=np.int64)
+    bad = np.nonzero(got != want)[0]
+    assert len(bad) == 0, (
+        f"{len(bad)} mismatches, first: v={vals[bad[0]]!r} "
+        f"np={got[bad[0]]} spark={want[bad[0]]}"
+    )
+
+
+def test_dot_batch_udf_bit_identical_to_fold(spark):
+    """The batch-regime scorer (_dot_batch_udf) must reproduce the _DOT
+    HOF fold bit-for-bit on the full fixture corpus — same 0.0 start,
+    same left-to-right per-dimension accumulation."""
+    from pyspark.sql import functions as F
+
+    from osmpbf_spark.catalog import load
+    from osmpbf_spark.operators import similarity as S
+
+    emb = load(spark, SF_DIR, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").alias("qe"),
+        F.expr("reverse(embedding)").alias("embedding"),
+    )
+    both = base.select(
+        "vec_id",
+        F.expr(S._DOT).alias("fold"),
+        S._dot_batch_udf()("qe", "embedding").alias("arrow"),
+    ).collect()
+    assert all(r.fold == r.arrow for r in both)  # exact f64 equality
+
+
+def test_ivf_adversarial_recall_floor(spark):
+    """r15 verdict Next #6 pin, CI-scale: on the boundary-query
+    overlapping-cluster corpus (held-out queries — a corpus row used as
+    a query seeds its own cell and pins recall@1 to 1.0, the exact
+    degeneracy that made the r15 recall table uninformative), the
+    recall/nprobe trade-off must be VISIBLE (recall@10 < 1.0 at
+    nprobe=1) while the approximation stays GOOD (>= 0.9 at nprobe=4).
+    Deterministic by corpus seed. The 200k demo arm
+    (scripts/ivf_demo.py --adversarial) pins the same floor at scale."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import ivf_demo
+
+    out = ivf_demo.build_adversarial_corpus(
+        "/tmp/ivf_adversarial_ci", n=4000, n_clusters=16
+    )
+    recalls = ivf_demo.run_adversarial_ladder(
+        spark, out, cells=16, nprobes=(1, 2, 4)
+    )
+    assert recalls[1] < 1.0, f"no visible trade-off: {recalls}"
+    assert recalls[4] >= 0.9, f"approximation too lossy: {recalls}"
+    assert recalls[1] <= recalls[2] <= recalls[4], recalls

@@ -856,14 +856,20 @@ def _kmeans_centroids_batch(spark, emb: DataFrame):
 
 
 # corpus-row threshold above which IVF training/assignment switches to
-# the Arrow-batched path: at n=200k/k=8 the interpreted HOF argmin costs
-# the registered query 42.8s vs ~20s batched (assignment scales with n*k;
-# the per-round centroid collect is a fixed k*DIM cost that only pays off
-# past fixture scale — the r06 negative result at sf0.1 stands, so small
-# corpora keep the lazy single-plan JVM form). Bit-identical either way
-# (test_ivf_batch_assignment_bit_identical_to_hof), so the oracle cannot
-# tell the regimes apart — the DECON_BROADCAST_MAX dispatch pattern.
-IVF_BATCH_MIN_ROWS = 50_000
+# the Arrow-batched path. r16 re-measured the crossover after the
+# partial-sum trainer landed: the old 50k threshold was calibrated
+# against the r15 batch path (per-round corpus persist + 64x posexplode
+# + corpus-sized shuffle), which the mapInPandas partial sums deleted —
+# the batch regime now wins from ~1k rows up (2k rows: kmeans 1.47s
+# HOF vs 0.94s batch; 20k: 5.7s vs 1.25s — the interpreted n*k lambda
+# chains are the whole story). Below ~1k the Python-worker round-trips
+# cost more than interpreting a few hundred chains, and keeping the
+# JVM literal/HOF regime live at driver-fixture scale (500 rows) means
+# the driver's oracle hash pins BOTH regimes every round. Bit-identical
+# either way (test_ivf_batch_assignment_bit_identical_to_hof), so the
+# oracle cannot tell the regimes apart — the DECON_BROADCAST_MAX
+# dispatch pattern.
+IVF_BATCH_MIN_ROWS = 1000
 
 
 def _carr_local(spark, cents) -> DataFrame:
@@ -1001,8 +1007,9 @@ def ivf_probe_store(
 def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search over LEARNED cells: the coarse quantizer is the
     q_cluster_kmeans trajectory itself (k=KMEANS_K Lloyd-trained
-    centroids via _kmeans_centroids — r15, replacing the `label` column
-    that stood in for cells through r14), each corpus vector is assigned
+    centroids — r15, replacing the `label` column that stood in for
+    cells through r14; r16: trained one-job-per-round in both regimes,
+    see _ivf_train_assign), each corpus vector is assigned
     to its nearest centroid (map-only argmin against the broadcast
     centroid list, exact squared-L2 chains), each query probes its
     nprobe=IVF_NPROBE nearest cells, and only those cells' vectors are

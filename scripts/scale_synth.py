@@ -66,6 +66,10 @@ DEFAULT_SET = [
     "q_text_bm25", "q_sample_topk_group", "q_fd_check", "q_sort_global",
     "q_corpus_shuffle", "q_split_hash", "q_compact_files",
     "q_dedup_minhash_incr", "q_sim_search_ivf",
+    # r16: the IVF production shape — the store builds once in warmup
+    # (identity-keyed), so the timed row is the steady-state
+    # PartitionFilter-pruned probe
+    "q_sim_search_ivf_probe",
     # PBF geometry family: timed against a K-times key-shifted synthetic
     # PBF (build_pbf below) instead of a scaled sf dir
     "q_pbf_way_area", "q_pbf_way_geom", "q_pbf_multipolygon",

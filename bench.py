@@ -339,30 +339,56 @@ def _probe_band_gate(spark) -> tuple[dict, dict]:
     measuring the HOST, not the plans). The band threshold
     (SPARK_GRAFT_BENCH_PROBE_MS, default 280 ms — between the observed
     fast band and the r15 slow regime) and the wait budget
-    (SPARK_GRAFT_BENCH_PROBE_WAIT_SEC, default 240 s, 0 disables) are
-    env-tunable; every attempt is recorded so a budget-expired slow-
-    regime artifact SELF-IDENTIFIES instead of reading as a plan
-    regression. Returns (final probe, gate record)."""
+    (SPARK_GRAFT_BENCH_PROBE_WAIT_SEC, default 900 s, 0 disables —
+    raised from 240 s after the r16 artifact expired its budget still
+    out-of-band; the suite itself is ~85 s, so a long in-band wait is
+    the cheaper trade vs a third slow-regime artifact) are env-tunable;
+    every attempt is recorded so a budget-expired slow-regime artifact
+    SELF-IDENTIFIES instead of reading as a plan regression.
+
+    Failure isolation (r16 ADVICE): each probe is individually guarded —
+    a transient probe failure is RECORDED in the gate dict and the last
+    good probe is kept, instead of one exception discarding both the
+    probe_start record every prior artifact carried and the gate
+    evidence. Returns (final probe or None, gate record)."""
     thresh = float(os.environ.get("SPARK_GRAFT_BENCH_PROBE_MS", "280"))
     budget = float(
-        os.environ.get("SPARK_GRAFT_BENCH_PROBE_WAIT_SEC", "240")
+        os.environ.get("SPARK_GRAFT_BENCH_PROBE_WAIT_SEC", "900")
     )
-    attempts: list[float] = []
+    attempts: list = []
+    errors: list[str] = []
     waited = 0.0
-    probe = _speed_probe(spark)
-    attempts.append(probe["jvm_agg_ms"])
-    while probe["jvm_agg_ms"] > thresh and waited < budget:
+    probe = None
+
+    def try_probe():
+        nonlocal probe
+        try:
+            p = _speed_probe(spark)
+        except Exception as exc:  # keep last good probe, record the miss
+            errors.append(f"{type(exc).__name__}: {exc}")
+            attempts.append(None)
+            return None
+        probe = p
+        attempts.append(p["jvm_agg_ms"])
+        return p["jvm_agg_ms"]
+
+    ms = try_probe()
+    while (ms is None or ms > thresh) and waited < budget:
         step = min(20.0, budget - waited)
         time.sleep(step)
         waited += step
-        probe = _speed_probe(spark)
-        attempts.append(probe["jvm_agg_ms"])
-    return probe, {
+        ms = try_probe()
+    gate = {
         "threshold_ms": thresh,
         "waited_sec": round(waited, 1),
         "attempts_jvm_agg_ms": attempts,
-        "in_band": probe["jvm_agg_ms"] <= thresh,
+        "in_band": bool(
+            probe is not None and probe["jvm_agg_ms"] <= thresh
+        ),
     }
+    if errors:
+        gate["probe_errors"] = errors
+    return probe, gate
 
 
 def _quiet_gate() -> dict:
@@ -483,8 +509,9 @@ def main() -> None:
 
     try:
         probe_start, probe_gate = _probe_band_gate(spark)
-    except Exception:
-        probe_start, probe_gate = None, None
+    except Exception as exc:  # gate is internally guarded; this is last-resort
+        probe_start = None
+        probe_gate = {"gate_error": f"{type(exc).__name__}: {exc}"}
 
     prior_times = _prior_artifact_times()
     # Mid-run contention judge (r12 verdict Next #2): the start gate only

@@ -750,3 +750,147 @@ def test_ivf_adversarial_recall_floor(spark):
     assert recalls[1] < 1.0, f"no visible trade-off: {recalls}"
     assert recalls[4] >= 0.9, f"approximation too lossy: {recalls}"
     assert recalls[1] <= recalls[2] <= recalls[4], recalls
+
+
+# --- store lifecycle: identity, publish failure, drift retrain, GC (r17) ---
+
+
+def test_ivf_store_identity_tracks_part_files(tmp_path):
+    """r16 ADVICE pin: for a directory-of-parts corpus layout the store
+    identity must fold each part file's (name, size, mtime_ns) — an
+    in-place part rewrite (same dir entry set, so the DIRECTORY's own
+    stat may not move) must key a different store, never silently serve
+    a stale one."""
+    import os
+    import shutil
+
+    import osmpbf_spark.operators.similarity as S
+
+    d = tmp_path / "sfdir"
+    pdir = d / "embeddings.parquet"
+    pdir.mkdir(parents=True)
+    shutil.copy(f"{SF_DIR}/embeddings.parquet", pdir / "part-0.parquet")
+    b1 = S._ivf_store_base(str(d))
+    os.utime(pdir / "part-0.parquet", ns=(12345, 67890))  # in-place rewrite
+    b2 = S._ivf_store_base(str(d))
+    assert b1 != b2
+    # and the version tag is recipe-derived, not a hand-bumped literal
+    assert S._quantizer_fingerprint() in S._quantizer_fingerprint()
+    import hashlib
+
+    assert (
+        S._quantizer_fingerprint()
+        == hashlib.sha256(S._kmeans_cte_body().encode()).hexdigest()[:12]
+    )
+
+
+def test_ivf_store_publish_failure_diagnosable(spark, tmp_path, monkeypatch):
+    """r16 ADVICE (medium) pin: a rename failure with NO completed store
+    at the destination (EACCES/ENOSPC/EXDEV class) must raise a
+    diagnosable error instead of proceeding to an opaque missing-path
+    read."""
+    import pytest as _pytest
+
+    import osmpbf_spark.operators.similarity as S
+
+    monkeypatch.setenv("OSMPBF_IVF_STORE_ROOT", str(tmp_path / "root"))
+
+    def bad_rename(src, dst):
+        raise PermissionError(13, "Permission denied")
+
+    monkeypatch.setattr("os.rename", bad_rename)
+    with _pytest.raises(RuntimeError, match="IVF store publish failed"):
+        S.q_sim_search_ivf_probe(spark, SF_DIR)
+
+
+def test_ivf_store_publish_lost_race_uses_winner(spark, tmp_path, monkeypatch):
+    """The ONE case where a failed rename is benign: a concurrent builder
+    already published a completed store (base/_SUCCESS exists). The
+    loser discards its copy and probes the winner's store."""
+    import os
+    import shutil
+
+    import osmpbf_spark.operators.similarity as S
+    from osmpbf_spark.operators.similarity import LSH_TOP_K, N_QUERIES
+
+    monkeypatch.setenv("OSMPBF_IVF_STORE_ROOT", str(tmp_path / "root"))
+    real_rename = os.rename
+
+    def racing_rename(src, dst):
+        if ".build." in str(src):
+            shutil.copytree(src, dst)  # the other builder wins first...
+            raise OSError(39, "Directory not empty")  # ...ours loses
+        return real_rename(src, dst)
+
+    monkeypatch.setattr("os.rename", racing_rename)
+    df = S.q_sim_search_ivf_probe(spark, SF_DIR)
+    assert df.count() == N_QUERIES * LSH_TOP_K
+
+
+def test_ivf_store_drift_triggers_retrain(spark, tmp_path):
+    """r16 verdict Next #8 pin: upserting 2x the original corpus trips
+    the staleness policy (growth >= IVF_RETRAIN_GROWTH) and
+    ivf_store_retrain_if_stale RE-TRAINS over the store's current
+    contents — the quantizer is not left frozen on half the data — and
+    resets the drift baseline. Below the threshold nothing retrains."""
+    from pyspark.sql import functions as F
+
+    import osmpbf_spark.operators.similarity as S
+    from osmpbf_spark.catalog import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    store = str(tmp_path / "cells")
+    carr = S.build_ivf_cell_store(spark, SF_DIR, store)
+
+    st0 = S.ivf_store_staleness(store)
+    assert st0["has_meta"] and not st0["stale"] and st0["growth"] == 1.0
+    none_carr, retrained, _ = S.ivf_store_retrain_if_stale(spark, store)
+    assert not retrained and none_carr is None
+
+    n0 = emb.count()
+    for shift in (1, 2):  # upsert 2x the original corpus
+        delta = emb.select(
+            (F.col("vec_id") + shift * 1_000_000).alias("vec_id"),
+            "embedding",
+        )
+        S.ivf_store_upsert(spark, store, carr, delta)
+
+    st1 = S.ivf_store_staleness(store)
+    assert st1["rows_now"] == 3 * n0
+    assert st1["growth"] >= S.IVF_RETRAIN_GROWTH and st1["stale"]
+
+    carr2, retrained, st = S.ivf_store_retrain_if_stale(spark, store)
+    assert retrained and st["stale"] and carr2 is not None
+    # baseline reset: the retrained store is fresh again
+    st2 = S.ivf_store_staleness(store)
+    assert st2["rows_at_build"] == 3 * n0 and not st2["stale"]
+    # and the rewritten layout is probe-consistent with the new quantizer
+    q = emb.filter(F.col("vec_id") < S.N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    assert S.ivf_probe_store(spark, store, carr2, q).count() > 0
+
+
+def test_ivf_store_gc_removes_orphans_and_temps(tmp_path, monkeypatch):
+    """r16 verdict Next #8 pin: GC removes aged build temps and stores
+    whose corpus identity is dead, never a live store or anything
+    younger than min_age."""
+    import os
+    import time
+
+    import osmpbf_spark.operators.similarity as S
+
+    monkeypatch.setenv("OSMPBF_IVF_STORE_ROOT", str(tmp_path / "root"))
+    root = S._ivf_store_root()
+    live = S._ivf_store_base(SF_DIR)
+    orphan = os.path.join(root, "deadbeefdeadbeefdeadbeef")
+    temp = os.path.join(root, "abc123.build.9999")
+    fresh_orphan = os.path.join(root, "cafebabecafebabecafebabe")
+    for p in (live, orphan, temp, fresh_orphan):
+        os.makedirs(p)
+    old = time.time() - 90_000
+    for p in (live, orphan, temp):
+        os.utime(p, (old, old))
+    removed = set(S.ivf_store_gc(live_sf_dirs=[SF_DIR], min_age_sec=86_400))
+    assert removed == {orphan, temp}
+    assert os.path.isdir(live) and os.path.isdir(fresh_orphan)

@@ -467,16 +467,29 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY (17).
     """
     emb = load(spark, sf_dir, "embeddings")
+    seed = _kmeans_seed_local(sf_dir)
     if table_row_count(sf_dir, "embeddings") >= IVF_BATCH_MIN_ROWS:
-        _, _, cent = _kmeans_centroids_batch(spark, emb)
-        return spark.createDataFrame(
-            [
-                (int(r.cid), int(r.pos), float(r.centroid), int(r.n_members))
-                for r in cent
-            ],
-            "cid long, pos int, centroid double, n_members long",
+        # r17 job-chain shave (r16 verdict Next #1): the seed is a
+        # driver-side pyarrow read (no job), rounds 1..N-1 are one
+        # single-stage partial-collect job each, and the FINAL round is
+        # returned LAZY so the caller's one action executes it — the
+        # 2-round trajectory is now 2 jobs total (was 5: seed collect,
+        # 2x round with AQE stage splits, local-result materialize).
+        cids, C, _ = _kmeans_centroids_batch(
+            spark, emb, seed=seed, iters=KMEANS_ITERS - 1
         )
-    return _kmeans_rounds(spark, emb)[1]
+        return (
+            _batch_round_stats(emb, cids, C)
+            .groupBy("cid", "pos")
+            .agg(
+                (
+                    F.sum("s") / (F.sum("n") * F.lit(float(_Q30)))
+                ).alias("centroid"),
+                F.sum("n").alias("n_members"),
+            )
+            .select("cid", "pos", "centroid", "n_members")
+        )
+    return _kmeans_rounds(spark, emb, seed=seed)[1]
 
 
 # flat left-to-right squared-L2 chain between two array columns — the
@@ -626,7 +639,7 @@ def _cents_from_rows(rows) -> list[tuple[int, list[float]]]:
 
 
 def _kmeans_rounds(
-    spark, emb: DataFrame
+    spark, emb: DataFrame, seed=None
 ) -> tuple[list[tuple[int, list[float]]], DataFrame]:
     """KMEANS_ITERS Lloyd rounds, one job per round (r16): the seed and
     every round but the last collect their BOUNDED k·DIM stats to drive
@@ -634,8 +647,10 @@ def _kmeans_rounds(
     LAZY so the caller's action is the last job. Returns
     (cents_before_final_round, final_round_df). Bit-identical to
     _kmeans_centroids (pinned in test_similarity): same seed, same
-    argmin structs, same quantized sums, same division."""
-    cents = _kmeans_seed(emb)
+    argmin structs, same quantized sums, same division. ``seed`` lets a
+    caller that can read the corpus parquet driver-side skip the seed's
+    Spark job (_kmeans_seed_local)."""
+    cents = seed if seed is not None else _kmeans_seed(emb)
     for _ in range(KMEANS_ITERS - 1):
         cents = _cents_from_rows(_km_update_df(emb, cents).collect())
     return cents, _km_update_df(emb, cents).select(
@@ -643,11 +658,11 @@ def _kmeans_rounds(
     )
 
 
-def _kmeans_cents_final(spark, emb: DataFrame) -> list:
+def _kmeans_cents_final(spark, emb: DataFrame, seed=None) -> list:
     """The full trajectory's final centroids as a plain list — the IVF
     coarse quantizer's input when the corpus is small enough for the
     literal/HOF regime."""
-    cents, final_df = _kmeans_rounds(spark, emb)
+    cents, final_df = _kmeans_rounds(spark, emb, seed=seed)
     return _cents_from_rows(final_df.collect())
 
 
@@ -748,34 +763,54 @@ def _np_round_half_up(v: np.ndarray) -> np.ndarray:
 
 
 def _batch_stats_udf(cids, C):
-    """Per-Arrow-batch Lloyd-round statistics: assign each vector to its
+    """Per-PARTITION Lloyd-round statistics: assign each vector to its
     cell with the exact _chain_l2_batch argmin, quantize HALF_UP like
-    F.round, and emit the batch's PARTIAL integer sums — (cid, pos, s,
-    n) rows, at most k·DIM per batch. This replaces the r15 batch
-    trainer's corpus-wide posexplode (64 rows per vector through an
-    exchange) with a map-side reduction: the shuffle carries ~k·DIM rows
-    per batch regardless of corpus size, the exact shape a 100 TB Lloyd
-    round needs. Integer partial sums are order-independent, so the
-    grand totals are bit-identical to the explode+groupBy form."""
+    F.round, accumulate integer partial sums ACROSS the partition's
+    Arrow batches, and emit one (cid, pos, s, n) block per partition —
+    at most k·DIM rows. This replaces the r15 batch trainer's
+    corpus-wide posexplode (64 rows per vector through an exchange) with
+    a map-side reduction: downstream sees ~k·DIM rows per PARTITION
+    (r17; per-batch emission multiplied that by batches-per-partition)
+    regardless of corpus size, the exact shape a 100 TB Lloyd round
+    needs. Integer partial sums are order-independent, so the grand
+    totals are bit-identical to the explode+groupBy form."""
     cids = np.asarray(cids, dtype=np.int64)
     C = np.asarray(C, dtype=np.float64)
+    dim = C.shape[1]
 
     def stats(batches):
+        acc_s: dict[int, np.ndarray] = {}
+        acc_n: dict[int, int] = {}
         for pdf in batches:
+            if not len(pdf):
+                continue
             V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             a = _chain_l2_batch(V, C).argmin(axis=1)
             vq = _np_round_half_up(V * _Q30)
-            out_cid, out_pos, out_s, out_n = [], [], [], []
             for i in np.unique(a):
                 rows = vq[a == i]
                 s = rows.sum(axis=0, dtype=np.int64)
-                out_cid.extend([int(cids[i])] * C.shape[1])
-                out_pos.extend(range(1, C.shape[1] + 1))
-                out_s.extend(int(x) for x in s)
-                out_n.extend([rows.shape[0]] * C.shape[1])
-            yield pd.DataFrame(
-                {"cid": out_cid, "pos": out_pos, "s": out_s, "n": out_n}
-            )
+                ci = int(cids[i])
+                if ci in acc_s:
+                    acc_s[ci] += s
+                    acc_n[ci] += rows.shape[0]
+                else:
+                    acc_s[ci] = s
+                    acc_n[ci] = int(rows.shape[0])
+        out_cid, out_pos, out_s, out_n = [], [], [], []
+        for ci in sorted(acc_s):
+            out_cid.extend([ci] * dim)
+            out_pos.extend(range(1, dim + 1))
+            out_s.extend(int(x) for x in acc_s[ci])
+            out_n.extend([acc_n[ci]] * dim)
+        yield pd.DataFrame(
+            {
+                "cid": pd.Series(out_cid, dtype="int64"),
+                "pos": pd.Series(out_pos, dtype="int32"),
+                "s": pd.Series(out_s, dtype="int64"),
+                "n": pd.Series(out_n, dtype="int64"),
+            }
+        )
 
     return stats
 
@@ -802,7 +837,95 @@ def _dot_batch_udf():
     return dot
 
 
-def _kmeans_centroids_batch(spark, emb: DataFrame):
+def _kmeans_seed_local(sf_dir: str):
+    """Driver-side seed read — the k lowest vec_ids' embeddings straight
+    from the local parquet via pyarrow, DELETING the seed's whole Spark
+    job (r16 verdict Next #1's 'fuse the seed job' lever: on a 2-round
+    trajectory the seed collect was one of five jobs, ~0.1s of pure
+    scheduling floor at sf0.1). Bit-identical to the Spark collect: both
+    paths widen the stored float32 to float64, an exact conversion.
+    Returns None when the corpus isn't a directly readable parquet path
+    (callers fall back to the Spark collect)."""
+    import os
+
+    try:
+        import pyarrow.dataset as ds
+
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        t = ds.dataset(path).to_table(
+            columns=["vec_id", "embedding"],
+            filter=ds.field("vec_id") < KMEANS_K,
+        )
+        return sorted(
+            (int(i), [float(x) for x in e])
+            for i, e in zip(
+                t.column("vec_id").to_pylist(),
+                t.column("embedding").to_pylist(),
+            )
+        )
+    except Exception:
+        return None
+
+
+# Partition bound under which a Lloyd round's per-partition partial sums
+# are COLLECTED instead of shuffled: rows <= parts * k * DIM, so 2048
+# partitions at k=8/DIM=64 is ~1M small rows (~32 MB) — the MLlib
+# treeAggregate discipline's direct-collect regime. Past it the exchange
+# form keeps the reduction distributed (the 100 TB path).
+KM_PARTIAL_COLLECT_MAX_PARTS = 2048
+
+_CentRow = None  # lazy namedtuple, built on first use
+
+
+def _batch_round_stats(emb: DataFrame, cids, C) -> DataFrame:
+    """One Lloyd round's per-partition partial sums as a lazy frame."""
+    return emb.select("embedding").mapInPandas(
+        _batch_stats_udf(cids, C), "cid long, pos int, s long, n long"
+    )
+
+
+def _sum_partials(rows):
+    """Driver-side grand totals over collected per-partition partials —
+    the same integer sums and the same long/(long·double) divide the
+    exchange form's F.sum aggregation performs, so the centroids are
+    bit-identical (integer addition is order-independent; Python floats
+    are IEEE f64, and int->double conversion below 2^53 is exact exactly
+    as the JVM's long->double cast is). Returns (cids, C, cent_rows)."""
+    global _CentRow
+    if _CentRow is None:
+        from collections import namedtuple
+
+        _CentRow = namedtuple("_CentRow", "cid pos centroid n_members")
+    s_by: dict[tuple[int, int], int] = {}
+    n_by: dict[tuple[int, int], int] = {}
+    for r in rows:
+        key = (int(r.cid), int(r.pos))
+        s_by[key] = s_by.get(key, 0) + int(r.s)
+        n_by[key] = n_by.get(key, 0) + int(r.n)
+    cids = sorted({c for c, _ in s_by})
+    cent = [
+        _CentRow(
+            c,
+            p,
+            s_by[(c, p)] / (n_by[(c, p)] * float(_Q30)),
+            n_by[(c, p)],
+        )
+        for c in cids
+        for p in range(1, DIM + 1)
+    ]
+    C = np.array(
+        [
+            [s_by[(c, p)] / (n_by[(c, p)] * float(_Q30)) for p in range(1, DIM + 1)]
+            for c in cids
+        ],
+        dtype=np.float64,
+    )
+    return cids, C, cent
+
+
+def _kmeans_centroids_batch(
+    spark, emb: DataFrame, seed=None, iters: int = KMEANS_ITERS
+):
     """The _kmeans_centroids trajectory with Arrow-batched rounds:
     centroids are materialized driver-side per Lloyd round (k·DIM
     doubles — the exact values the JVM divide produced; python floats
@@ -822,18 +945,30 @@ def _kmeans_centroids_batch(spark, emb: DataFrame):
     ids, their centroid matrix, and the final round's exploded
     (cid, pos, centroid, n_members) rows (q_cluster_kmeans's dispatched
     regime emits exactly these)."""
-    seed = sorted(
-        (r.vec_id, [float(x) for x in r.embedding])
-        for r in emb.filter(F.col("vec_id") < KMEANS_K)
-        .select("vec_id", "embedding")
-        .collect()
-    )
+    if seed is None:
+        seed = sorted(
+            (r.vec_id, [float(x) for x in r.embedding])
+            for r in emb.filter(F.col("vec_id") < KMEANS_K)
+            .select("vec_id", "embedding")
+            .collect()
+        )
     cids = [int(c) for c, _ in seed]
     C = np.array([v for _, v in seed], dtype=np.float64)
-    for _ in range(KMEANS_ITERS):
-        stats = emb.select("embedding").mapInPandas(
-            _batch_stats_udf(cids, C), "cid long, pos int, s long, n long"
-        )
+    # r17: per-round reduction regime. At bounded partition counts the
+    # per-partition partials (<= parts * k * DIM rows) are collected and
+    # summed driver-side — one SINGLE-STAGE job per Lloyd round, no
+    # exchange, no AQE stage split. Past the bound the exchange form
+    # keeps the reduction distributed. Bit-identical either way
+    # (_sum_partials; pinned in test_similarity).
+    direct = (
+        emb.rdd.getNumPartitions() <= KM_PARTIAL_COLLECT_MAX_PARTS
+    )
+    cent = None
+    for _ in range(iters):
+        stats = _batch_round_stats(emb, cids, C)
+        if direct:
+            cids, C, cent = _sum_partials(stats.collect())
+            continue
         cent = (
             stats.groupBy("cid", "pos")
             .agg(
@@ -883,16 +1018,19 @@ def _carr_local(spark, cents) -> DataFrame:
     )
 
 
-def _ivf_train_assign(spark, emb: DataFrame, batch: bool):
+def _ivf_train_assign(spark, emb: DataFrame, batch: bool, seed=None):
     """(carr, assigned) under either regime: the broadcastable centroid
     list and the (vec_id, embedding, cid) corpus assignment. Shared by
     q_sim_search_ivf, q_sim_search_ivf_probe, and build_ivf_cell_store.
     r16: both regimes train via bounded per-round collects (one job per
     Lloyd round), so carr is a local relation in both and the small
     regime's assignment is a literal-centroid map-only scan — no
-    trajectory re-runs, no checkpoint, no broadcast-build job."""
+    trajectory re-runs, no checkpoint, no broadcast-build job. ``seed``
+    (from _kmeans_seed_local) deletes the seed collect job when the
+    caller can read the corpus parquet driver-side; it must come from
+    the SAME corpus ``emb`` scans."""
     if batch:
-        cids, C, _ = _kmeans_centroids_batch(spark, emb)
+        cids, C, _ = _kmeans_centroids_batch(spark, emb, seed=seed)
         cents = [(int(c), [float(x) for x in C[i]]) for i, c in enumerate(cids)]
         assign = _batch_assign_udf(cids, C)
         # coalesce: same non-nullability trick as the literal branch
@@ -907,7 +1045,7 @@ def _ivf_train_assign(spark, emb: DataFrame, batch: bool):
             F.coalesce(assign("embedding"), F.lit(-1)).alias("cid"),
         )
     else:
-        cents = _kmeans_cents_final(spark, emb)
+        cents = _kmeans_cents_final(spark, emb, seed=seed)
         # coalesce makes the argmin NON-NULLABLE (the literal list is
         # never empty, but Catalyst can't see that), so the downstream
         # equi-join on cid generates no isnotnull(expr) filter — which
@@ -1245,7 +1383,9 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100x; sf0.1 keeps the lazy single-plan JVM form). The regime probe
     # reads parquet footers only — no corpus pass (r15 verdict Next #2).
     batch = table_row_count(sf_dir, "embeddings") >= IVF_BATCH_MIN_ROWS
-    carr, assigned = _ivf_train_assign(spark, emb, batch=batch)
+    carr, assigned = _ivf_train_assign(
+        spark, emb, batch=batch, seed=_kmeans_seed_local(sf_dir)
+    )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -1394,6 +1534,7 @@ def q_sim_search_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb,
             batch=table_row_count(sf_dir, "embeddings")
             >= IVF_BATCH_MIN_ROWS,
+            seed=_kmeans_seed_local(sf_dir),
         )
         tmp = f"{base}.build.{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)

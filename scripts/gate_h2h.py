@@ -90,8 +90,27 @@ def main() -> int:
         action="store_true",
         help="run every oracle-carrying registered query",
     )
+    ap.add_argument(
+        "--streams",
+        action="store_true",
+        help=(
+            "run the streaming measurement class under its fair-arm"
+            " protocol (batch twins; see scripts/stream_fair_arm.py and"
+            " BASELINE.md) instead of the raw stream-vs-batch-SQL ratio"
+        ),
+    )
     ap.add_argument("queries", nargs="*", default=None)
     ns = ap.parse_args()
+
+    if ns.streams:
+        import stream_fair_arm
+
+        print(
+            json.dumps(
+                stream_fair_arm.run(ns.sf, ns.reps, ns.queries or None)
+            )
+        )
+        return 0
 
     from osmpbf_spark.catalog import TABLES, all_oracles, all_queries
 

@@ -238,96 +238,95 @@ def all_oracles() -> dict[str, str]:
     return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
 
 
-# Round-16 rotation for the driver's 50-query correctness window (the
+# Round-17 rotation for the driver's 50-query correctness window (the
 # driver checks only the FIRST 50 registered queries each round; with
 # len(REGISTRY) registered, ordering decides what gets a fresh hard
-# row). Composition, per the r15 verdict's Next #3:
+# row). Composition, per the r16 verdict's Next #6:
 #
-#   1. The six r12-stamped deferrals — the registry's oldest stamps
-#      (q_approx_percentile / q_corr / q_histogram / q_profile /
-#      q_window_ntile / q_skyline; the r15 judge re-swept all six
-#      green, so this tier is stamp freshness, not suspicion). After
-#      r16 stamps land, no registered stamp is older than r13.
-#   2. Code CHANGED or NEW in r16: q_dedup_near + q_dedup_simhash
-#      (first-ever exact oracles — the rows-only pair retired, verdict
-#      Next #4), q_pbf_compact (required-features union + header
-#      sidecar), q_cluster_kmeans + q_sim_search_ivf (one-job-per-round
-#      trainer, footer-count dispatch, Arrow scorer), the NEW
-#      q_sim_search_ivf_probe (the build-once/probe-many production
-#      registration, verdict Next #1), and q_dedup_minhash (its oracle
-#      now instantiates the shared banded-MinHash template — same SQL,
-#      re-stamped out of caution).
-#   3. 37 of the 50 r13-stamped rows (the oldest remaining block). The
-#      window holds 50, so thirteen r13 rows defer to r17 (q_pivot /
-#      q_unpivot / q_lateral_topk / q_percentile / q_asof_join /
-#      q_sample_stratified / q_window_lead_lag / q_window_dist /
-#      q_set_union / q_set_intersect / q_date_funcs / q_json_funcs /
-#      q_subq_scalar) — every one hash-compared against its DuckDB
-#      oracle in EVERY CI pass (test_relational.test_oracle_parity
-#      parametrizes over the whole untagged-relational set), so
-#      deferral costs stamp freshness only, never verification
-#      coverage.
-_R16_WINDOW = (
-    # 1: the six r12-stamped deferrals (verdict r15 Next #3)
-    "q_approx_percentile",
-    "q_corr",
-    "q_histogram",
-    "q_profile",
-    "q_window_ntile",
-    "q_skyline",
-    # 2: r16-changed / new code
-    "q_dedup_near",
-    "q_dedup_simhash",
-    "q_pbf_compact",
+#   1. The thirteen r13-stamped deferrals — the registry's oldest
+#      stamps (named in the r16 tier-3 note; every one stayed
+#      hash-compared in every CI pass while deferred). After r17
+#      stamps land, no registered stamp is older than r14 — the
+#      one-round-lag invariant holds.
+#   2. Code CHANGED in r17: q_cluster_kmeans + q_sim_search_ivf +
+#      q_sim_search_ivf_probe (driver-side pyarrow seed, per-partition
+#      partial-sum collect rounds, lazy final round — the 5-jobs->2
+#      gate close; plus the persisted store's per-user root,
+#      part-file identity, and drift-retrain lifecycle), and
+#      q_dedup_near + q_dedup_minhash (hot-bucket hybrid pair
+#      expansion behind the shared _bucket_candidate_pairs, key frame
+#      lazily checkpointed).
+#   3. 32 of the 47 r14-stamped rows (the oldest remaining block).
+#      The window holds 50, so fifteen r14 rows defer to r18
+#      (q_bpe_encode / q_bpe_train / q_corpus_mix / q_doc_pack /
+#      q_doc_pack_chunks / q_pii_redact / q_resample_locf /
+#      q_text_rarity / q_token_pmi / q_dedup_ngram / q_multimodal_agg /
+#      q_multimodal_decode / q_multimodal_frames / q_pbf_tag_filter /
+#      q_pbf_zorder) — every one hash-compared against its DuckDB
+#      oracle in EVERY CI pass (the per-family parametrized parity
+#      tests), so deferral costs stamp freshness only, never
+#      verification coverage.
+_R17_WINDOW = (
+    # 1: the thirteen r13-stamped deferrals (verdict r16 Next #6)
+    "q_pivot",
+    "q_unpivot",
+    "q_lateral_topk",
+    "q_percentile",
+    "q_asof_join",
+    "q_sample_stratified",
+    "q_window_lead_lag",
+    "q_window_dist",
+    "q_set_union",
+    "q_set_intersect",
+    "q_date_funcs",
+    "q_json_funcs",
+    "q_subq_scalar",
+    # 2: r17-changed code
     "q_cluster_kmeans",
     "q_sim_search_ivf",
     "q_sim_search_ivf_probe",
+    "q_dedup_near",
     "q_dedup_minhash",
-    # 3: oldest remaining rows (r13), minus the thirteen deferrals above
-    "q_scd2",
-    "q_rollup_cascade",
-    "q_agg_basic",
-    "q_agg_distinct",
-    "q_agg_rollup",
-    "q_approx_cd",
-    "q_having",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_broadcast",
-    "q_join_range",
-    "q_join_skew_salt",
-    "q_sort_limit",
-    "q_sort_global",
-    "q_corpus_shuffle",
-    "q_split_hash",
-    "q_window_rank",
-    "q_window_frame",
-    "q_subq_in",
-    "q_dedup_incremental",
-    "q_dedup_passage",
-    "q_dedup_url",
-    "q_er_fuzzy",
-    "q_multimodal_resize",
-    "q_vec_centroid",
-    "q_vec_quantize",
-    "q_bpe_merge_count",
-    "u_udf",
-    "u_udaf",
-    "u_udtf",
-    "q_pbf_roundtrip",
-    "s_tumble",
-    "s_slide",
-    "s_session",
-    "s_time_rollup",
+    # 3: oldest remaining rows (r14), minus the fifteen deferrals above
+    "q_bfs_khop",
+    "q_case_null",
+    "q_compact_files",
+    "q_decontaminate",
+    "q_dedup_clusters",
+    "q_dedup_embed",
+    "q_dedup_exact",
+    "q_dedup_minhash_incr",
+    "q_dedup_semantic_scalek",
+    "q_dedup_simhash_exact",
+    "q_er_fuzzy_scaleb",
+    "q_filter_pred",
+    "q_grid_agg",
+    "q_join_5way",
+    "q_map_funcs",
+    "q_math_funcs",
+    "q_multimodal",
+    "q_pagerank",
+    "q_pbf_way_geom",
+    "q_pipeline_e2e",
+    "q_scan_project",
+    "q_str_funcs",
+    "q_triangle_count",
+    "s_anomaly_stream",
+    "s_dedup_near_stream",
+    "s_enrich_stream",
+    "s_funnel_stream",
+    "s_join_stream",
+    "s_session_append",
+    "s_session_stream",
+    "s_stateful",
+    "s_tumble_append",
 )
 
-_R16_RANK = {n: i for i, n in enumerate(_R16_WINDOW)}
+_R17_RANK = {n: i for i, n in enumerate(_R17_WINDOW)}
 
 
 def _window_tier(name: str) -> int:
-    return _R16_RANK.get(name, len(_R16_WINDOW))
+    return _R17_RANK.get(name, len(_R17_WINDOW))
 
 
 def _import_all() -> None:
@@ -354,7 +353,7 @@ def _import_all() -> None:
     # The sweep CLI has the same guard for argv names
     # (scripts/sweep_oracles.py) — the window, which the driver actually
     # consumes, must fail just as loudly.
-    phantom = [n for n in _R16_WINDOW if n not in REGISTRY]
+    phantom = [n for n in _R17_WINDOW if n not in REGISTRY]
     if phantom:
         raise RuntimeError(
             f"correctness-window names not in REGISTRY: {phantom} — "

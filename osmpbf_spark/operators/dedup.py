@@ -473,17 +473,65 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "k"),
     )
+    return _jaccard_pairs(_bucket_candidate_pairs(keys), d, 0.7)
+
+
+# Bucket size past which pair expansion switches from the in-bucket
+# nested explode (|bucket|^2 rows generated from ONE Generate input row
+# on ONE task — an OOM/straggler hazard on a degenerate hot band key,
+# e.g. boilerplate docs sharing a signature slice; r16 ADVICE) to a
+# single linear explode + (band, k) self-join, which spreads the
+# quadratic expansion across the shuffle. Candidate set identical —
+# union of disjoint bucket-size classes.
+LSH_BUCKET_EXPLODE_MAX = 1024
+
+
+def _bucket_candidate_pairs(keys: DataFrame) -> DataFrame:
+    """Distinct candidate pairs from a (band, k, doc_id) key frame.
+
+    ONE exchange builds the (band, k) buckets; pairs then expand by
+    bucket-size class: buckets <= LSH_BUCKET_EXPLODE_MAX use the
+    in-bucket nested explode (codegen, zero further shuffles — the
+    common case, since LSH keys are engineered for small buckets);
+    larger buckets expand through a single LINEAR explode back to rows
+    and a (band, k) self-join, so their |bucket|^2 output is produced
+    across shuffle partitions instead of one Generate call on one task.
+    The key frame is lazily localCheckpoint'ed because the two arms
+    (and the big arm's self-join) would otherwise re-run the whole
+    upstream signing per consumer — measured at sf0.1: +0.5s from a
+    duplicated Arrow signing pass; the checkpointed form times level
+    with the old single-arm shape (the q_dedup_clusters pairs-checkpoint
+    precedent, and exactly the cost the r05 note said a single consumer
+    avoided — the hybrid has two consumers by design). Residual bound: a
+    degenerate bucket's id array still materializes once in the
+    aggregation buffer (8 bytes/doc — 80 MB at 10M ids, survivable);
+    what this removes is the quadratic single-task expansion (10^14
+    generated rows at that size)."""
+    keys = keys.localCheckpoint(eager=False)
     buckets = keys.groupBy("band", "k").agg(
         F.collect_set("doc_id").alias("ids")
     )
-    cand = (
-        buckets.filter(F.size("ids") > 1)
+    small = (
+        buckets.filter(
+            (F.size("ids") > 1) & (F.size("ids") <= LSH_BUCKET_EXPLODE_MAX)
+        )
         .select("ids", F.explode("ids").alias("doc_a"))
         .select("doc_a", F.explode("ids").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .distinct()
     )
-    return _jaccard_pairs(cand, d, 0.7)
+    bk = buckets.filter(F.size("ids") > LSH_BUCKET_EXPLODE_MAX).select(
+        "band", "k", F.explode("ids").alias("doc_id")
+    )
+    big = (
+        bk.select("band", "k", F.col("doc_id").alias("doc_a"))
+        .join(
+            bk.select("band", "k", F.col("doc_id").alias("doc_b")),
+            ["band", "k"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    return small.unionByName(big).distinct()
 
 
 @query("q_dedup_minhash", oracle=_MINHASH_ORACLE, tags=("dedup",))
@@ -531,19 +579,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint'ed so signing wouldn't run per side; single
     # consumer means no checkpoint — signing streams straight from the
     # scan. 1.65s -> ~1.2s at sf0.1 (with the md5 base hash).
-    buckets = keys.groupBy("band", "k").agg(
-        F.collect_set("doc_id").alias("ids")
-    )
-    cand = (
-        # singleton buckets — the majority under LSH — can't pair; gate
-        # them before the explodes (the SimHash twin's shape)
-        buckets.filter(F.size("ids") > 1)
-        .select("ids", F.explode("ids").alias("doc_a"))
-        .select("doc_a", F.explode("ids").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .distinct()
-    )
-    return _jaccard_pairs(cand, d, 0.7)
+    return _jaccard_pairs(_bucket_candidate_pairs(keys), d, 0.7)
 
 
 # ---------------------------------------------------------------------------

@@ -230,6 +230,39 @@ def _run_stream_to_memory(
     return spark.table(name)
 
 
+def rocksdb_warmup(spark: SparkSession) -> float:
+    """Per-suite RocksDB warmup row (r16 verdict Next #5): the FIRST
+    RocksDB-backed stream of a session pays ~12s of native cold start
+    (JNI library load + first store open/commit cycle) wherever it
+    lands — measured at 100x as a position-0 COLD arm of 40.3s vs the
+    immediately following warm arm's 27.5s, the residue behind the
+    s_session_append early/late spread straddling its <=1.2x target.
+    This throwaway row absorbs that cost OUTSIDE any timed window: a
+    1k-row file-stream aggregation under provider=rocksdb at the same
+    32 state partitions the operating-curve arm pins, so the native lib
+    and per-partition store files exist before the first real query.
+    Returns the wall it absorbed (printed by callers, never timed)."""
+    import time as _time
+
+    global _STREAM_STATE_PROVIDER, _STREAM_STATE_PARTITIONS
+    t0 = _time.perf_counter()
+    old_prov, old_parts = _STREAM_STATE_PROVIDER, _STREAM_STATE_PARTITIONS
+    _STREAM_STATE_PROVIDER = "rocksdb"
+    _STREAM_STATE_PARTITIONS = "32"
+    try:
+        df = spark.range(0, 1000).selectExpr(
+            "id % 7 AS k", "id AS v"
+        )
+        src = _stream_src(spark, df, "rocksdb_warmup_v1")
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        agg = stream.groupBy("k").agg(F.count("*").alias("n"))
+        _run_stream_to_memory(spark, agg, "rocksdb_warmup", "complete")
+    finally:
+        _STREAM_STATE_PROVIDER = old_prov
+        _STREAM_STATE_PARTITIONS = old_parts
+    return _time.perf_counter() - t0
+
+
 def _run_stream_to_parquet(
     spark: SparkSession,
     df,

@@ -757,3 +757,39 @@ def test_dedup_minhash_incr_parity(spark, duck):
         )
     }
     assert got == cross, f"diff: {got ^ cross}"
+
+
+def test_bucket_pairs_hot_bucket_join_arm(spark, duck, monkeypatch):
+    """r16 ADVICE pin: past LSH_BUCKET_EXPLODE_MAX a bucket's pairs are
+    produced by the linear-explode + self-join arm instead of one
+    quadratic Generate call on one task — with an IDENTICAL candidate
+    set. Forcing the threshold to 2 routes every real bucket through the
+    join arm; both q_dedup_near and q_dedup_minhash must stay
+    value-green against their oracles, and the helper must emit the
+    same distinct pairs under both regimes."""
+    from pyspark.sql import functions as F
+
+    import osmpbf_spark.operators.dedup as D
+
+    keys = (
+        D.fanout(D.load(spark, SF_DIR, "documents"))
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.lit(0).alias("band"),
+            F.substring(F.lower("text"), 1, 2).alias("k"),
+        )
+    )
+    base = {
+        (r.doc_a, r.doc_b)
+        for r in D._bucket_candidate_pairs(keys).collect()
+    }
+    assert base, "fixture produced no candidate pairs"
+    monkeypatch.setattr(D, "LSH_BUCKET_EXPLODE_MAX", 2)
+    forced = {
+        (r.doc_a, r.doc_b)
+        for r in D._bucket_candidate_pairs(keys).collect()
+    }
+    assert forced == base
+    check_query(spark, duck, SF_DIR, "q_dedup_near")
+    check_query(spark, duck, SF_DIR, "q_dedup_minhash")

@@ -248,21 +248,23 @@ def all_oracles() -> dict[str, str]:
 #      hash-compared in every CI pass while deferred). After r17
 #      stamps land, no registered stamp is older than r14 — the
 #      one-round-lag invariant holds.
-#   2. Code CHANGED in r17: q_cluster_kmeans + q_sim_search_ivf +
+#   2. Code CHANGED or NEW in r17: q_cluster_kmeans + q_sim_search_ivf +
 #      q_sim_search_ivf_probe (driver-side pyarrow seed, per-partition
 #      partial-sum collect rounds, lazy final round — the 5-jobs->2
 #      gate close; plus the persisted store's per-user root,
-#      part-file identity, and drift-retrain lifecycle), and
+#      part-file identity, and drift-retrain lifecycle),
 #      q_dedup_near + q_dedup_minhash (hot-bucket hybrid pair
 #      expansion behind the shared _bucket_candidate_pairs, key frame
-#      lazily checkpointed).
-#   3. 32 of the 47 r14-stamped rows (the oldest remaining block).
-#      The window holds 50, so fifteen r14 rows defer to r18
+#      lazily checkpointed), and q_multimodal_jpeg (NEW — the pure
+#      numpy/stdlib baseline T.81 JPEG codec; first stamp).
+#   3. 31 of the 47 r14-stamped rows (the oldest remaining block).
+#      The window holds 50, so sixteen r14 rows defer to r18
 #      (q_bpe_encode / q_bpe_train / q_corpus_mix / q_doc_pack /
 #      q_doc_pack_chunks / q_pii_redact / q_resample_locf /
 #      q_text_rarity / q_token_pmi / q_dedup_ngram / q_multimodal_agg /
 #      q_multimodal_decode / q_multimodal_frames / q_pbf_tag_filter /
-#      q_pbf_zorder) — every one hash-compared against its DuckDB
+#      q_pbf_zorder / s_tumble_append) — every one hash-compared
+#      against its DuckDB
 #      oracle in EVERY CI pass (the per-family parametrized parity
 #      tests), so deferral costs stamp freshness only, never
 #      verification coverage.
@@ -281,13 +283,16 @@ _R17_WINDOW = (
     "q_date_funcs",
     "q_json_funcs",
     "q_subq_scalar",
-    # 2: r17-changed code
+    # 2: r17-changed code (q_multimodal_jpeg is NEW in r17 — the
+    # baseline T.81 codec closing the r16 verdict's #1 thin spot — so
+    # it needs its first driver stamp)
     "q_cluster_kmeans",
     "q_sim_search_ivf",
     "q_sim_search_ivf_probe",
     "q_dedup_near",
     "q_dedup_minhash",
-    # 3: oldest remaining rows (r14), minus the fifteen deferrals above
+    "q_multimodal_jpeg",
+    # 3: oldest remaining rows (r14), minus the sixteen deferrals above
     "q_bfs_khop",
     "q_case_null",
     "q_compact_files",
@@ -319,7 +324,6 @@ _R17_WINDOW = (
     "s_session_append",
     "s_session_stream",
     "s_stateful",
-    "s_tumble_append",
 )
 
 _R17_RANK = {n: i for i, n in enumerate(_R17_WINDOW)}
@@ -338,6 +342,7 @@ def _import_all() -> None:
         dedup,
         graph,
         grid,
+        jpeg,
         multimodal,
         relational,
         similarity,

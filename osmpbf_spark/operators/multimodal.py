@@ -11,8 +11,13 @@ vectorized in Python workers. Decode comes in two tiers (round 5):
   RIFF/WAV PCM audio: actual header parsing, dimension/rate extraction,
   and pixel/sample checksums, oracle-checked against the payload
   generator's closed form.
+- **REAL decode, from-scratch codec** for baseline JPEG (r17):
+  ``operators/jpeg.py`` implements ITU-T T.81 sequential JPEG end to end
+  (markers, Annex-K Huffman, DCT, YCbCr, 4:4:4/4:2:0, restart markers)
+  in numpy + stdlib; ``decode_any`` sniffs the SOI signature and
+  q_multimodal_jpeg oracle-checks the full pipeline.
 - **Documented stub** for codecs that genuinely need absent libraries
-  (JPEG/MP3/video containers): ``_decode_media`` falls back to a
+  (MP3/video containers): ``_decode_media`` falls back to a
   clearly-marked deterministic fake. Everything around the stub — binary
   column construction, schema, partitioning, the mapInPandas batch
   contract — is real and oracle-checked.
@@ -43,12 +48,14 @@ def _decode_media(payload: bytes, media_type: str) -> dict:
     the fallback is deterministic so results stay oracle-checkable.
 
     Environment re-checked r10 (2026-08-15): PIL/ffmpeg still absent
-    (``import PIL`` -> ModuleNotFoundError; no pip allowed), so the
-    JPEG/MP3/video stubs stand. Formats parsable with stdlib+numpy are
-    decoded for REAL in q_multimodal_decode (PNG incl. CRC + all five
-    scanline filters, PPM, WAV — see _png_decode and friends below);
-    this stub covers only the codec formats that genuinely need
-    external libraries."""
+    (``import PIL`` -> ModuleNotFoundError; no pip allowed). Formats
+    parsable with stdlib+numpy are decoded for REAL in
+    q_multimodal_decode (PNG incl. CRC + all five scanline filters,
+    PPM, WAV — see _png_decode and friends below), and since r17 JPEG
+    has its own from-scratch baseline codec (operators/jpeg.py,
+    q_multimodal_jpeg) so it is no longer stub-bound; this stub covers
+    only MP3/video container formats, which genuinely need external
+    codec libraries."""
     try:  # pragma: no cover - libs absent in this container
         if media_type == "image":
             import PIL.Image  # noqa: F401
@@ -507,6 +514,19 @@ def decode_any(payload: bytes, media_type: str) -> dict:
         # opaque; the PNG signature is designed for exactly this
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             return decode_png(payload)
+        if payload[:2] == b"\xff\xd8":  # JPEG SOI (real codec since r17)
+            from osmpbf_spark.operators.jpeg import jpeg_decode
+
+            import numpy as np
+
+            rgb, meta = jpeg_decode(payload)
+            return {
+                "width": meta["width"],
+                "height": meta["height"],
+                "n_samples": None,
+                "checksum": int(rgb.sum(dtype=np.int64)),
+                "decoder": "jpeg" + meta["subsample"],
+            }
         return decode_ppm(payload)
     if media_type == "audio":
         return decode_wav(payload)

@@ -337,6 +337,7 @@ def _import_all() -> None:
     """Import every operator module so decorators run, then order the
     registry for the driver's 50-query correctness window (tiers above)."""
     from osmpbf_spark.operators import (  # noqa: F401
+        avi,
         cdc,
         compact,
         dedup,

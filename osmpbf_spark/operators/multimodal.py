@@ -530,8 +530,22 @@ def decode_any(payload: bytes, media_type: str) -> dict:
         return decode_ppm(payload)
     if media_type == "audio":
         return decode_wav(payload)
-    # video: honestly stubbed — every real container format here is
-    # compressed and needs ffmpeg, absent in this sandbox
+    # video: uncompressed RIFF/AVI parses for real (operators/avi.py,
+    # r17); compressed codecs stay honestly stubbed — they need ffmpeg,
+    # absent in this sandbox
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        import numpy as np
+
+        from osmpbf_spark.operators.avi import avi_decode
+
+        frames, meta = avi_decode(payload)
+        return {
+            "width": meta["width"],
+            "height": meta["height"],
+            "n_samples": meta["n_frames"],
+            "checksum": int(frames.sum(dtype=np.int64)),
+            "decoder": "avi",
+        }
     return {
         "width": None,
         "height": None,
@@ -770,5 +784,121 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "doc_id long, decoder string, w_in int, h_in int, "
             "w_out int, h_out int, checksum_out long"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL audio feature extraction (round 17): framed DSP over decoded PCM
+# ---------------------------------------------------------------------------
+
+
+AUDIO_FRAME = 160  # 20 ms at the generator's 8 kHz — the classic ASR hop
+
+
+def extract_audio_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas audio featurizer: decode the WAV payload (real RIFF
+    parse via the stdlib wave module), then compute the standard framed
+    time-domain features over the actual samples — peak amplitude, total
+    and max-per-frame energy (sum of squares over non-overlapping
+    AUDIO_FRAME windows, partial tail dropped), and zero-crossing count
+    (sign(s_i) != sign(s_{i-1}) with sign := s >= 0). Every feature is
+    an exact integer, so the oracle can recompute all of them from the
+    generator's closed sample form — a misframed window, an off-by-one
+    in the crossing lag, or a byte-order slip in the PCM view all
+    hash-mismatch. Spectral features (FFT bins, centroid) swap into the
+    same per-doc numpy kernel; they are left out of the ORACLE because
+    float transforms have no closed SQL form, not because the plumbing
+    differs."""
+    import io
+    import wave
+
+    import numpy as np
+
+    for pdf in batches:
+        rows: dict[str, list] = {
+            "doc_id": [], "n_samples": [], "n_frames": [], "peak": [],
+            "total_energy": [], "frame_energy_max": [], "zcr": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            with wave.open(io.BytesIO(bytes(payload)), "rb") as wv:
+                if wv.getsampwidth() != 2 or wv.getnchannels() != 1:
+                    raise ValueError("expected 16-bit mono PCM")
+                n = wv.getnframes()
+                s = np.frombuffer(wv.readframes(n), "<i2").astype(np.int64)
+            nf = n // AUDIO_FRAME
+            frames = s[: nf * AUDIO_FRAME].reshape(nf, AUDIO_FRAME)
+            nonneg = s >= 0
+            rows["doc_id"].append(doc_id)
+            rows["n_samples"].append(n)
+            rows["n_frames"].append(nf)
+            rows["peak"].append(int(np.abs(s).max()))
+            rows["total_energy"].append(int((s * s).sum()))
+            rows["frame_energy_max"].append(
+                int((frames * frames).sum(axis=1).max())
+            )
+            rows["zcr"].append(int((nonneg[1:] != nonneg[:-1]).sum()))
+        yield pd.DataFrame(rows)
+
+
+@query(
+    "q_audio_features",
+    oracle="""
+    WITH aud AS (SELECT doc_id, 400 + (doc_id % 7) * 40 AS n
+                 FROM documents WHERE doc_id % 3 = 1),
+    sm AS (SELECT doc_id, n, i,
+                  (doc_id * 13 + i * 31) % 2003 - 1001 AS s
+           FROM (SELECT doc_id, n, unnest(range(0, n)) AS i FROM aud)),
+    base AS (SELECT doc_id, MIN(n) AS n,
+                    CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+                    CAST(SUM(s * s) AS BIGINT) AS total_energy
+             FROM sm GROUP BY doc_id),
+    zc AS (SELECT doc_id,
+                  CAST(SUM(CASE WHEN (s >= 0) <> (prev >= 0)
+                                THEN 1 ELSE 0 END) AS BIGINT) AS zcr
+           FROM (SELECT doc_id, s,
+                        LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+                 FROM sm)
+           WHERE prev IS NOT NULL GROUP BY doc_id),
+    fe AS (SELECT doc_id, CAST(MAX(e) AS BIGINT) AS frame_energy_max
+           FROM (SELECT doc_id, i // 160 AS f, SUM(s * s) AS e
+                 FROM sm WHERE i < (n // 160) * 160
+                 GROUP BY doc_id, i // 160)
+           GROUP BY doc_id)
+    SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_samples,
+           CAST(b.n // 160 AS INTEGER) AS n_frames, b.peak,
+           b.total_energy, f.frame_energy_max, z.zcr
+    FROM base b JOIN fe f USING (doc_id) JOIN zc z USING (doc_id)
+    """,
+    tags=("multimodal", "udf"),
+)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction — the audio half of the brief's
+    'feature-extract' multimodal verb (images got checksum features in
+    r05): WAV payloads synthesized IN FORMAT from doc_id (the
+    q_multimodal_decode generator), decoded by the actual RIFF/PCM
+    parser, then framed time-domain DSP over the real samples: peak,
+    total energy, max 20 ms-frame energy, zero-crossing count. All
+    features are exact integers, recomputed by the oracle from the
+    closed sample form — the hash proves the decode -> frame -> feature
+    pipeline touched exactly the right samples. Map-only at any scale:
+    synthesize -> featurize are two chained Arrow-batched stages, no
+    shuffle beyond the same 8 B/row id spread q_multimodal_jpeg uses to
+    parallelize the Python kernel."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    ids = d.select(
+        "doc_id", "text", F.lit("audio").alias("media_type")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    media = ids.mapInPandas(
+        synthesize_payloads,
+        schema="doc_id long, media_type string, payload binary",
+    )
+    return media.mapInPandas(
+        extract_audio_features,
+        schema=(
+            "doc_id long, n_samples long, n_frames int, peak long, "
+            "total_energy long, frame_energy_max long, zcr long"
         ),
     )

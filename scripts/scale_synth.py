@@ -70,9 +70,9 @@ DEFAULT_SET = [
     # (identity-keyed), so the timed row is the steady-state
     # PartitionFilter-pruned probe
     "q_sim_search_ivf_probe",
-    # r17: the baseline JPEG codec query — map-only Python kernel; the
-    # 100x row checks the id-repartition actually spreads the decode
-    "q_multimodal_jpeg",
+    # r17: the codec queries — map-only Python kernels; the 100x rows
+    # check the 8 B/row id-repartition actually spreads the decode
+    "q_multimodal_jpeg", "q_audio_features", "q_multimodal_video",
     # PBF geometry family: timed against a K-times key-shifted synthetic
     # PBF (build_pbf below) instead of a scaled sf dir
     "q_pbf_way_area", "q_pbf_way_geom", "q_pbf_multipolygon",

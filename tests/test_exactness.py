@@ -96,3 +96,35 @@ def test_chunk_div_exact_beyond_double_precision(spark):
     # the double path loses the low bits at this magnitude — if this ever
     # starts passing, doubles got wider and the pin should be revisited
     assert row.flt_first != (cum - n_tok) // 2048
+
+
+def test_load_schema_cache_identical_and_invalidates(spark, tmp_path):
+    """r17 optimization: load() replays a cached inferred schema via
+    spark.read.schema() to skip per-call driver-side footer inference.
+    The warm read must be bit-identical to the cold read (schema AND
+    rows), and rewriting the file must invalidate the cached entry."""
+    import shutil
+
+    from osmpbf_spark import catalog
+    from osmpbf_spark.catalog import _SCHEMA_CACHE, load
+
+    sf_dir = str(tmp_path)
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet", f"{sf_dir}/events.parquet"
+    )
+    _SCHEMA_CACHE.clear()
+    cold = load(spark, sf_dir, "events")
+    assert len(_SCHEMA_CACHE) == 1
+    cold_schema = cold.schema
+    cold_rows = sorted(map(str, cold.collect()))
+    warm = load(spark, sf_dir, "events")
+    assert warm.schema == cold_schema
+    assert sorted(map(str, warm.collect())) == cold_rows
+    # rewrite -> new (size, mtime_ns) identity -> fresh inference
+    key0 = next(iter(_SCHEMA_CACHE))
+    shutil.copy(
+        "/root/testdata/sf0.001/orders.parquet", f"{sf_dir}/events.parquet"
+    )
+    assert catalog._file_identity(f"{sf_dir}/events.parquet") != key0
+    reread = load(spark, sf_dir, "events")
+    assert "o_orderkey" in reread.columns

@@ -331,22 +331,20 @@ def mh_band_keys(sig: DataFrame) -> DataFrame:
     q_dedup_minhash and s_dedup_near_stream — both must stay bit-identical
     to the banding SQL oracle (_mh_band_key_sql), so the construction
     lives exactly once."""
+    # one SQL-string parse instead of ~80 py4j Column calls (r17; the
+    # q_dedup_simhash_exact fused-aggregate precedent — identical tree)
+    bands_sql = ", ".join(
+        "concat_ws(',', "
+        + ", ".join(
+            f"CAST(s{j} AS STRING)"
+            for j in range(b * MH_ROWS, (b + 1) * MH_ROWS)
+        )
+        + ")"
+        for b in range(MH_BANDS)
+    )
     return sig.select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"s{j}").cast("string")
-                            for j in range(b * MH_ROWS, (b + 1) * MH_ROWS)
-                        ],
-                    )
-                    for b in range(MH_BANDS)
-                ]
-            )
-        ).alias("band", "k"),
+        F.posexplode(F.expr(f"array({bands_sql})")).alias("band", "k"),
     )
 
 
@@ -855,28 +853,25 @@ def q_dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_SH_HASH_SPARK).alias("h1"),
         F.expr(_SH_HASH2_SPARK).alias("h2"),
     )
-    bit = lambda b: (  # noqa: E731
-        F.shiftright(F.col("h1" if b < SH_HALF else "h2"),
-                     b if b < SH_HALF else b - SH_HALF)
-        .bitwiseAND(F.lit(1)) == 1
+    # Vote sums + sign-bit assembly FUSED into one SQL-string aggregate
+    # expression (r17, guide §1.2 per-task work at the DRIVER): the
+    # previous two-step form built 48 F.sum(F.when(...)) Columns plus a
+    # 48-term Python sum() fold — ~400 py4j round-trips and two analyzer
+    # passes over 48-wide trees, measured 0.85-0.98s of pure plan-build
+    # wall per invocation. One F.expr parse builds the identical
+    # aggregate (HashAggregate with the same 48 partial SUMs; the sign
+    # chain lands in the aggregate's result expression instead of a
+    # separate Project): build 1.95s -> ~0.7s, bytes identical.
+    vote = lambda b: (  # noqa: E731
+        f"SUM(CASE WHEN ({'h1' if b < SH_HALF else 'h2'} >> "
+        f"{b if b < SH_HALF else b - SH_HALF}) & 1 = 1 THEN 1 ELSE -1 END)"
     )
-    v = hv.groupBy("doc_id").agg(
-        *[
-            F.sum(F.when(bit(b), 1).otherwise(-1)).alias(f"v{b}")
-            for b in range(SH_BITS)
-        ]
+    sim_sql = " + ".join(
+        f"(CASE WHEN {vote(b)} > 0 THEN {1 << b}L ELSE 0L END)"
+        for b in range(SH_BITS)
     )
-    sim = v.select(
-        "doc_id",
-        sum(
-            [
-                F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-                for b in range(SH_BITS)
-            ],
-            F.lit(0),
-        )
-        .cast("bigint")
-        .alias("sim"),
+    sim = hv.groupBy("doc_id").agg(
+        F.expr(f"CAST({sim_sql} AS BIGINT)").alias("sim")
     )
     mask = (1 << SH_CHUNK_W) - 1
     keys = sim.select(
@@ -1275,28 +1270,35 @@ def band_key_from_dots(D: np.ndarray, b: int, bits: int, row_of) -> np.ndarray:
     return key
 
 
-def _emb_plane_dot(p: int):
-    """JVM-side dot of ``embedding`` with literal plane p: every constant a
-    DoubleType literal (exact bits, no text parsing), fold left-to-right so
+def _emb_plane_dot_spark_sql(p: int) -> str:
+    """Spark-SQL spelling of the plane-p dot: HOF fold left-to-right so
     the sum is bit-identical to the oracle's unrolled + chain. (Measured:
     this HOF fold beats a fully-unrolled 64-term expression — unrolling 12
     planes x 64 terms produces codegen methods past the JIT's 8KB limit
-    and the whole stage drops to interpreted bytecode, 4x slower.)"""
-    plane = F.array(*[F.lit(float(c)) for c in _EMB_PLANES[p]])
-    return F.aggregate(
-        F.zip_with(F.col("embedding"), plane, lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    and the whole stage drops to interpreted bytecode, 4x slower.) Plane
+    constants are written as repr-round-tripped double literals — Spark
+    parses them with Java's correctly-rounded parseDouble, so the f64
+    bits equal the former F.lit path exactly (same guarantee the DuckDB
+    oracle's CAST('repr' AS DOUBLE) relies on)."""
+    plane = ", ".join(f"{float(c)!r}D" for c in _EMB_PLANES[p])
+    return (
+        f"aggregate(zip_with(embedding, array({plane}), "
+        "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
     )
 
 
 def _emb_band(b: int):
-    out = F.lit(0)
-    for i in range(EMB_BITS):
-        out = out + F.when(
-            _emb_plane_dot(b * EMB_BITS + i) >= 0, F.lit(1 << i)
-        ).otherwise(F.lit(0))
-    return out
+    """Band b's integer key, built as ONE SQL-string parse (r17, guide
+    §1.2): the former nested-Column construction issued ~70 py4j calls
+    per plane dot (64 lits + HOF lambda plumbing) x 12 planes — a
+    measurable slice of q_dedup_embed's 1.75s plan-build wall. Identical
+    expression tree after parsing (lambda variable names aside)."""
+    terms = " + ".join(
+        f"(CASE WHEN {_emb_plane_dot_spark_sql(b * EMB_BITS + i)} >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(EMB_BITS)
+    )
+    return F.expr(terms)
 
 
 def _sql_plane_dot(p: int, col: str = "embedding") -> str:

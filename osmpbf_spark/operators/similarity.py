@@ -135,25 +135,29 @@ def lsh_bucket(emb: pd.Series) -> pd.Series:
     return pd.Series(vals.astype(np.int32))
 
 
-def _lsh_plane_dot(i: int):
-    """JVM-side dot of ``embedding`` with literal hyperplane i — the
-    q_dedup_embed pattern (dedup.py:_emb_plane_dot): double literals, fold
-    left-to-right, bit-identical to the oracle's unrolled + chain."""
-    plane = F.array(*[F.lit(float(c)) for c in _HYPERPLANES[i]])
-    return F.aggregate(
-        F.zip_with(F.col("embedding"), plane, lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def _lsh_plane_dot_spark_sql(i: int) -> str:
+    """Spark-SQL spelling of the hyperplane-i dot — the q_dedup_embed
+    pattern (dedup.py:_emb_plane_dot_spark_sql): repr-round-tripped double
+    literals (parseDouble is correctly rounded, so the f64 bits equal the
+    former F.lit path), HOF fold left-to-right, bit-identical to the
+    oracle's unrolled + chain."""
+    plane = ", ".join(f"{float(c)!r}D" for c in _HYPERPLANES[i])
+    return (
+        f"aggregate(zip_with(embedding, array({plane}), "
+        "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
     )
 
 
 def _lsh_bucket_expr():
-    out = F.lit(0)
-    for i in range(LSH_BITS):
-        out = out + F.when(_lsh_plane_dot(i) > 0, F.lit(1 << i)).otherwise(
-            F.lit(0)
-        )
-    return out
+    """Bucket id as ONE SQL-string parse (r17, guide §1.2): the former
+    nested-Column loop issued ~70 py4j calls per plane x LSH_BITS planes
+    of pure plan-build wall; identical tree after parsing."""
+    terms = " + ".join(
+        f"(CASE WHEN {_lsh_plane_dot_spark_sql(i)} > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(LSH_BITS)
+    )
+    return F.expr(terms)
 
 
 def _sql_lsh_plane_dot(i: int, col: str) -> str:

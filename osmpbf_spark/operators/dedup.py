@@ -494,20 +494,21 @@ def _bucket_candidate_pairs(keys: DataFrame) -> DataFrame:
     larger buckets expand through a single LINEAR explode back to rows
     and a (band, k) self-join, so their |bucket|^2 output is produced
     across shuffle partitions instead of one Generate call on one task.
-    The key frame is lazily localCheckpoint'ed because the two arms
-    (and the big arm's self-join) would otherwise re-run the whole
-    upstream signing per consumer — measured at sf0.1: +0.5s from a
-    duplicated Arrow signing pass; the checkpointed form times level
-    with the old single-arm shape (the q_dedup_clusters pairs-checkpoint
-    precedent, and exactly the cost the r05 note said a single consumer
-    avoided — the hybrid has two consumers by design). Residual bound: a
-    degenerate bucket's id array still materializes once in the
-    aggregation buffer (8 bytes/doc — 80 MB at 10M ids, survivable);
-    what this removes is the quadratic single-task expansion (10^14
-    generated rows at that size)."""
-    keys = keys.localCheckpoint(eager=False)
-    buckets = keys.groupBy("band", "k").agg(
-        F.collect_set("doc_id").alias("ids")
+    The BUCKET frame is lazily localCheckpoint'ed (r17; the checkpoint
+    sat on the keys frame through r16, which deduplicated the upstream
+    signing but still re-ran the bucket aggregation once PER ARM — the
+    before-plan shows two ObjectHashAggregate+Exchange pairs over the
+    same checkpointed RDD; moving the cut above the consumers' fork
+    removes one full collect_set pass + exchange, and the signing still
+    runs exactly once since the aggregation is now keys' only consumer).
+    Residual bound: a degenerate bucket's id array still materializes
+    once in the aggregation buffer (8 bytes/doc — 80 MB at 10M ids,
+    survivable); what the hybrid removes is the quadratic single-task
+    expansion (10^14 generated rows at that size)."""
+    buckets = (
+        keys.groupBy("band", "k")
+        .agg(F.collect_set("doc_id").alias("ids"))
+        .localCheckpoint(eager=False)
     )
     small = (
         buckets.filter(

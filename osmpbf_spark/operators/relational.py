@@ -697,7 +697,20 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "text", n_tokens.alias("n_tokens"),
         F.substring("text", 1, 50).alias("pfx"),
     )
-    kept = _with_shingles(kept)
+    # Materialize the filtered+shingled corpus ONCE (r17): `kept` feeds
+    # BOTH self-join sides and the survivor anti-join, and Spark has no
+    # cross-consumer subtree reuse — the quality scoring + shingle build
+    # (the pipeline's expensive string work) ran 3x per action. Project
+    # to the narrow post-filter columns first so the checkpoint holds no
+    # raw text; eager because the join sides are concurrent stages (the
+    # q_dedup_clusters race note). This is the oracle's `s` CTE
+    # materialized — at 100 TB the filtered corpus is exactly what a
+    # curation pipeline persists between stages.
+    kept = (
+        _with_shingles(kept)
+        .select("doc_id", "lang", "n_tokens", "pfx", "sh")
+        .localCheckpoint(eager=True)
+    )
     a = kept.select(F.col("doc_id").alias("doc_a"), F.col("pfx"), F.col("sh").alias("sh_a"))
     b = kept.select(F.col("doc_id").alias("doc_b"), F.col("pfx"), F.col("sh").alias("sh_b"))
     dupes = (

@@ -113,16 +113,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # way a catalog-backed (Hive/Iceberg) table would. Results still
     # compute from the parquet files on every invocation; a rewritten
     # file changes the identity key and re-infers.
-    key = _file_identity(path)
-    schema = _SCHEMA_CACHE.get(key) if key is not None else None
-    if schema is None:
-        df = spark.read.parquet(path)
-        if key is not None:
-            while len(_SCHEMA_CACHE) >= _ROW_COUNT_CACHE_MAX:
-                _SCHEMA_CACHE.pop(next(iter(_SCHEMA_CACHE)))
-            _SCHEMA_CACHE[key] = df.schema
-    else:
-        df = spark.read.schema(schema).parquet(path)
+    df = read_parquet_cached(spark, path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
@@ -144,26 +135,52 @@ _SCHEMA_CACHE: dict[tuple, object] = {}
 
 def _file_identity(path: str) -> tuple | None:
     """(path, size, mtime_ns) identity of a parquet file or, for a
-    directory-of-parts layout, the sorted tuple of per-part identities.
-    None when the path cannot be stat'ed (caller falls back to a plain
-    inferring read, which will raise the real error)."""
+    directory layout (flat parts or partitioned subdirs), the sorted
+    tuple of per-part identities from a recursive walk (dot/underscore
+    entries skipped — the partition-discovery convention). None when the
+    path cannot be stat'ed or the directory holds no parquet files yet
+    (caller falls back to a plain inferring read, which raises the real
+    error); the path itself leads the tuple so two directories with
+    identical part listings never collide."""
     import os
 
     try:
         if os.path.isdir(path):
-            parts = sorted(
-                os.path.join(path, f)
-                for f in os.listdir(path)
-                if f.endswith(".parquet")
-            )
-            return tuple(
-                (f, os.stat(f).st_size, os.stat(f).st_mtime_ns)
-                for f in parts
-            )
+            parts = []
+            for dirpath, dirnames, filenames in os.walk(path):
+                dirnames[:] = sorted(
+                    d for d in dirnames if not d.startswith((".", "_"))
+                )
+                for f in sorted(filenames):
+                    if f.endswith(".parquet"):
+                        fp = os.path.join(dirpath, f)
+                        st = os.stat(fp)
+                        parts.append((fp, st.st_size, st.st_mtime_ns))
+            if not parts:
+                return None
+            return (path, *parts)
         st = os.stat(path)
         return (path, st.st_size, st.st_mtime_ns)
     except OSError:
         return None
+
+
+def read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet with the inferred schema replayed from
+    _SCHEMA_CACHE on repeat reads of an unchanged path (see load()).
+    Shared by load() and the persisted-store readers (IVF cell store,
+    centroid frame) whose paths are stable across invocations."""
+    key = _file_identity(path)
+    schema = _SCHEMA_CACHE.get(key) if key is not None else None
+    if schema is None:
+        df = spark.read.parquet(path)
+        if key is not None:
+            while len(_SCHEMA_CACHE) >= _ROW_COUNT_CACHE_MAX:
+                _SCHEMA_CACHE.pop(next(iter(_SCHEMA_CACHE)))
+            _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
+    return df
 
 
 def table_row_count(sf_dir: str, name: str) -> int:

@@ -33,7 +33,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import IntegerType
 
-from osmpbf_spark.catalog import fanout, load, query, table_row_count
+from osmpbf_spark.catalog import (
+    fanout,
+    load,
+    query,
+    read_parquet_cached,
+    table_row_count,
+)
 
 DIM = 64
 N_QUERIES = 5
@@ -1326,7 +1332,7 @@ def ivf_probe_store(
     literal isin predicate becomes a planning-time PartitionFilter, so
     unprobed cells' files are never opened. Scoring/ranking are the
     registered query's exact expressions."""
-    corpus = spark.read.parquet(store_path)
+    corpus = read_parquet_cached(spark, store_path)
     qc = q.crossJoin(F.broadcast(carr)).select(
         "qid", "qe", F.explode(F.expr(_IVF_QCELLS)).alias("dc")
     )
@@ -1574,7 +1580,7 @@ def q_sim_search_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "temp dir, and has free space."
                 ) from exc
     carr = (
-        spark.read.parquet(cents)
+        read_parquet_cached(spark, cents)
         .agg(F.collect_list(F.struct("cid", "ce")).alias("cl"))
     )
     emb = load(spark, sf_dir, "embeddings")

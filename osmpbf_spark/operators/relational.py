@@ -1957,52 +1957,66 @@ def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = li
     for c in cols:
         src = src.filter(F.col(c).isNotNull())
-    x = [
-        F.round(F.col(c) * 100).cast("long").alias(f"x{i}")
-        for i, c in enumerate(cols)
-    ]
-    c = src.select(*x)
-    dec = lambda e: F.sum(e.cast("decimal(38,0)"))  # noqa: E731
-    m = c.agg(
-        F.count("*").alias("n"),
-        *[dec(F.col(f"x{i}")).alias(f"s{i}") for i in range(3)],
+    # hot-chain fusion (optimization guide §1.2, the r17 pattern): the
+    # cents quantization, the ten decimal moments, and the three corr
+    # chains are built as SQL strings parsed in a handful of F.expr
+    # calls instead of ~100 py4j Column constructions — the parsed trees
+    # are the identical round/cast/sum/sqrt chains (bit-identity held by
+    # the value oracle), and build wall drops ~3x (measured 1.12s cold
+    # -> 0.34s; bench build 0.27 -> ~0.1s).
+    c = src.selectExpr(
         *[
-            dec(F.col(f"x{i}") * F.col(f"x{i}")).alias(f"q{i}")
-            for i in range(3)
-        ],
-        dec(F.col("x0") * F.col("x1")).alias("p01"),
-        dec(F.col("x0") * F.col("x2")).alias("p02"),
-        dec(F.col("x1") * F.col("x2")).alias("p12"),
+            f"CAST(ROUND({c} * 100) AS BIGINT) AS x{i}"
+            for i, c in enumerate(cols)
+        ]
+    )
+    m = c.agg(
+        *[
+            F.expr(x)
+            for x in (
+                ["count(*) AS n"]
+                + [
+                    f"sum(CAST(x{i} AS DECIMAL(38,0))) AS s{i}"
+                    for i in range(3)
+                ]
+                + [
+                    f"sum(CAST(x{i} * x{i} AS DECIMAL(38,0))) AS q{i}"
+                    for i in range(3)
+                ]
+                + [
+                    "sum(CAST(x0 * x1 AS DECIMAL(38,0))) AS p01",
+                    "sum(CAST(x0 * x2 AS DECIMAL(38,0))) AS p02",
+                    "sum(CAST(x1 * x2 AS DECIMAL(38,0))) AS p12",
+                ]
+            )
+        ]
     )
 
-    def corr_of(p: str, i: int, j: int):
-        d = lambda name: F.col(name).cast("double")  # noqa: E731
-        n = d("n")
-        num = n * d(p) - d(f"s{i}") * d(f"s{j}")
-        den = F.sqrt(n * d(f"q{i}") - d(f"s{i}") * d(f"s{i}")) * F.sqrt(
-            n * d(f"q{j}") - d(f"s{j}") * d(f"s{j}")
+    def corr_sql(p: str, i: int, j: int) -> str:
+        n = "CAST(n AS DOUBLE)"
+        d = lambda name: f"CAST({name} AS DOUBLE)"  # noqa: E731
+        num = f"({n} * {d(p)}) - ({d(f's{i}')} * {d(f's{j}')})"
+        den = (
+            f"SQRT(({n} * {d(f'q{i}')}) - ({d(f's{i}')} * {d(f's{i}')}))"
+            f" * "
+            f"SQRT(({n} * {d(f'q{j}')}) - ({d(f's{j}')} * {d(f's{j}')}))"
         )
-        return num / den
+        return f"({num}) / ({den})"
 
     # stack via inline(array(struct...)) off the ONE aggregate row — a
     # unionByName of three m.select(...) re-plans the aggregate subtree
     # three times (3 FileScans, verified on the executedPlan), because
     # Catalyst has no common-subtree reuse across DataFrame unions
-    triples = F.array(
-        *[
-            F.struct(
-                F.lit(f"{a}~{b}").alias("pair"),
-                F.col("n").cast("long").alias("n"),
-                corr_of(p, i, j).alias("corr"),
-            )
-            for (a, i), (b, j), p in (
-                (("quantity", 0), ("extendedprice", 1), "p01"),
-                (("quantity", 0), ("discount", 2), "p02"),
-                (("extendedprice", 1), ("discount", 2), "p12"),
-            )
-        ]
+    structs = ", ".join(
+        f"struct('{a}~{b}' AS pair, CAST(n AS BIGINT) AS n, "
+        f"{corr_sql(p, i, j)} AS corr)"
+        for (a, i), (b, j), p in (
+            (("quantity", 0), ("extendedprice", 1), "p01"),
+            (("quantity", 0), ("discount", 2), "p02"),
+            (("extendedprice", 1), ("discount", 2), "p12"),
+        )
     )
-    return m.select(F.inline(triples))
+    return m.select(F.expr(f"inline(array({structs}))"))
 
 
 # ---------------------------------------------------------------------------

@@ -56,15 +56,23 @@ STORE_BACKED = {"q_sim_search_ivf_probe"}
 DUCKDB_MEMORY_LIMIT = os.environ.get("GATE_H2H_DUCK_MEM", "8GB")
 
 
-def _duck_run(sql: str, sf: str, tables, reps: int) -> float:
+def _duck_run(
+    sql: str, sf: str, tables, reps: int, threads: int | None = None
+) -> float:
     """Min-of-N for one oracle on a FRESH capped connection (the
     long-lived-connection OOM at ~150 oracles is the r16 verdict's
-    reproducibility blocker)."""
+    reproducibility blocker). temp_directory lets DuckDB degrade to
+    disk spill instead of a hard OutOfMemory under the cap (the
+    sweep_oracles/conftest guard); threads is only overridden on the
+    annotated OOM-retry path, never for the primary timing arm."""
     import duckdb
 
     con = duckdb.connect()
     try:
         con.sql(f"SET memory_limit='{DUCKDB_MEMORY_LIMIT}'")
+        con.sql("SET temp_directory='/tmp/duckdb_spill_h2h'")
+        if threads is not None:
+            con.sql(f"SET threads={threads}")
         for t in tables:
             con.sql(
                 f"CREATE VIEW {t} AS SELECT * FROM "
@@ -126,10 +134,26 @@ def main() -> int:
 
     duck: dict[str, float] = {}
     duck_err: dict[str, str] = {}
+    duck_notes: dict[str, str] = {}
     for n in names:
         try:
             duck[n] = _duck_run(oracles[n], ns.sf, TABLES, ns.reps)
         except Exception as exc:
+            # transient page-provisioning OOM under the cap at default
+            # (32) threads: retry once at 8 threads and LABEL the row —
+            # a crashed arm measures nothing, but a retimed one must
+            # never pass silently as like-for-like (r09 incident note)
+            if "OutOfMemory" in type(exc).__name__ or "Out of Memory" in str(
+                exc
+            ):
+                try:
+                    duck[n] = _duck_run(
+                        oracles[n], ns.sf, TABLES, ns.reps, threads=8
+                    )
+                    duck_notes[n] = "retried_threads_8_after_oom"
+                    continue
+                except Exception as exc2:
+                    exc = exc2
             duck_err[n] = f"{type(exc).__name__}: {exc}"
 
     from osmpbf_spark.session import get_spark
@@ -175,15 +199,20 @@ def main() -> int:
     probe_end = bench._speed_probe(spark)
     spark.stop()
 
+    # oracles whose min-of-N rounds to 0.000s are below the timer's
+    # 1ms resolution — a ratio against them is meaningless (the
+    # streaming-twin / trivial-oracle class BASELINE.md adjudicates);
+    # list them instead of dividing by zero (--all hit this)
+    sub_ms = sorted(n for n in duck if duck[n] == 0.0)
     ratio = {
         n: round(sp[n] / duck[n], 2)
         for n in names
-        if n in sp and n in duck and n not in STORE_BACKED
+        if n in sp and duck.get(n) and n not in STORE_BACKED
     }
     ratio_steady = {
         n: round(sp[n] / duck[n], 2)
         for n in names
-        if n in sp and n in duck and n in STORE_BACKED
+        if n in sp and duck.get(n) and n in STORE_BACKED
     }
     out = {
         "sf": ns.sf,
@@ -197,6 +226,10 @@ def main() -> int:
         out["ratio_steady_state"] = ratio_steady
     if store_build:
         out["store_build_sec"] = store_build
+    if sub_ms:
+        out["duckdb_sub_ms"] = sub_ms
+    if duck_notes:
+        out["duckdb_notes"] = duck_notes
     if duck_err:
         out["duckdb_errors"] = duck_err
     if sp_err:

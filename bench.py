@@ -803,8 +803,33 @@ def main() -> None:
             json.dump(doc, fh)
     except Exception:
         pass
-    print(json.dumps(result))
+    # Contract self-check (r17 verdict Next #7: BENCH_r16's line never
+    # parsed on the driver and the round lost its whole PERF comparison).
+    # allow_nan=False turns any non-finite float into an exception HERE
+    # (json.dumps would otherwise emit bare NaN/Infinity tokens, which
+    # strict JSON parsers reject); the explicit loads round-trip then
+    # proves the exact line being printed is one valid JSON object.
+    try:
+        line = json.dumps(result, allow_nan=False)
+    except ValueError:
+        line = json.dumps(_json_sanitize(result), allow_nan=False)
+    json.loads(line)
+    print(line)
     spark.stop()
+
+
+def _json_sanitize(obj):
+    """Replace non-finite floats with None so the contract line stays
+    strictly parseable even if a telemetry field ever divides to NaN."""
+    import math
+
+    if isinstance(obj, float) and not math.isfinite(obj):
+        return None
+    if isinstance(obj, dict):
+        return {k: _json_sanitize(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_json_sanitize(v) for v in obj]
+    return obj
 
 
 def _gen_bench_pbf(path: str, n: int) -> None:
@@ -896,6 +921,29 @@ def _pbf_scan_throughput(spark) -> dict:
     t0 = time.perf_counter()
     assert df20.count() == n20
     dt20 = time.perf_counter() - t0
+    # Steady-state adjudication for the q_pbf_* rows (r17 verdict Next
+    # #2): pbf_queries._read caches the decoded fixture per process
+    # (eager localCheckpoint), so after each query's first warmup its
+    # bench row times the steady-state plan over the hot decoded table,
+    # not a fresh decode. Time one COLD decode of the same fixture here
+    # (cache deliberately bypassed) so the artifact self-describes what
+    # the family's rows exclude — the q_sim_search_ivf_probe
+    # store_build_sec precedent.
+    fixture_fresh = None
+    try:
+        from osmpbf_spark.sources.pbf.fixture import (
+            FIXTURE_DIR,
+            ensure_fixture,
+        )
+
+        ensure_fixture()
+        t0 = time.perf_counter()
+        read_pbf(spark, f"{FIXTURE_DIR}/fixture.osm.pbf", "node").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        fixture_fresh = round(time.perf_counter() - t0, 4)
+    except Exception:
+        pass
     return {
         "nodes": n,
         "wall_sec": round(dt, 4),
@@ -907,6 +955,12 @@ def _pbf_scan_throughput(spark) -> dict:
         # artifacts of record"): the 2M wall metric is ~85% Python-
         # datasource job floor and measures latency, not throughput
         "headline_metric": "steady_state_20m_mnodes_per_sec",
+        # r17 verdict Next #2: the q_pbf_* query rows are STEADY-STATE
+        # times over a per-process decoded fixture (pbf_queries
+        # _DECODED_CACHE); this is the cold fresh-decode wall they
+        # exclude (q_pbf_pushdown always decodes fresh by design).
+        "q_pbf_rows": "steady_state",
+        "pbf_decode_fresh_sec": fixture_fresh,
     }
 
 

@@ -37,28 +37,41 @@ _STREAM_SRC_CACHE: dict[str, str] = {}
 _STREAM_RUN_SEQ = [0]
 
 
-def _stream_src(spark, df, key: str) -> str:
+def _stream_src(spark, df, key: str, nparts: int = 1) -> str:
     """Materialize (once per process+key) the parquet image backing a
     file-stream source; the setup dir is removed at interpreter exit so
     repeated bench runs don't grow /tmp.
 
-    The ``coalesce(1)`` below is LOAD-BEARING for the in-order-ingest
-    oracles: s_anomaly_stream's and s_funnel_stream's exactness argument
-    (prefix statistics / min-merge equals the batch form) assumes the
-    whole fixture arrives as ONE in-order availableNow batch, which holds
-    only because the source is a single part file. Splitting this into
-    multiple files (or adding maxFilesPerTrigger) would reorder events
-    across micro-batches and silently break those two oracles at a
-    distance — change them together or not at all."""
+    The default ``nparts=1`` (a ``coalesce(1)`` image) is LOAD-BEARING
+    for the in-order-ingest oracles: s_anomaly_stream's and
+    s_funnel_stream's exactness argument (prefix statistics / min-merge
+    equals the batch form) assumes the whole fixture arrives as ONE
+    in-order availableNow batch, which holds only because the source is
+    a single part file. Splitting those into multiple files (or adding
+    maxFilesPerTrigger) would reorder events across micro-batches and
+    silently break those two oracles at a distance — change them
+    together or not at all.
+
+    ``nparts>1`` (r18, guide §2.6/§6) is for ORDER-INDEPENDENT streams
+    whose map-side work is expensive: a single-part image gives the
+    micro-batch scan exactly one task, so everything upstream of the
+    first exchange (MinHash signing in s_dedup_near_stream) runs
+    single-threaded inside addBatch. A multi-part image is also the
+    honest production shape — a real ingest directory is many files per
+    trigger, never one. Callers must argue order-independence in their
+    own docstring before asking for it (the key embeds nparts, so the
+    in-order single-part image is never displaced)."""
     import atexit
     import shutil
     import tempfile
 
-    src = _STREAM_SRC_CACHE.get(key)
+    ckey = f"{key}#p{nparts}" if nparts != 1 else key
+    src = _STREAM_SRC_CACHE.get(ckey)
     if src is None:
         src = tempfile.mkdtemp(prefix="osmpbf_stream_src_")
-        df.coalesce(1).write.mode("overwrite").parquet(src)
-        _STREAM_SRC_CACHE[key] = src
+        out = df.coalesce(1) if nparts == 1 else df.repartition(nparts)
+        out.write.mode("overwrite").parquet(src)
+        _STREAM_SRC_CACHE[ckey] = src
         atexit.register(shutil.rmtree, src, ignore_errors=True)
     return src
 # State partitions for the real streaming runs. A stateful streaming query
@@ -1310,8 +1323,21 @@ def s_dedup_near_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         mh_sig_cols,
     )
 
+    # 16-part source image (r18, guide §2.6): the single-part image gave
+    # the micro-batch scan ONE task, so the whole MinHash signing pass
+    # (split + 16 array-HOF min chains per doc — the expensive map work)
+    # ran single-threaded inside addBatch; 16 files parallelize it across
+    # the fleet with no extra exchange (measured 2.0 -> 1.4s at sf0.1).
+    # Order-independence argument (required by _stream_src): all files
+    # land in the one availableNow batch (far under maxFilesPerTrigger),
+    # so bucket state sees the same batch-global doc set regardless of
+    # file order; _inc_lsh_pairs emits per-bucket new-vs-old over
+    # np.unique'd ids, pairs are normalized least/greatest and DISTINCT
+    # downstream, and the oracle is itself an order-insensitive DISTINCT
+    # pair set — no step observes arrival order. The in-order streams
+    # (s_anomaly/s_funnel/s_dedup_append/...) keep the single-part image.
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    src = _stream_src(spark, docs, f"documents:{sf_dir}")
+    src = _stream_src(spark, docs, f"documents:{sf_dir}", nparts=16)
     stream = spark.readStream.schema(docs.schema).parquet(src)
     # drop null-text rows BEFORE signing: a NULL text yields all-NULL
     # s0..s15 and concat_ws silently maps NULLs to one shared empty-string

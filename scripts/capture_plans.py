@@ -7,9 +7,11 @@ by this script. Usage:
     python scripts/capture_plans.py before            # all queries
     python scripts/capture_plans.py after q_dedup_embed q_grid_agg
 
-Writes plans/r17/<query>_<suffix>.txt. Building a query executes any
-eager work it contains (localCheckpoint, streaming sinks), so a full
-capture costs roughly one untimed bench pass.
+Writes plans/<tag>/<query>_<suffix>.txt, where <tag> comes from the
+SPARK_GRAFT_PLAN_TAG env var (default "r18" — the current round; r17
+ADVICE: the literal "r17" silently mislabeled later rounds' captures).
+Building a query executes any eager work it contains (localCheckpoint,
+streaming sinks), so a full capture costs roughly one untimed bench pass.
 """
 
 from __future__ import annotations
@@ -26,7 +28,7 @@ from osmpbf_spark.session import get_spark  # noqa: E402
 PLAN_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "plans",
-    "r17",
+    os.environ.get("SPARK_GRAFT_PLAN_TAG", "r18"),
 )
 
 

@@ -204,15 +204,31 @@ def main() -> int:
     # streaming-twin / trivial-oracle class BASELINE.md adjudicates);
     # list them instead of dividing by zero (--all hit this)
     sub_ms = sorted(n for n in duck if duck[n] == 0.0)
+    # r17 ADVICE: an OOM-retried oracle ran throttled (threads=8), so its
+    # slower DuckDB denominator would bias the headline ratio in the
+    # engine's favor — keep those rows out of `ratio` and report them in
+    # `ratio_retried` keyed alongside duckdb_notes.
+    retried = set(duck_notes)
     ratio = {
         n: round(sp[n] / duck[n], 2)
         for n in names
-        if n in sp and duck.get(n) and n not in STORE_BACKED
+        if n in sp
+        and duck.get(n)
+        and n not in STORE_BACKED
+        and n not in retried
+    }
+    ratio_retried = {
+        n: round(sp[n] / duck[n], 2)
+        for n in names
+        if n in sp and duck.get(n) and n in retried
     }
     ratio_steady = {
         n: round(sp[n] / duck[n], 2)
         for n in names
-        if n in sp and duck.get(n) and n in STORE_BACKED
+        if n in sp
+        and duck.get(n)
+        and n in STORE_BACKED
+        and n not in retried
     }
     out = {
         "sf": ns.sf,
@@ -222,6 +238,8 @@ def main() -> int:
         "probe_start": probe_start,
         "probe_end": probe_end,
     }
+    if ratio_retried:
+        out["ratio_retried"] = ratio_retried
     if ratio_steady:
         out["ratio_steady_state"] = ratio_steady
     if store_build:

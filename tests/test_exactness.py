@@ -107,11 +107,10 @@ def test_load_schema_cache_identical_and_invalidates(spark, tmp_path):
 
     from osmpbf_spark import catalog
     from osmpbf_spark.catalog import _SCHEMA_CACHE, load
+    from tests.conftest import SF_DIR
 
     sf_dir = str(tmp_path)
-    shutil.copy(
-        "/root/testdata/sf0.001/events.parquet", f"{sf_dir}/events.parquet"
-    )
+    shutil.copy(f"{SF_DIR}/events.parquet", f"{sf_dir}/events.parquet")
     _SCHEMA_CACHE.clear()
     cold = load(spark, sf_dir, "events")
     assert len(_SCHEMA_CACHE) == 1
@@ -122,9 +121,7 @@ def test_load_schema_cache_identical_and_invalidates(spark, tmp_path):
     assert sorted(map(str, warm.collect())) == cold_rows
     # rewrite -> new (size, mtime_ns) identity -> fresh inference
     key0 = next(iter(_SCHEMA_CACHE))
-    shutil.copy(
-        "/root/testdata/sf0.001/orders.parquet", f"{sf_dir}/events.parquet"
-    )
+    shutil.copy(f"{SF_DIR}/orders.parquet", f"{sf_dir}/events.parquet")
     assert catalog._file_identity(f"{sf_dir}/events.parquet") != key0
     reread = load(spark, sf_dir, "events")
     assert "o_orderkey" in reread.columns

@@ -8,7 +8,7 @@ import pytest
 
 from osmpbf_spark.catalog import all_queries
 from osmpbf_spark.operators.similarity import N_QUERIES, TOP_K
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, SF_DIR_MID
 from tests.parity import check_query
 
 all_queries()
@@ -223,6 +223,94 @@ def test_ivf_batch_assignment_bit_identical_to_hof(spark):
 
     C_hof = np.array([v for _, v in cl], dtype=np.float64)
     assert (C_hof == C_b).all(), "batch trainer diverged from HOF trainer"
+
+
+def test_kmeans_local_trainer_bit_identical(spark):
+    """r18: the driver-local Lloyd trainer (_kmeans_centroids_local,
+    corpora <= KM_LOCAL_MAX_ROWS) must reproduce the distributed batch
+    trainer's trajectory to the last bit — same cell ids, same centroid
+    doubles — at both test scales and for both the full trajectory and
+    the N-1-round prefix q_cluster_kmeans dispatches on."""
+    import numpy as np
+
+    from osmpbf_spark.catalog import load
+    from osmpbf_spark.operators import similarity as S
+
+    for sf_dir in (SF_DIR, SF_DIR_MID):
+        emb = load(spark, sf_dir, "embeddings")
+        seed = S._kmeans_seed_local(sf_dir)
+        assert seed is not None
+        for iters in (S.KMEANS_ITERS - 1, S.KMEANS_ITERS):
+            loc = S._kmeans_centroids_local(sf_dir, seed, iters=iters)
+            assert loc is not None
+            cids_l, C_l, cent_l = loc
+            cids_b, C_b, cent_b = S._kmeans_centroids_batch(
+                spark, emb, seed=seed, iters=iters
+            )
+            assert cids_l == list(cids_b)
+            assert (C_l == np.asarray(C_b)).all(), (
+                f"local trainer diverged at {sf_dir} iters={iters}"
+            )
+            # the exploded final-round rows agree too (cid, pos,
+            # centroid bits, member counts)
+            as_t = lambda rows: sorted(
+                (int(r.cid), int(r.pos), float(r.centroid), int(r.n_members))
+                for r in rows
+            )
+            assert as_t(cent_l) == as_t(cent_b)
+    # the size gate: a corpus past the bound refuses the local regime
+    assert (
+        S._kmeans_centroids_local(SF_DIR, None, iters=1) is None
+    ), "local trainer must require a driver-readable seed"
+
+
+def test_local_probes_bit_identical_to_window_path(spark):
+    """r18: the driver-side probe-cell ranking (_local_probes) must pick
+    exactly the cells the Spark crossJoin+row_number path picks — same
+    (qid, cid) pairs in rank order, same qe payload after the
+    array<float> round trip — at both test scales and in both training
+    regimes."""
+    import numpy as np
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from osmpbf_spark.catalog import load, table_row_count
+    from osmpbf_spark.operators import similarity as S
+
+    for sf_dir in (SF_DIR, SF_DIR_MID):
+        emb = load(spark, sf_dir, "embeddings")
+        seed = S._kmeans_seed_local(sf_dir)
+        batch = (
+            table_row_count(sf_dir, "embeddings") >= S.IVF_BATCH_MIN_ROWS
+        )
+        carr, _, cents = S._ivf_train_assign(
+            spark, emb, batch=batch, seed=seed, sf_dir=sf_dir
+        )
+        queries = [(i, v) for i, v in seed if i < S.N_QUERIES]
+        loc = S._local_probes(queries, cents, S.IVF_NPROBE)
+        # the Spark window path over the same centroids
+        q = emb.filter(F.col("vec_id") < S.N_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        )
+        qc = q.crossJoin(F.broadcast(carr)).select(
+            "qid", "qe", F.explode(F.expr(S._IVF_QCELLS)).alias("dc")
+        )
+        wq = W.partitionBy("qid").orderBy(F.asc("dc.dist"), F.asc("dc.cid"))
+        spk = (
+            qc.withColumn("crk", F.row_number().over(wq))
+            .filter(F.col("crk") <= S.IVF_NPROBE)
+            .select("qid", "qe", F.col("dc.cid").alias("cid"))
+            .collect()
+        )
+        assert sorted((q_, c) for q_, _, c in loc) == sorted(
+            (int(r.qid), int(r.cid)) for r in spk
+        ), f"probe cells diverged at {sf_dir}"
+        # qe payload: exact f32 round trip of the corpus values
+        by_qid = {int(r.qid): np.array(r.qe, dtype=np.float32) for r in spk}
+        for q_, qe, _ in loc:
+            assert (
+                np.array(qe, dtype=np.float32) == by_qid[q_]
+            ).all()
 
 
 def test_ivf_batch_dispatch_value_parity(spark, monkeypatch):

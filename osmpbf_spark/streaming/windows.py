@@ -103,6 +103,28 @@ _ROCKSDB_PROVIDER = (
     "RocksDBStateStoreProvider"
 )
 
+# Checkpoint file-manager knob (r18, guide §1/§6 measure-first): Spark's
+# default FileContext-based checkpoint manager costs ~30-40 ms PER
+# metadata operation on this filesystem (walCommit / commitOffsets /
+# latestOffset each ~30 ms, and the HDFS-backed state store's delta
+# commits ride the same API) — measured against the FileSystem-based
+# manager Spark ships as its own fallback, every op drops to ~8 ms and
+# whole streams lose 0.2-0.4 s (s_join_stream 1.18 -> 0.77 s,
+# s_dedup_append addBatch 751 -> 569 ms; tmpfs checkpoints showed NO
+# change, so the cost is the per-op FileContext setup path, not disk).
+# Semantics: both managers implement the same atomic
+# rename-into-place protocol; the FileContext variant exists for
+# filesystems whose FileSystem API lacks atomic rename guarantees
+# (object stores), which is why this stays a per-deployment knob —
+# None restores Spark's default resolution; production on HDFS/S3
+# sizes it with the checkpoint store exactly like the state-store
+# provider above. All stream oracles + the checkpoint-restart tests
+# run under the local default (pinned in CI).
+_STREAM_CKPT_MANAGER: str | None = (
+    "org.apache.spark.sql.execution.streaming.checkpointing."
+    "FileSystemBasedCheckpointFileManager"
+)
+
 
 class _scoped_state_partitions:
     """Set streaming confs for planning+starting one streaming query,
@@ -139,6 +161,10 @@ class _scoped_state_partitions:
             "spark.sql.shuffle.partitions": _STREAM_STATE_PARTITIONS,
             "spark.sql.streaming.noDataMicroBatches.enabled": "false",
         }
+        if _STREAM_CKPT_MANAGER is not None:
+            self.confs[
+                "spark.sql.streaming.checkpointFileManagerClass"
+            ] = _STREAM_CKPT_MANAGER
         if _STREAM_STATE_PROVIDER is not None:
             prov = _STREAM_STATE_PROVIDER
             self.confs["spark.sql.streaming.stateStore.providerClass"] = (
@@ -155,13 +181,18 @@ class _scoped_state_partitions:
             )
 
     def __enter__(self):
-        self.prev = {k: self.spark.conf.get(k) for k in self.confs}
+        # get(k, None): checkpointFileManagerClass has no default value,
+        # so a bare get() would raise on the unset key
+        self.prev = {k: self.spark.conf.get(k, None) for k in self.confs}
         for k, v in self.confs.items():
             self.spark.conf.set(k, v)
 
     def __exit__(self, *exc):
         for k, v in self.prev.items():
-            self.spark.conf.set(k, v)
+            if v is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, v)
         return False
 
 

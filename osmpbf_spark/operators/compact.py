@@ -12,11 +12,15 @@ rewrites such a directory into target-sized files.
 
 Scale shape:
 
-- **File stats come from the scan, not a driver FS walk**: the
-  ``_metadata`` hidden column gives (file_path, file_size) per row, so
-  per-file stats are one distributed aggregate whose result is
-  #files-sized — works identically on HDFS/S3/local, and the only
-  driver-side state is the (#files)-row stats frame.
+- **File stats come from metadata, never a data pass**: the portable
+  path is the ``_metadata`` hidden column — (file_path, file_size) per
+  row, one distributed aggregate whose result is #files-sized, working
+  identically on HDFS/S3/local. r18 adds a footer fast path
+  (``_file_stats_local``): when the directory is locally stat-able the
+  same (files, bytes, rows) totals come from parquet footers with zero
+  Spark jobs — the ``table_row_count`` discipline, value-identical by
+  construction and pinned in tests. A compaction pass must list the
+  files it rewrites anyway, so the listing is not new cost.
 - **The rewrite is map-only**: ``coalesce(n_after)`` merges input
   splits into fewer tasks with NO shuffle (the real rewrite frame is
   pinned via ``compaction_plan`` in
@@ -71,6 +75,45 @@ def file_stats(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def _file_stats_local(path: str):
+    """(files, bytes, rows) totals for a LOCAL parquet directory from
+    footer metadata only — the ``table_row_count`` discipline (r18,
+    guide §1.2): no Spark job, no data pages. compact_files uses this
+    fast path when the directory is locally stat-able, which deletes
+    both of its per-invocation stats jobs (~0.6 s of the query at
+    sf0.1); the distributed ``file_stats`` frame remains the portable
+    API for remote stores and for per-file listings. Exactness: rows
+    per file is the footer count (exactly what the scan counts), bytes
+    is the file length (exactly ``_metadata.file_size``), and zero-row
+    part files are SKIPPED to replicate the scan path's documented
+    limitation (a rowless file contributes no ``_metadata`` row) — the
+    two paths are value-identical, pinned in test_relational. Returns
+    None when the path isn't a local directory of parquet files."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        files = bytes_ = rows = 0
+        for entry in sorted(os.listdir(path)):
+            if entry.startswith((".", "_")) or not entry.endswith(
+                ".parquet"
+            ):
+                continue
+            fp = os.path.join(path, entry)
+            n = pq.ParquetFile(fp).metadata.num_rows
+            if n == 0:
+                continue  # scan-path semantics: no rows -> invisible
+            files += 1
+            bytes_ += os.stat(fp).st_size
+            rows += n
+        if files == 0:
+            return None
+        return {"files": files, "bytes": bytes_, "rows": rows}
+    except Exception:
+        return None
+
+
 def compaction_plan(
     spark: SparkSession, in_path: str, n_after: int
 ) -> DataFrame:
@@ -97,7 +140,7 @@ def compact_files(
     success stats dict.
     """
     target = target_bytes or COMPACT_TARGET_BYTES
-    before = file_stats(spark, in_path).agg(
+    before = _file_stats_local(in_path) or file_stats(spark, in_path).agg(
         F.count(F.lit(1)).alias("files"),
         F.sum("bytes").alias("bytes"),
         F.sum("rows").alias("rows"),
@@ -107,7 +150,7 @@ def compact_files(
     compaction_plan(spark, in_path, n_after).write.mode(
         "overwrite"
     ).parquet(out)
-    after = file_stats(spark, out).agg(
+    after = _file_stats_local(out) or file_stats(spark, out).agg(
         F.count(F.lit(1)).alias("files"),
         F.sum("bytes").alias("bytes"),
         F.sum("rows").alias("rows"),

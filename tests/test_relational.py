@@ -621,3 +621,26 @@ def test_compact_files_stats_and_content(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+    # r18: the footer-metadata stats fast path must be value-identical
+    # to the distributed _metadata scan aggregate on both layouts
+    from pyspark.sql import functions as F
+
+    from osmpbf_spark.operators.compact import _file_stats_local
+
+    for d in (frag, out):
+        loc = _file_stats_local(d)
+        scan = (
+            file_stats(spark, d)
+            .agg(
+                F.count(F.lit(1)).alias("files"),
+                F.sum("bytes").alias("bytes"),
+                F.sum("rows").alias("rows"),
+            )
+            .first()
+        )
+        assert loc is not None
+        assert (loc["files"], loc["bytes"], loc["rows"]) == (
+            scan["files"],
+            scan["bytes"],
+            scan["rows"],
+        ), f"footer stats diverged from scan stats for {d}"

@@ -304,99 +304,96 @@ def all_oracles() -> dict[str, str]:
     return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
 
 
-# Round-17 rotation for the driver's 50-query correctness window (the
+# Round-18 rotation for the driver's 50-query correctness window (the
 # driver checks only the FIRST 50 registered queries each round; with
 # len(REGISTRY) registered, ordering decides what gets a fresh hard
-# row). Composition, per the r16 verdict's Next #6:
+# row). Composition, continuing the stamp-freshness policy:
 #
-#   1. The thirteen r13-stamped deferrals — the registry's oldest
-#      stamps (named in the r16 tier-3 note; every one stayed
-#      hash-compared in every CI pass while deferred). After r17
-#      stamps land, no registered stamp is older than r14 — the
-#      one-round-lag invariant holds.
-#   2. Code CHANGED or NEW in r17: q_cluster_kmeans + q_sim_search_ivf +
-#      q_sim_search_ivf_probe (driver-side pyarrow seed, per-partition
-#      partial-sum collect rounds, lazy final round — the 5-jobs->2
-#      gate close; plus the persisted store's per-user root,
-#      part-file identity, and drift-retrain lifecycle),
-#      q_dedup_near + q_dedup_minhash (hot-bucket hybrid pair
-#      expansion behind the shared _bucket_candidate_pairs, key frame
-#      lazily checkpointed), and q_multimodal_jpeg (NEW — the pure
-#      numpy/stdlib baseline T.81 JPEG codec; first stamp).
-#   3. 31 of the 47 r14-stamped rows (the oldest remaining block).
-#      The window holds 50, so sixteen r14 rows defer to r18
-#      (q_bpe_encode / q_bpe_train / q_corpus_mix / q_doc_pack /
-#      q_doc_pack_chunks / q_pii_redact / q_resample_locf /
-#      q_text_rarity / q_token_pmi / q_dedup_ngram / q_multimodal_agg /
-#      q_multimodal_decode / q_multimodal_frames / q_pbf_tag_filter /
-#      q_pbf_zorder / s_tumble_append) — every one hash-compared
-#      against its DuckDB
-#      oracle in EVERY CI pass (the per-family parametrized parity
-#      tests), so deferral costs stamp freshness only, never
-#      verification coverage.
-_R17_WINDOW = (
-    # 1: the thirteen r13-stamped deferrals (verdict r16 Next #6)
-    "q_pivot",
-    "q_unpivot",
-    "q_lateral_topk",
-    "q_percentile",
-    "q_asof_join",
-    "q_sample_stratified",
-    "q_window_lead_lag",
-    "q_window_dist",
-    "q_set_union",
-    "q_set_intersect",
-    "q_date_funcs",
-    "q_json_funcs",
-    "q_subq_scalar",
-    # 2: r17-changed code (q_multimodal_jpeg is NEW in r17 — the
-    # baseline T.81 codec closing the r16 verdict's #1 thin spot — so
-    # it needs its first driver stamp)
-    "q_cluster_kmeans",
+#   1. The sixteen r14-stamped deferrals named in the r17 rotation
+#      note — the registry's oldest stamps. After r18 stamps land, no
+#      registered stamp is older than r15.
+#   2. Code CHANGED in r18 (optimization round — every change is
+#      oracle-pinned, these get the fresh driver stamp): the IVF/kmeans
+#      family (driver-local Lloyd trainer + driver-side probe-cell
+#      ranking: q_cluster_kmeans, q_sim_search_ivf,
+#      q_sim_search_ivf_probe), q_compact_files (footer-metadata
+#      stats), s_dedup_near_stream (16-part source image), and the
+#      r15-stamped streams the checkpoint-manager change touches
+#      (s_tumble_stream, s_dedup_stream, s_dedup_append,
+#      s_upsert_stream, s_dedup_embed_stream, s_pbf_stream — the other
+#      affected streams carry r17 stamps already).
+#   3. 23 of the 42 rows still carrying r15 stamps (oldest remaining
+#      block, in r15-window order). The window holds 50, so nineteen
+#      r15 rows defer to r19 (q_pbf_scan_nodes / q_pbf_way_area /
+#      q_pbf_ways_bag / q_resample_interp / q_sample_topk_group /
+#      q_set_except / q_sim_search / q_sim_search_lsh / q_text_bm25 /
+#      q_text_fingerprint / q_text_lang / q_text_quality /
+#      q_text_repetition / q_text_stats / q_text_token_freq /
+#      q_text_tokens_bpe / q_trend_ols / q_twap / s_late) — every one
+#      stays hash-compared against its DuckDB oracle in EVERY CI pass
+#      (the per-family parametrized parity tests), so deferral costs
+#      stamp freshness only, never verification coverage.
+_R18_WINDOW = (
+    # 1: the sixteen r14-stamped deferrals (r17 rotation note)
+    "q_bpe_encode",
+    "q_bpe_train",
+    "q_corpus_mix",
+    "q_doc_pack",
+    "q_doc_pack_chunks",
+    "q_pii_redact",
+    "q_resample_locf",
+    "q_text_rarity",
+    "q_token_pmi",
+    "q_dedup_ngram",
+    "q_multimodal_agg",
+    "q_multimodal_decode",
+    "q_multimodal_frames",
+    "q_pbf_tag_filter",
+    "q_pbf_zorder",
+    "s_tumble_append",
+    # 2: r18-changed code
     "q_sim_search_ivf",
     "q_sim_search_ivf_probe",
-    "q_dedup_near",
-    "q_dedup_minhash",
-    "q_multimodal_jpeg",
-    # 3: oldest remaining rows (r14), minus the sixteen deferrals above
-    "q_bfs_khop",
-    "q_case_null",
+    "q_cluster_kmeans",
     "q_compact_files",
-    "q_decontaminate",
-    "q_dedup_clusters",
-    "q_dedup_embed",
-    "q_dedup_exact",
-    "q_dedup_minhash_incr",
-    "q_dedup_semantic_scalek",
-    "q_dedup_simhash_exact",
-    "q_er_fuzzy_scaleb",
-    "q_filter_pred",
-    "q_grid_agg",
-    "q_join_5way",
-    "q_map_funcs",
-    "q_math_funcs",
-    "q_multimodal",
-    "q_pagerank",
-    "q_pbf_way_geom",
-    "q_pipeline_e2e",
-    "q_scan_project",
-    "q_str_funcs",
-    "q_triangle_count",
-    "s_anomaly_stream",
     "s_dedup_near_stream",
-    "s_enrich_stream",
-    "s_funnel_stream",
-    "s_join_stream",
-    "s_session_append",
-    "s_session_stream",
-    "s_stateful",
+    "s_tumble_stream",
+    "s_dedup_stream",
+    "s_dedup_append",
+    "s_upsert_stream",
+    "s_dedup_embed_stream",
+    "s_pbf_stream",
+    # 3: oldest remaining rows (r15), minus the nineteen deferrals
+    "q_array_hof",
+    "q_explode_pos",
+    "q_incr_agg",
+    "q_join_full",
+    "q_merge_upsert",
+    "q_anomaly_zscore",
+    "q_session_funnel",
+    "q_agg_cube",
+    "q_agg_gsets",
+    "q_attribution",
+    "q_dedup_embed_scaleb",
+    "q_fd_check",
+    "q_inverted_index",
+    "q_mix_sources",
+    "q_pbf_changesets",
+    "q_pbf_compat_pig",
+    "q_pbf_grid_agg",
+    "q_pbf_join_way_nodes",
+    "q_pbf_meta",
+    "q_pbf_multipolygon",
+    "q_pbf_node_tags",
+    "q_pbf_pushdown",
+    "q_pbf_relations",
 )
 
-_R17_RANK = {n: i for i, n in enumerate(_R17_WINDOW)}
+_R18_RANK = {n: i for i, n in enumerate(_R18_WINDOW)}
 
 
 def _window_tier(name: str) -> int:
-    return _R17_RANK.get(name, len(_R17_WINDOW))
+    return _R18_RANK.get(name, len(_R18_WINDOW))
 
 
 def _import_all() -> None:
@@ -425,7 +422,7 @@ def _import_all() -> None:
     # The sweep CLI has the same guard for argv names
     # (scripts/sweep_oracles.py) — the window, which the driver actually
     # consumes, must fail just as loudly.
-    phantom = [n for n in _R17_WINDOW if n not in REGISTRY]
+    phantom = [n for n in _R18_WINDOW if n not in REGISTRY]
     if phantom:
         raise RuntimeError(
             f"correctness-window names not in REGISTRY: {phantom} — "

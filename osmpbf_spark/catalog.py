@@ -263,6 +263,29 @@ def fanout(df: DataFrame, n: int | None = None) -> DataFrame:
     )
 
 
+def widened_distinct(df: DataFrame, *keys: str, n: int | None = None) -> DataFrame:
+    """Full-width ``distinct()`` of a small-bytes/heavy-compute frame:
+    hash-repartition on the row key BEFORE deduplicating.
+
+    A candidate-pair frame is a few bytes per row, so a bare
+    ``distinct()``'s ENSURE_REQUIREMENTS exchange gets AQE-coalesced to
+    ~1 partition and the final hash aggregate — plus everything
+    downstream — runs on one task. The former fix, ``fanout(distinct())``,
+    restored downstream width but kept the 1-task aggregate AND added a
+    round-robin exchange whose mandatory local sort
+    (spark.sql.execution.sortBeforeRepartition, guide §2.5) also ran on
+    that one task. Repartitioning by the key columns first is strictly
+    better on all three counts: the REPARTITION_BY_NUM exchange is
+    AQE-exempt (width is guaranteed by the plan), equal rows co-locate so
+    the aggregate reuses the exchange (no second one), and the dedup runs
+    across all partitions. Result set identical — distinct is
+    partitioning-independent. Measured on q_dedup_embed at sf0.1:
+    2 Exchange -> 1, candidate stage 0.86s -> 0.49s."""
+    return df.repartition(
+        n or df.sparkSession.sparkContext.defaultParallelism, *keys
+    ).distinct()
+
+
 def dsum(col: str, alias: str):
     """Exact integer-cents sum of a 2-decimal money/quantity column."""
     return (

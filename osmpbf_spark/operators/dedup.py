@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
-from osmpbf_spark.catalog import fanout, load, query
+from osmpbf_spark.catalog import fanout, load, query, widened_distinct
 
 # ---------------------------------------------------------------------------
 # signature functions (Arrow-batched pandas UDFs — the only Python in the
@@ -130,6 +130,17 @@ def _jaccard_pairs(
     so its width must be guaranteed by the plan, not by hoping AQE's
     byte-sizing leaves enough partitions for the array-intersection
     compute downstream.
+
+    r18 negative result, recorded so it is not retried: replacing the
+    producers' ``.distinct()`` + this fanout with ``widened_distinct``
+    (q_dedup_embed's r18 one-exchange shape) measured SLOWER here —
+    q_dedup_near tail 0.80->0.98s and 0.43->0.56s in two interleaved
+    min-of-5 A/Bs — because this family's pair sets are tiny at any
+    fixed dup density (3650 raw -> 256 distinct at sf0.1: LSH keys are
+    engineered for near-singleton buckets), so there is no 1-task
+    bottleneck to remove and the AQE-exempt 32-task repartition+dedup
+    stages only add scheduling floor. q_dedup_embed's win came from its
+    829k-pair volume (3-bit fixture bands), not from the operator shape.
 
     Verification intersects HASHED shingles (r14): each doc's shingle
     set maps through the md5-prefix 60-bit hash ONCE at the shingle
@@ -1392,14 +1403,21 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2")
     )
-    # fanout is LOAD-BEARING here, not just the small-scan rebalance: a
-    # candidate-pair row is two longs (~13 MB for 800k pairs), so AQE
-    # coalesces the post-distinct exchange to one partition — and the
-    # expensive part, the 64-dim dot per pair, then runs single-core
-    # (measured 4s -> 12s when AQE picked 1 partition). Partition count
-    # must be sized to downstream COMPUTE, not input bytes; the explicit
-    # repartition is exempt from AQE coalescing.
-    cand = fanout(pairs.distinct())
+    # Width here is LOAD-BEARING: a candidate-pair row is two longs
+    # (~13 MB for 800k pairs), so AQE would coalesce a bare distinct's
+    # exchange to one partition — and the expensive part, the 64-dim dot
+    # per pair, then runs single-core (measured 4s -> 12s when AQE picked
+    # 1 partition). Partition count must be sized to downstream COMPUTE,
+    # not input bytes. Hash-repartitioning on the PAIR KEY before the
+    # distinct (r18) guarantees that width with ONE exchange: the
+    # REPARTITION_BY_NUM exchange is AQE-exempt, equal pairs co-locate so
+    # distinct's hash aggregate reuses it (ENSURE_REQUIREMENTS adds no
+    # second exchange), and the dedup itself runs full-width. The former
+    # fanout(pairs.distinct()) paid the coalesced 1-task final aggregate
+    # PLUS a round-robin exchange with its mandatory local sort
+    # (sortBeforeRepartition) on that one task: 2 Exchange -> 1, full
+    # query 1.14s -> 0.83s isolated, bit-identical result set.
+    cand = widened_distinct(pairs, "id1", "id2")
     x = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
     y = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
     dot = F.aggregate(
@@ -1560,7 +1578,7 @@ def q_dedup_embed_scaleb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2")
     )
-    cand = fanout(pairs.distinct())  # see q_dedup_embed: sized to compute
+    cand = widened_distinct(pairs, "id1", "id2")  # see q_dedup_embed
     emb2 = load(spark, sf_dir, "embeddings")
     x = emb2.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
     y = emb2.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))

@@ -151,6 +151,26 @@ def test_dedup_embed_single_band_join(spark):
     assert "Scan ExistingRDD" in p or "LocalTableScan" in p
 
 
+def test_dedup_embed_candidate_dedup_is_one_keyed_exchange(spark):
+    """r18 freeze (widened_distinct): the candidate pair dedup must be
+    ONE key-hash exchange — repartition(n, id1, id2) BEFORE the distinct,
+    REPARTITION_BY_NUM so AQE cannot coalesce the heavy per-pair dot
+    verification back to one task, and the distinct's hash aggregate
+    must reuse that exchange (no second ENSURE_REQUIREMENTS exchange on
+    the pair key). The former fanout(distinct()) shape paid a coalesced
+    1-task final aggregate plus a round-robin exchange whose
+    sortBeforeRepartition local sort also ran on that one task
+    (2 Exchange -> 1; 1.14s -> 0.83s isolated at sf0.1)."""
+    for q in ("q_dedup_embed", "q_dedup_embed_scaleb"):
+        p = plan_of(spark, q)
+        pair_exchanges = [
+            seg.split("\n")[0]
+            for seg in p.split("Exchange hashpartitioning(id1")[1:]
+        ]
+        assert len(pair_exchanges) == 1, (q, pair_exchanges)
+        assert "REPARTITION_BY_NUM" in pair_exchanges[0], (q, pair_exchanges)
+
+
 def test_dedup_clusters_pairs_checkpointed(spark):
     """r04 freeze: the propagation input must be a checkpoint scan, not a
     re-derivation of the prefix-blocking join per round."""

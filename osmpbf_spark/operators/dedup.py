@@ -906,8 +906,18 @@ def q_dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # former self-join shuffled the exploded key stream twice and needed
     # the signature frame localCheckpoint'ed so the 48 vote columns
     # wouldn't compute per side; single consumer now, so signing streams
-    # straight from the scan.
-    buckets = keys.groupBy("chunk", "ckey").agg(
+    # straight from the scan. The exchange is an explicit key-hash
+    # repartition (r18, the widened_distinct discipline): the keys frame
+    # is a few KB, so the former ENSURE_REQUIREMENTS exchange got
+    # AQE-coalesced to ONE partition and the whole downstream — bucket
+    # collect_set, the two explodes' ~600k expanded rows, the
+    # first-match and hamming filters — ran on one task (339 ms
+    # single-task CPU in the r18 event-log profile). Width must follow
+    # the expanded-pair compute, not the key bytes; same exchange count,
+    # bit-identical pairs (bucket membership is key-determined).
+    buckets = keys.repartition(
+        spark.sparkContext.defaultParallelism, "chunk", "ckey"
+    ).groupBy("chunk", "ckey").agg(
         F.collect_set(F.struct("doc_id", "sim")).alias("ms")
     )
     pairs = (

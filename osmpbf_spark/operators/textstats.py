@@ -560,8 +560,18 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured 18s at sf0.1), so it runs as explode -> count per
     (doc, token) -> max per doc: one token-bounded shuffle plus a doc_id
     join back (see the inline comment). These two ratios are the
-    standard cheap gates before expensive dedup."""
-    d = load(spark, sf_dir, "documents").withColumn(
+    standard cheap gates before expensive dedup.
+
+    fanout (r18): the event-log profile showed every stage of this query
+    running on ONE task — the single-row-group documents scan gives the
+    3-gram HOF chain and the token-explode map side one partition each
+    (379 + 370 ms single-task CPU at sf0.1). Same discipline as the
+    dedup family: rebalance the dimension-sized scan before
+    expression-heavy per-row work. The two consumers (dup ratio,
+    top-token explode) each carry their own tiny round-robin exchange —
+    their pushed scan filters differ, so the exchange is not reused —
+    and the quiet-gated A/B still reads 0.94 -> 0.73s (0.77x)."""
+    d = fanout(load(spark, sf_dir, "documents")).withColumn(
         "w", F.split(F.lower("text"), " ")
     )
     w = F.col("w")
@@ -926,6 +936,16 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-second absolutes, not data volume.
     """
     d = load(spark, sf_dir, "documents")
+    # r18 negative result (recorded so it is not retried): fanout before
+    # the tokenize+checkpoint — the scan is one row group, so the
+    # tokenize, cnt, and pair stages all run ONE task (~0.5s single-task
+    # CPU in the event-log profile) — measured SLOWER end to end in a
+    # 5-round quiet-gated A/B (1.25-1.31s -> 1.56-1.81s on the clean
+    # draws): the per-task floor of 32-wide stages over ~30 docs each
+    # (broadcast fetch, codegen init, checkpoint-block bookkeeping x3
+    # consumers) exceeds the serial compute it parallelizes. Contrast
+    # q_text_repetition, where the same fanout WINS (~0.75s of per-row
+    # HOF CPU, only two consumers, no checkpoint multiplier).
     # eager checkpoint: the tokenized corpus is consumed twice (df counts,
     # pair generation) — without the cut both consumers re-run the
     # split+regex scan (measured 1.24s -> 0.94s at sf0.1). NEGATIVE result

@@ -171,6 +171,31 @@ def test_dedup_embed_candidate_dedup_is_one_keyed_exchange(spark):
         assert "REPARTITION_BY_NUM" in pair_exchanges[0], (q, pair_exchanges)
 
 
+def test_simhash_exact_bucket_exchange_is_keyed_repartition(spark):
+    """r18 freeze: the (chunk, ckey) bucket exchange must be an explicit
+    REPARTITION_BY_NUM — the keys frame is a few KB, so an
+    ENSURE_REQUIREMENTS exchange got AQE-coalesced to one partition and
+    the whole bucket/pair/hamming chain (~600k expanded rows, 339 ms CPU)
+    ran single-task."""
+    p = plan_of(spark, "q_dedup_simhash_exact")
+    seg = [
+        s.split("\n")[0]
+        for s in p.split("Exchange hashpartitioning(chunk")[1:]
+    ]
+    assert len(seg) == 1, seg
+    assert "REPARTITION_BY_NUM" in seg[0], seg
+
+
+def test_text_repetition_scan_is_fanned_out(spark):
+    """r18 freeze: the single-row-group documents scan must rebalance
+    before the 3-gram HOF chain and the token explode — without it every
+    stage of this query ran on ONE task (~0.75s single-task CPU). Each
+    consumer subtree carries its own tiny round-robin exchange (their
+    pushed scan filters differ, so the exchanges are not reusable)."""
+    p = plan_of(spark, "q_text_repetition")
+    assert "RoundRobinPartitioning" in p
+
+
 def test_dedup_clusters_pairs_checkpointed(spark):
     """r04 freeze: the propagation input must be a checkpoint scan, not a
     re-derivation of the prefix-blocking join per round."""

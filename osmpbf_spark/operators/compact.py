@@ -114,6 +114,69 @@ def _file_stats_local(path: str):
         return None
 
 
+def _compact_local_one_file(in_path: str, out_dir: str) -> bool:
+    """Driver-side rewrite for the n_after == 1 regime on a LOCAL
+    directory (r18, guide §1.2 fixed-cost removal): read the fragments
+    through one pyarrow dataset pass and write the single output file
+    in-process. When n_after == 1 the distributed arm has ZERO
+    parallelism to offer — coalesce(1) runs the whole read+write on one
+    task — but still pays a per-file JVM reader init that dominates at
+    small-file counts (measured: 64 fragments totalling 735 KB took
+    1.1-2.4 s through the Spark arm vs 0.17-0.19 s here, content
+    identical on read-back). Any n_after > 1 keeps the distributed
+    coalesce arm, whose parallelism equals the output file count — at
+    100 TB that is the only arm that ever dispatches, exactly like the
+    ``_file_stats_local`` footer fast path above it.
+
+    Timestamp/time columns bail out to the Spark arm: the session reads
+    TIMESTAMP(NANOS) as BIGINT (nanosAsLong), so the Spark rewrite
+    materializes longs where a pyarrow copy would preserve the nanos
+    type — the two arms would produce different output schemas. All
+    other types round-trip identically. Returns False (arm not taken,
+    nothing written) on any precondition failure or error."""
+    import os
+    import shutil
+
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow.parquet as pq
+        import pyarrow.types as pt
+
+        if not os.path.isdir(in_path):
+            return False
+        dset = ds.dataset(in_path, format="parquet")
+
+        def safe(t) -> bool:
+            if pt.is_timestamp(t) or pt.is_time(t):
+                return False
+            if (
+                pt.is_list(t)
+                or pt.is_large_list(t)
+                or pt.is_fixed_size_list(t)
+            ):
+                return safe(t.value_type)
+            if pt.is_struct(t):
+                return all(safe(f.type) for f in t)
+            if pt.is_map(t):
+                return safe(t.key_type) and safe(t.item_type)
+            return True
+
+        if not all(safe(f.type) for f in dset.schema):
+            return False
+        tbl = dset.to_table()
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)  # mode("overwrite") semantics
+        os.makedirs(out_dir, exist_ok=True)
+        pq.write_table(
+            tbl,
+            os.path.join(out_dir, "part-00000-compact.snappy.parquet"),
+            compression="snappy",  # the session's parquet default
+        )
+        return True
+    except Exception:
+        return False
+
+
 def compaction_plan(
     spark: SparkSession, in_path: str, n_after: int
 ) -> DataFrame:
@@ -140,16 +203,25 @@ def compact_files(
     success stats dict.
     """
     target = target_bytes or COMPACT_TARGET_BYTES
-    before = _file_stats_local(in_path) or file_stats(spark, in_path).agg(
+    before_local = _file_stats_local(in_path)
+    before = before_local or file_stats(spark, in_path).agg(
         F.count(F.lit(1)).alias("files"),
         F.sum("bytes").alias("bytes"),
         F.sum("rows").alias("rows"),
     ).first()
     n_after = max(1, math.ceil((before["bytes"] or 0) / target))
     out = out_path or epoch_out_dir("osmpbf_compact_")
-    compaction_plan(spark, in_path, n_after).write.mode(
-        "overwrite"
-    ).parquet(out)
+    # single-output-file regime on a local directory: driver-side
+    # rewrite (see _compact_local_one_file — the distributed arm is one
+    # task there anyway); every other regime takes the map-only coalesce
+    if not (
+        n_after == 1
+        and before_local is not None
+        and _compact_local_one_file(in_path, out)
+    ):
+        compaction_plan(spark, in_path, n_after).write.mode(
+            "overwrite"
+        ).parquet(out)
     after = _file_stats_local(out) or file_stats(spark, out).agg(
         F.count(F.lit(1)).alias("files"),
         F.sum("bytes").alias("bytes"),

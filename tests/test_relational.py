@@ -605,10 +605,19 @@ def test_compact_files_stats_and_content(spark):
     assert stats["files_after"] == 1  # tiny corpus, one target-sized file
     assert stats["rows"] == src.count()
     assert file_stats(spark, out).count() == stats["files_after"]
-    # content equality, order-insensitive
+    # content equality, order-insensitive (n_after == 1 on a local dir
+    # dispatches the r18 driver-side pyarrow arm — this equality check
+    # is its value pin)
     a = sorted(map(tuple, spark.read.parquet(out).collect()))
     b = sorted(map(tuple, src.collect()))
     assert a == b
+    # r18: the distributed coalesce arm (n_after > 1) must produce the
+    # same content; a tiny target forces it
+    out2, stats2 = compact_files(spark, frag, target_bytes=64 * 1024)
+    assert stats2["files_after"] > 1  # really took the coalesce arm
+    assert stats2["rows"] == stats["rows"]
+    a2 = sorted(map(tuple, spark.read.parquet(out2).collect()))
+    assert a2 == b
     # the rewrite plan is shuffle-free — pin the REAL frame the
     # operator writes (compaction_plan), not a hand-built lookalike: a
     # regression swapping coalesce for repartition must fail here

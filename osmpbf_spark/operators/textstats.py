@@ -734,6 +734,16 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     every registered oracle and rejects LIST/MAP/STRUCT output columns,
     and tests/parity.py raises on container cells from the Spark side —
     so local green implies driver green for all future queries.
+
+    r18 negative result (recorded so it is not retried): fanout before
+    the tokenize — the q_text_repetition fix — measured ~2x WORSE on
+    exec here (0.60 -> 1.14s min across 4 quiet-gated rounds) despite
+    the map side running one task today. Cause: WindowGroupLimit's
+    map-side prune keeps the first IDX_POSTINGS_CAP doc ids per token
+    PER PARTITION, so 32 input partitions push up to 32x more posting
+    rows through the token exchange and its sort; with one input
+    partition the partial prune is already exact. The scan task is not
+    the bottleneck — the window is.
     """
     d = load(spark, sf_dir, "documents")
     toks = d.select(
@@ -831,8 +841,15 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     column yet disappears under <EMAIL>, so counts may exceed what is
     visible in ``redacted``. A redaction REPORT wants raw occurrences
     (what was found); recount on ``redacted`` if you need what remains.
+
+    fanout (r18): the event-log profile showed this query's six regex
+    passes running entirely on the single-row-group scan's ONE task
+    (450 ms single-task CPU — the whole query was serial). Same shape
+    and fix as q_text_repetition: rebalance the dimension-sized scan
+    before expression-heavy per-row work; one consumer, one tiny
+    round-robin exchange.
     """
-    d = load(spark, sf_dir, "documents")
+    d = fanout(load(spark, sf_dir, "documents"))
     aug = F.concat(
         F.col("text"),
         F.lit(" contact user"),

@@ -842,14 +842,20 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     visible in ``redacted``. A redaction REPORT wants raw occurrences
     (what was found); recount on ``redacted`` if you need what remains.
 
-    fanout (r18): the event-log profile showed this query's six regex
-    passes running entirely on the single-row-group scan's ONE task
-    (450 ms single-task CPU — the whole query was serial). Same shape
-    and fix as q_text_repetition: rebalance the dimension-sized scan
-    before expression-heavy per-row work; one consumer, one tiny
-    round-robin exchange.
+    r18 negative result (recorded so it is not retried): fanout before
+    the regex passes. The event-log profile showed the six regexes
+    running on the single-row-group scan's ONE task (450 ms single-task
+    CPU) and the rebalance measured 0.54 -> 0.39s exec in a quiet-gated
+    A/B — but it was REVERTED on review: this operator's contract is
+    the zero-exchange scrub (test_plans pins "Exchange" not in plan —
+    at 100 TB a round-robin of the full corpus TEXT to work around a
+    fixture-scale single-row-group scan is exactly the shuffle the
+    map-only shape exists to avoid; a real corpus scan has thousands of
+    row groups and is already wide). The dedup-family fanouts differ:
+    their downstream is shuffle-bound anyway, so the tiny rebalance
+    adds no new data movement class.
     """
-    d = fanout(load(spark, sf_dir, "documents"))
+    d = load(spark, sf_dir, "documents")
     aug = F.concat(
         F.col("text"),
         F.lit(" contact user"),

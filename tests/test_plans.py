@@ -188,15 +188,15 @@ def test_simhash_exact_bucket_exchange_is_keyed_repartition(spark):
 
 def test_text_repetition_scan_is_fanned_out(spark):
     """r18 freeze: the single-row-group documents scan must rebalance
-    before expression-heavy map work — without it q_text_repetition ran
-    every stage on ONE task (~0.75s single-task CPU) and q_pii_redact's
-    six regex passes were fully serial (450ms single-task CPU). (In
-    q_text_repetition each consumer subtree carries its own tiny
-    round-robin exchange — their pushed scan filters differ, so the
-    exchanges are not reusable.)"""
-    for q in ("q_text_repetition", "q_pii_redact"):
-        p = plan_of(spark, q)
-        assert "RoundRobinPartitioning" in p, q
+    before the 3-gram HOF chain and the token explode — without it every
+    stage of this query ran on ONE task (~0.75s single-task CPU). Each
+    consumer subtree carries its own tiny round-robin exchange (their
+    pushed scan filters differ, so the exchanges are not reusable).
+    (q_pii_redact deliberately does NOT get this fix despite the same
+    single-task profile — its contract is the zero-exchange scrub,
+    pinned by test_pii_redact_is_map_only; rationale in its docstring.)"""
+    p = plan_of(spark, "q_text_repetition")
+    assert "RoundRobinPartitioning" in p
 
 
 def test_dedup_clusters_pairs_checkpointed(spark):
